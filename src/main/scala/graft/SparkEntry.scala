@@ -1,13 +1,28 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops.{Extensions, Reference, Relational, Windows}
+
+/** Driver contract — see /root/repo/SURVEY.md §2.2 (the declared query
+  * inventory) and §7 (build plan). Queries live in graft.ops.*, grouped by
+  * operator family; this object is only the registry the driver calls.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * TPC-H Q1 shape (q30): full-scan hash aggregation — always non-empty.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q30_groupby_agg")(spark, "/root/testdata/sf0.001")
+
+  /** One entry per implemented operator from SURVEY.md §2.2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Reference.queries ++ Relational.queries ++ Windows.queries ++ Extensions.queries
+
+  /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
+    * the same parquet tables. Queries declared Spark-only (q66, q71, q74)
+    * are intentionally absent (SURVEY.md §2.2 "oracle = no").
+    */
+  def oracleSql: Map[String, String] =
+    Reference.oracle ++ Relational.oracle ++ Windows.oracle ++ Extensions.oracle
 }

@@ -1,0 +1,103 @@
+package graft.ops
+
+import graft.Q
+import graft.model.Tables
+import org.apache.spark.sql.functions._
+
+/** REF surface — the five queries that replicate what the reference can
+  * actually do (SURVEY.md §2.1 R7-R14, §2.2 q01-q05).
+  *
+  * The reference pushes its single query shape into InfluxQL
+  * (reference index.js:106):
+  *   `SELECT "value","time" FROM <t> WHERE time >= .. AND time <= .. LIMIT n`
+  * Here the same semantics are declared as a DataFrame plan and Catalyst
+  * pushes filter/projection/limit into the parquet scan — the 100 TB path is
+  * identical because pruning happens at the scan, not in the engine loop.
+  *
+  * Determinism (SURVEY.md §7.5): every query ends in a total order with a
+  * unique tiebreak; timestamps leave as epoch-millis BIGINT (`unix_millis`,
+  * oracle `epoch_ms`), never raw timestamps or strings.
+  */
+object Reference {
+
+  val queries: Map[String, Q] = Map(
+
+    // R8: time-range scan + projection + inclusive BETWEEN + explicit order
+    // + limit. The reference's LIMIT rides on InfluxDB's implicit time order
+    // (index.js:106, quirk §1.4.6) — here the order is explicit.
+    "q01_range_scan_limit" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .filter(col("event_type") === "click" &&
+          col("ts").between(
+            lit("2024-01-05 00:00:00").cast("timestamp"),
+            lit("2024-01-10 00:00:00").cast("timestamp")))
+        .orderBy(col("ts"), col("event_id"))
+        .limit(100)
+        .select(col("event_id"), unix_millis(col("ts")).as("ts_ms"), col("value"))
+    }),
+
+    // R14: the `/search` catalog — distinct active series names
+    // (reference index.js:74-84). Series-as-column ⇒ SELECT DISTINCT.
+    "q02_search_catalog" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .select(col("event_type"))
+        .distinct()
+        .orderBy(col("event_type"))
+    }),
+
+    // R11+R13: the Grafana table response — fixed (Target, Value, Time)
+    // 3-column shape with epoch-ms time (reference index.js:121-123, 140-150).
+    "q03_grafana_table_shape" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .orderBy(col("ts"), col("event_id"))
+        .select(
+          col("event_type").as("Target"),
+          col("value").as("Value"),
+          unix_millis(col("ts")).as("Time"))
+    }),
+
+    // R9: multi-target fan-out. The reference fires one InfluxQL query per
+    // target and concats client-side via Promise.all (index.js:97-112);
+    // Spark-native form is UNION ALL of per-series filters over one table
+    // (single scan after Catalyst's filter combining).
+    "q04_multi_target_union" -> ((s, dir) => {
+      val e = Tables(s, dir, "events").select("event_id", "event_type", "value")
+      e.filter(col("event_type") === "click")
+        .unionAll(e.filter(col("event_type") === "purchase"))
+        .orderBy(col("event_type"), col("event_id"))
+    }),
+
+    // R7: retention as a filter — rows surviving `ts >= cutoff`
+    // (reference deletes `time < cutoff`, index.js:269-282, exclusive cutoff
+    // §1.2). At scale this is a partition drop (stream/Retention.scala).
+    "q05_retention_filter" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .filter(col("ts") >= lit("2024-01-15 00:00:00").cast("timestamp"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(unix_millis(col("ts"))).as("min_ms"),
+          max(unix_millis(col("ts"))).as("max_ms"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_range_scan_limit" ->
+      """SELECT event_id, epoch_ms(ts) AS ts_ms, value FROM events
+        |WHERE event_type = 'click'
+        |  AND ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-10 00:00:00'
+        |ORDER BY ts, event_id LIMIT 100""".stripMargin,
+    "q02_search_catalog" ->
+      "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+    "q03_grafana_table_shape" ->
+      """SELECT event_type AS "Target", value AS "Value", epoch_ms(ts) AS "Time"
+        |FROM events ORDER BY ts, event_id""".stripMargin,
+    "q04_multi_target_union" ->
+      """SELECT event_id, event_type, value FROM events WHERE event_type = 'click'
+        |UNION ALL
+        |SELECT event_id, event_type, value FROM events WHERE event_type = 'purchase'
+        |ORDER BY event_type, event_id""".stripMargin,
+    "q05_retention_filter" ->
+      """SELECT count(*) AS n, min(epoch_ms(ts)) AS min_ms, max(epoch_ms(ts)) AS max_ms
+        |FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'""".stripMargin
+  )
+}

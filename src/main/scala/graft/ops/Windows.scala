@@ -1,0 +1,257 @@
+package graft.ops
+
+import graft.Q
+import graft.model.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window functions & time-series operators (SURVEY.md §2.2 q20, q40-q45,
+  * q70-q74).
+  *
+  * The reference has no windows at all — its only time-series op is the
+  * range scan (reference index.js:106) and `maxDataPoints` truncation
+  * (quirk §1.4.7). Everything here is the north-star extension, built on
+  * Spark's window exec (one shuffle on the partition keys, sort within
+  * partitions — no driver-side loops) and on `window()` /
+  * `session_window()` time bucketing, which are the batch analogs of the
+  * Structured Streaming versions in graft.streaming.
+  */
+object Windows {
+
+  val queries: Map[String, Q] = Map(
+
+    // As-of join: for every purchase, the latest prior-or-equal signup of
+    // the same user. Spark-first formulation: ONE shuffle on user_id and a
+    // running max over an ordered union of both event kinds — no
+    // O(purchases × signups) pair join (that formulation is kept oracle-side
+    // only, where DuckDB handles the tiny sf easily).
+    "q20_asof_latest_prior" -> ((s, dir) => {
+      val u = Tables(s, dir, "events")
+        .filter(col("event_type").isin("signup", "purchase"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(col("event_type") === "signup", col("ts")).as("signup_ts"),
+          when(col("event_type") === "purchase", lit(1)).otherwise(lit(0)).as("is_p"))
+      // signup sorts before purchase at equal ts ⇒ equal-ts signup is "prior"
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("is_p"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      u.withColumn("last_signup", max(col("signup_ts")).over(w))
+        .filter(col("is_p") === 1)
+        .select(col("event_id"), unix_millis(col("ts")).as("p_ms"),
+          unix_millis(col("last_signup")).as("s_ms"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ───────────────────────── ranking windows ───────────────────────────
+    "q40_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables(s, dir, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    "q41_rank_dense" -> ((s, dir) => {
+      val w = Window.partitionBy("p_brand").orderBy(col("p_size").desc)
+      Tables(s, dir, "part").select(
+        col("p_brand"), col("p_partkey"), col("p_size"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"))
+        .orderBy(col("p_brand"), col("p_partkey"))
+    }),
+
+    // ───────────────────────── analytic windows ──────────────────────────
+    "q42_lag_lead" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables(s, dir, "events").select(
+        col("event_id"), col("user_id"), col("value"),
+        lag("value", 1).over(w).as("prev_v"),
+        lead("value", 1).over(w).as("next_v"),
+        round(col("value") - lag("value", 1).over(w), 4).as("delta"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // ROWS frame moving average — decimal-cast sum / count for an exact,
+    // order-independent numerator (SURVEY.md §7.5.2).
+    "q43_moving_avg_rows" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-2, 0)
+      Tables(s, dir, "events").select(
+        col("event_id"), col("user_id"),
+        round(sum(col("value").cast("decimal(18,4)")).over(w).cast("double")
+          / count(lit(1)).over(w), 4).as("mavg"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // RANGE frame over epoch-millis — 1 h trailing sum; the identical
+    // integer-millis formulation runs on both engines (no epoch-seconds
+    // division, SURVEY.md §7.3).
+    "q44_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ms"))
+        .rangeBetween(-3600000L, 0L)
+      Tables(s, dir, "events")
+        .withColumn("ms", unix_millis(col("ts")))
+        .select(col("event_id"), col("user_id"),
+          round(sum(col("value").cast("decimal(18,4)")).over(w).cast("double"), 4)
+            .as("sum1h"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // Global ntile is inherently a single-stream sort — fine for a
+    // quartile report, documented as non-scalable; the per-segment
+    // first/last windows shuffle on c_mktsegment as usual.
+    "q45_ntile_first_last" -> ((s, dir) => {
+      val wn = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+      val wf = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(s, dir, "customer").select(
+        col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        ntile(4).over(wn).cast("long").as("quartile"),
+        first("c_name").over(wf).as("top_name"),
+        last("c_name").over(wf).as("bottom_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ─────────────────── time buckets (streaming analogs) ────────────────
+    "q70_tumbling_window" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_v"))
+        .select(unix_millis(col("w.start")).as("day_ms"), col("event_type"),
+          col("cnt"), col("sum_v"))
+        .orderBy(col("day_ms"), col("event_type"))
+    }),
+
+    // Sliding windows overlap ⇒ each row lands in 2 buckets; Spark-only
+    // (declared without oracle, SURVEY.md §2.2).
+    "q71_sliding_window" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(unix_millis(col("w.start")).as("w_ms"), col("event_type"), col("cnt"))
+        .orderBy(col("w_ms"), col("event_type"))
+    }),
+
+    // Session windows: 30-min inactivity gap per user. Spark's session
+    // window is [first, last + gap); the oracle reproduces exactly that via
+    // gaps-and-islands (new session when gap >= 30 min).
+    "q72_session_window" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("user_id"), unix_millis(col("w.start")).as("start_ms"),
+          unix_millis(col("w.end")).as("end_ms"), col("cnt"))
+        .orderBy(col("user_id"), col("start_ms"))
+    }),
+
+    // Dedup keep-first: row_number()=1 under a total order — NOT
+    // dropDuplicates, which keeps an arbitrary row (SURVEY.md §7.5.3).
+    "q73_dedup_keep_first" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      Tables(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_millis(col("ts")).as("ts_ms"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // Batch analog of the watermarked streaming aggregation; the real
+    // streaming query (withWatermark + window) lives in
+    // graft.streaming.Collector and is exercised by the streaming test
+    // harness (SURVEY.md §5.2.5). Declared without oracle.
+    "q74_watermark_late" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(unix_millis(col("w.start")).as("w_ms"), col("event_type"), col("cnt"))
+        .orderBy(col("w_ms"), col("event_type"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q20_asof_latest_prior" ->
+      """SELECT p.event_id AS event_id, epoch_ms(p.ts) AS p_ms, epoch_ms(max(s.ts)) AS s_ms
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id AND s.ts <= p.ts
+        |GROUP BY p.event_id, p.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q40_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |             row_number() OVER (PARTITION BY o_custkey
+        |                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q41_rank_dense" ->
+      """SELECT p_brand, p_partkey, p_size,
+        |       CAST(rank() OVER w AS BIGINT) AS rnk,
+        |       CAST(dense_rank() OVER w AS BIGINT) AS drnk
+        |FROM part WINDOW w AS (PARTITION BY p_brand ORDER BY p_size DESC)
+        |ORDER BY p_brand, p_partkey""".stripMargin,
+    "q42_lag_lead" ->
+      """SELECT event_id, user_id, value,
+        |       lag(value) OVER w AS prev_v, lead(value) OVER w AS next_v,
+        |       round(value - lag(value) OVER w, 4) AS delta
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q43_moving_avg_rows" ->
+      """SELECT event_id, user_id,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+        |             / count(*) OVER w, 4) AS mavg
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q44_range_frame" ->
+      """SELECT event_id, user_id,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE), 4) AS sum1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+        |             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q45_ntile_first_last" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |       CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile,
+        |       first_value(c_name) OVER w AS top_name,
+        |       last_value(c_name) OVER w AS bottom_name
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY c_custkey""".stripMargin,
+    "q70_tumbling_window" ->
+      """SELECT epoch_ms(date_trunc('day', ts)) AS day_ms, event_type, count(*) AS cnt,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v
+        |FROM events GROUP BY 1, 2 ORDER BY day_ms, event_type""".stripMargin,
+    "q72_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                   >= INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id, epoch_ms(min(ts)) AS start_ms,
+        |       epoch_ms(max(ts) + INTERVAL 30 MINUTE) AS end_ms, count(*) AS cnt
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, start_ms""".stripMargin,
+    "q73_dedup_keep_first" ->
+      """SELECT user_id, event_type, event_id, epoch_ms(ts) AS ts_ms
+        |FROM (SELECT user_id, event_type, event_id, ts,
+        |             row_number() OVER (PARTITION BY user_id, event_type
+        |                                ORDER BY ts, event_id) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+  )
+}
