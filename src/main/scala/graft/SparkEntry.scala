@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{Extensions, Reference, Relational, Windows}
+import graft.ops.{Dedup, Extensions, Multimodal, Reference, Relational,
+  Similarity, TextAnalysis, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §2.2 (the declared query
   * inventory) and §7 (build plan). Queries live in graft.ops.*, grouped by
@@ -17,12 +18,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2.2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Reference.queries ++ Relational.queries ++ Windows.queries ++ Extensions.queries
+    Reference.queries ++ Relational.queries ++ Windows.queries ++
+      Extensions.queries ++ Dedup.queries ++ TextAnalysis.queries ++
+      Similarity.queries ++ Multimodal.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Queries declared Spark-only (q66, q71, q74)
-    * are intentionally absent (SURVEY.md §2.2 "oracle = no").
+    * the same parquet tables. Queries declared Spark-only (q66, q71, q74,
+    * q92) are intentionally absent (SURVEY.md §2.2 "oracle = no").
     */
   def oracleSql: Map[String, String] =
-    Reference.oracle ++ Relational.oracle ++ Windows.oracle ++ Extensions.oracle
+    Reference.oracle ++ Relational.oracle ++ Windows.oracle ++
+      Extensions.oracle ++ Dedup.oracle ++ TextAnalysis.oracle ++
+      Similarity.oracle
 }

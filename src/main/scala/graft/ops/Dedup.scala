@@ -1,0 +1,179 @@
+package graft.ops
+
+import graft.Q
+import graft.model.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection at corpus scale — MinHash+LSH, SimHash,
+  * content fingerprinting (SURVEY.md §2.2 q85, q86, q90).
+  *
+  * These are the scale path for what q81 (shingle self-join) does exactly:
+  * at 100 TB a full pairwise shingle join is infeasible, while MinHash/LSH
+  * is linear in corpus size — each doc maps to a fixed-width signature, a
+  * band join only compares docs that share a bucket, and the band buckets
+  * shard evenly (hash keys) so the shuffle is skew-free.
+  *
+  * Cross-engine determinism trick: MinHash needs k independent hash
+  * functions with a total order — md5 hex strings ARE totally ordered and
+  * identical in Spark and DuckDB, so `min(md5(seed || '|' || shingle))`
+  * gives an engine-portable MinHash with no integer-hash agreement needed.
+  */
+object Dedup {
+
+  private val K = 16 // signature width (4 bands × 4 rows)
+  private val BANDS = 4
+
+  /** distinct (doc_id, 3-word shingle) pairs; mirrors q81's generator. */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .filter(col("text") =!= "")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
+        .as("sh"))
+      .distinct()
+
+  /** One row per doc: columns h0..h15 = the MinHash signature. */
+  private def signature(s: SparkSession, dir: String): DataFrame = {
+    val aggs: Seq[Column] =
+      (0 until K).map(i => min(md5(concat(lit(s"$i|"), col("sh")))).as(s"h$i"))
+    shingles(s, dir).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  val queries: Map[String, Q] = Map(
+
+    // MinHash/LSH candidate pairs: docs sharing at least one of 4 bands
+    // (band hash = md5 of its 4 signature rows). Output is the candidate
+    // set an exact verifier (q81-style) would then refine.
+    "q85_minhash_lsh" -> ((s, dir) => {
+      val sig = signature(s, dir)
+      val bands = sig.select(col("doc_id"), explode(array(
+        (0 until BANDS).map { b =>
+          struct(lit(b).as("band"),
+            md5(concat_ws("|", (0 until 4).map(r => col(s"h${b * 4 + r}")): _*)).as("bh"))
+        }: _*)).as("e"))
+        .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared_bands"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // SimHash: 64-bit fingerprint from the corpus's own md5 word hashes.
+    // Per (doc, hex position 1..16): sum ±1 votes per bit of the nibble,
+    // reassemble the majority nibble, concat positions → 16-hex-char
+    // fingerprint. One shuffle (groupBy doc_id, pos), one more to
+    // reassemble — linear in token count.
+    "q86_simhash" -> ((s, dir) => {
+      val words = Tables(s, dir, "documents")
+        .filter(col("text") =!= "")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "").distinct()
+        .withColumn("h", md5(col("w")))
+      val perPos = words
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, 16), p -> named_struct(
+            |  'pos', p,
+            |  'v', instr('0123456789abcdef', substr(h, p, 1)) - 1))""".stripMargin)).as("e"))
+        .select(col("doc_id"), col("e.pos").as("pos"), col("e.v").as("v"))
+        .groupBy(col("doc_id"), col("pos"))
+        .agg(
+          sum(expr("2 * ((v div 8) % 2) - 1")).as("s3"),
+          sum(expr("2 * ((v div 4) % 2) - 1")).as("s2"),
+          sum(expr("2 * ((v div 2) % 2) - 1")).as("s1"),
+          sum(expr("2 * (v % 2) - 1")).as("s0"))
+        .withColumn("nib",
+          expr("8 * CAST(s3 > 0 AS INT) + 4 * CAST(s2 > 0 AS INT) + 2 * CAST(s1 > 0 AS INT) + CAST(s0 > 0 AS INT)"))
+        .withColumn("ch", expr("substr('0123456789abcdef', nib + 1, 1)"))
+      perPos.groupBy(col("doc_id"))
+        .agg(array_join(
+          expr("transform(array_sort(collect_list(struct(pos, ch))), x -> x.ch)"), "")
+          .as("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Content fingerprint: md5 of the sorted distinct word set — an
+    // order- and repetition-insensitive dedup key (catches shuffled /
+    // re-worded duplicates that exact md5(text) misses).
+    "q90_fingerprint" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(array_join(array_sort(array_distinct(
+            filter(split(col("text"), " "), w => w =!= ""))), " ")).as("fp"))
+        .groupBy(col("fp"))
+        .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("min_id"))
+        .orderBy(col("fp"))
+    })
+  )
+
+  val oracle: Map[String, String] = {
+    val sigCols = (0 until K)
+      .map(i => s"min(md5('$i|' || sh)) AS h$i").mkString(",\n         ")
+    val bandStructs = (0 until BANDS).map { b =>
+      val parts = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || '|' || ")
+      s"{'band': $b, 'bh': md5($parts)}"
+    }.mkString(", ")
+    Map(
+      "q85_minhash_lsh" ->
+        s"""WITH ws AS (
+           |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE text <> ''),
+           |sh AS (
+           |  SELECT DISTINCT doc_id, sh FROM (
+           |    SELECT doc_id,
+           |           unnest(list_transform(range(1, len(ws) - 1),
+           |                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+           |    FROM ws WHERE len(ws) >= 3)),
+           |sig AS (
+           |  SELECT doc_id,
+           |         $sigCols
+           |  FROM sh GROUP BY doc_id),
+           |bands AS (
+           |  SELECT doc_id, e.band AS band, e.bh AS bh
+           |  FROM (SELECT doc_id, unnest([$bandStructs]) AS e FROM sig))
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_bands
+           |FROM bands a JOIN bands b
+           |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+           |GROUP BY a.doc_id, b.doc_id
+           |ORDER BY doc_a, doc_b""".stripMargin,
+      "q86_simhash" ->
+        """WITH words AS (
+          |  SELECT DISTINCT doc_id, md5(w) AS h FROM (
+          |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          |    FROM documents WHERE text <> '')
+          |  WHERE w <> ''),
+          |per_pos AS (
+          |  SELECT doc_id, e.pos AS pos, e.v AS v
+          |  FROM (SELECT doc_id,
+          |               unnest(list_transform(range(1, 17), p ->
+          |                 {'pos': p, 'v': strpos('0123456789abcdef', substr(h, CAST(p AS INT), 1)) - 1})) AS e
+          |        FROM words)),
+          |votes AS (
+          |  SELECT doc_id, pos,
+          |         CAST(sum(2 * ((v // 8) % 2) - 1) AS BIGINT) AS s3,
+          |         CAST(sum(2 * ((v // 4) % 2) - 1) AS BIGINT) AS s2,
+          |         CAST(sum(2 * ((v // 2) % 2) - 1) AS BIGINT) AS s1,
+          |         CAST(sum(2 * (v % 2) - 1) AS BIGINT) AS s0
+          |  FROM per_pos GROUP BY doc_id, pos),
+          |nibs AS (
+          |  SELECT doc_id, pos,
+          |         substr('0123456789abcdef',
+          |                8 * CAST(s3 > 0 AS INT) + 4 * CAST(s2 > 0 AS INT)
+          |                + 2 * CAST(s1 > 0 AS INT) + CAST(s0 > 0 AS INT) + 1, 1) AS ch
+          |  FROM votes)
+          |SELECT doc_id, string_agg(ch, '' ORDER BY pos) AS simhash
+          |FROM nibs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "q90_fingerprint" ->
+        """SELECT fp, count(*) AS cnt, min(doc_id) AS min_id
+          |FROM (SELECT doc_id,
+          |             md5(array_to_string(list_sort(list_distinct(
+          |                  list_filter(string_split(text, ' '), w -> w <> ''))), ' ')) AS fp
+          |      FROM documents)
+          |GROUP BY fp ORDER BY fp""".stripMargin
+    )
+  }
+}

@@ -1,0 +1,96 @@
+package graft.ops
+
+import graft.Q
+import graft.model.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Approximate nearest-neighbor search over the embedding column
+  * (SURVEY.md §2.2 q91) — the scale path next to q82's brute force.
+  *
+  * Sign-bucket ANN (a deterministic IVF/LSH hybrid): every vector gets a
+  * coarse bucket from the sign bits of its first 8 dimensions (a fixed,
+  * data-independent set of 8 axis-aligned hyperplanes → 256 buckets).
+  * Probes only compare against vectors in their own bucket, so the
+  * candidate set shrinks ~256× while same-orthant neighbors — the ones
+  * with high cosine — stay together. At 100 TB the bucket id becomes the
+  * shuffle/partition key and each bucket's candidates fit one task.
+  *
+  * Float sums are reduced as DECIMAL(28,12) — exact and order-independent
+  * (same rationale as q82, SURVEY.md §7.5.2).
+  */
+object Similarity {
+
+  private def dotDec(a: String, b: String) =
+    expr(
+      s"""aggregate(
+         |  zip_with($a, $b, (x, y) -> CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))),
+         |  CAST(0 AS DECIMAL(28,12)),
+         |  (acc, v) -> CAST(acc + v AS DECIMAL(28,12)))""".stripMargin)
+
+  /** embeddings + sign bucket: 8 chars of '0'/'1' from dims 1..8. */
+  private def bucketed(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings").withColumn("bucket",
+      expr("array_join(transform(slice(embedding, 1, 8), x -> CAST(CAST(x >= 0 AS INT) AS STRING)), '')"))
+
+  val queries: Map[String, Q] = Map(
+
+    // Top-3 same-bucket cosine neighbors for each probe (vec_id < 3).
+    "q91_ann_bucketed" -> ((s, dir) => {
+      val all = bucketed(s, dir)
+      val probes = all.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("p"),
+          col("bucket").as("p_bucket"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id"))
+      all.join(broadcast(probes),
+          col("bucket") === col("p_bucket") && col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          dotDec("embedding", "p").cast("double").as("dp"),
+          dotDec("embedding", "embedding").cast("double").as("na"),
+          dotDec("p", "p").cast("double").as("np"))
+        .select(col("probe_id"), col("vec_id"),
+          round(col("dp") / (sqrt(col("na")) * sqrt(col("np"))), 3).as("sim"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("probe_id", "vec_id", "sim", "rn")
+        .orderBy(col("probe_id"), col("rn"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q91_ann_bucketed" ->
+      """WITH b AS (
+        |  SELECT vec_id, embedding,
+        |         array_to_string(list_transform(embedding[1:8],
+        |             x -> CAST(CAST(x >= 0 AS INT) AS VARCHAR)), '') AS bucket
+        |  FROM embeddings),
+        |probes AS (
+        |  SELECT vec_id AS probe_id, embedding AS p, bucket AS p_bucket
+        |  FROM b WHERE vec_id < 3),
+        |cand AS (
+        |  SELECT p.probe_id, a.vec_id, a.embedding, p.p
+        |  FROM b a JOIN probes p
+        |    ON a.bucket = p.p_bucket AND a.vec_id <> p.probe_id),
+        |elems AS (
+        |  SELECT probe_id, vec_id,
+        |         generate_subscripts(embedding, 1) AS i,
+        |         unnest(embedding) AS ev, unnest(p) AS pv
+        |  FROM cand),
+        |dots AS (
+        |  SELECT probe_id, vec_id,
+        |         CAST(sum(CAST(CAST(ev AS DOUBLE) * CAST(pv AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS dp,
+        |         CAST(sum(CAST(CAST(ev AS DOUBLE) * CAST(ev AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS na,
+        |         CAST(sum(CAST(CAST(pv AS DOUBLE) * CAST(pv AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS np
+        |  FROM elems GROUP BY probe_id, vec_id),
+        |sims AS (
+        |  SELECT probe_id, vec_id, round(dp / (sqrt(na) * sqrt(np)), 3) AS sim
+        |  FROM dots)
+        |SELECT probe_id, vec_id, sim, rn FROM (
+        |  SELECT probe_id, vec_id, sim,
+        |         CAST(row_number() OVER (PARTITION BY probe_id
+        |                                 ORDER BY sim DESC, vec_id) AS BIGINT) AS rn
+        |  FROM sims)
+        |WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin
+  )
+}

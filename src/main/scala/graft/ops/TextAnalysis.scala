@@ -1,0 +1,130 @@
+package graft.ops
+
+import graft.Q
+import graft.model.Tables
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline — language ID,
+  * quality scoring, token counting (SURVEY.md §2.2 q87-q89).
+  *
+  * All three are embarrassingly parallel map-side work plus one
+  * aggregation; at 100 TB they pipeline inside whole-stage codegen over
+  * the document scan. The language-ID model is corpus-derived (top-k
+  * marker words per language from the data itself), so the query is fully
+  * self-contained and oracle-checkable — the "train then classify" shape
+  * without external model files.
+  */
+object TextAnalysis {
+
+  val queries: Map[String, Q] = Map(
+
+    // Language ID: build top-5 marker words per language by frequency,
+    // classify each doc by marker hits, argmax language (ties → lexical).
+    // Broadcast-sized model (25 rows) joined against the exploded corpus.
+    "q87_lang_id" -> ((s, dir) => {
+      val words = Tables(s, dir, "documents")
+        .filter(col("text") =!= "")
+        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+      val markers = words.groupBy(col("lang").as("m_lang"), col("w").as("m_w"))
+        .agg(count(lit(1)).as("freq"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("m_lang").orderBy(col("freq").desc, col("m_w"))))
+        .filter(col("rn") <= 5)
+        .select("m_lang", "m_w")
+      val hits = words.select(col("doc_id"), col("w")).distinct()
+        .join(broadcast(markers), col("w") === col("m_w"))
+        .groupBy(col("doc_id"), col("m_lang"))
+        .agg(count(lit(1)).as("score"))
+      val best = hits.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("score").desc, col("m_lang"))))
+        .filter(col("rn") === 1)
+      best.select(col("doc_id"), col("m_lang").as("pred_lang"), col("score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Quality scoring: length/uniqueness heuristics — the cheap filters a
+    // pretraining pipeline runs before anything expensive.
+    "q88_quality_score" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          filter(split(col("text"), " "), w => w =!= "").as("ws"))
+        .select(col("doc_id"),
+          size(col("ws")).cast("long").as("n_words"),
+          size(array_distinct(col("ws"))).cast("long").as("n_uniq"),
+          col("n_chars"))
+        .withColumn("uniq_ratio",
+          when(col("n_words") > 0,
+            round(col("n_uniq").cast("double") / col("n_words"), 4)).otherwise(lit(0.0)))
+        .withColumn("len_score",
+          round(least(lit(1.0), col("n_words").cast("double") / 100), 4))
+        .withColumn("quality", round(col("uniq_ratio") * col("len_score"), 4))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Token counting: whitespace tokens + a BPE-ish regex token count
+    // ([a-z]+ runs / digit runs / other non-space) + the chars/4 rule of
+    // thumb — the three estimators a data pipeline actually compares.
+    "q89_token_count" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(filter(split(col("text"), " "), w => w =!= "")).cast("long")
+            .as("ws_tokens"),
+          expr("CAST(size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS BIGINT)")
+            .as("re_tokens"),
+          ceil(col("n_chars").cast("double") / 4).cast("long").as("approx_bpe"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q87_lang_id" ->
+      """WITH words AS (
+        |  SELECT doc_id, lang, w FROM (
+        |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |    FROM documents WHERE text <> '')
+        |  WHERE w <> ''),
+        |markers AS (
+        |  SELECT m_lang, m_w FROM (
+        |    SELECT lang AS m_lang, w AS m_w, count(*) AS freq,
+        |           row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, w) AS rn
+        |    FROM words GROUP BY lang, w)
+        |  WHERE rn <= 5),
+        |hits AS (
+        |  SELECT d.doc_id, m.m_lang, count(*) AS score
+        |  FROM (SELECT DISTINCT doc_id, w FROM words) d
+        |  JOIN markers m ON d.w = m.m_w
+        |  GROUP BY d.doc_id, m.m_lang)
+        |SELECT doc_id, m_lang AS pred_lang, score FROM (
+        |  SELECT doc_id, m_lang, score,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, m_lang) AS rn
+        |  FROM hits)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q88_quality_score" ->
+      """WITH base AS (
+        |  SELECT doc_id, n_chars,
+        |         list_filter(string_split(text, ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, n_chars,
+        |         CAST(len(ws) AS BIGINT) AS n_words,
+        |         CAST(len(list_distinct(ws)) AS BIGINT) AS n_uniq
+        |  FROM base)
+        |SELECT doc_id, n_words, n_uniq, n_chars,
+        |       CASE WHEN n_words > 0
+        |            THEN round(CAST(n_uniq AS DOUBLE) / n_words, 4) ELSE 0.0 END AS uniq_ratio,
+        |       round(least(1.0, CAST(n_words AS DOUBLE) / 100), 4) AS len_score,
+        |       round(CASE WHEN n_words > 0
+        |                  THEN round(CAST(n_uniq AS DOUBLE) / n_words, 4) ELSE 0.0 END
+        |             * round(least(1.0, CAST(n_words AS DOUBLE) / 100), 4), 4) AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q89_token_count" ->
+      """SELECT doc_id,
+        |       CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS ws_tokens,
+        |       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens,
+        |       CAST(ceil(CAST(n_chars AS DOUBLE) / 4) AS BIGINT) AS approx_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
