@@ -1,0 +1,91 @@
+package graft.serve
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Grafana SimpleJSON/JSON-datasource protocol shaping — the read path of
+  * the reference (`/search`, `/query`, `/annotations`, `/tag-keys`,
+  * `/tag-values`; reference index.js:64-181), minus the HTTP frame (the
+  * driver notes the serving API itself isn't Spark-based; this object is
+  * the engine-side request→plan→JSON contract a thin HTTP layer calls).
+  *
+  * Reference quirks deliberately FIXED here (SURVEY.md §1.4):
+  *  1. unknown / inactive target ⇒ empty result, not a crash (§1.4.1-2);
+  *  3. multiple table targets concatenate instead of last-wins (§1.4.3);
+  *  5. no string-interpolated query text — column expressions only (§1.4.5);
+  *  6. explicit `orderBy(ts)` under the limit (§1.4.6);
+  *  7. `maxDataPoints` stays truncation (the declared baseline semantic;
+  *     real downsampling is q70's time-bucket aggregation).
+  */
+object Grafana {
+
+  final case class Target(target: String, targetType: String) // "timeseries" | "table"
+  final case class TimeRange(fromIso: String, toIso: String)
+  final case class QueryRequest(targets: Seq[Target], range: TimeRange,
+                                maxDataPoints: Int)
+
+  /** `/search` — the active-series catalog (reference index.js:74-84).
+    * Engine side: DISTINCT over the series column (SURVEY.md §1.3).
+    */
+  def search(metrics: DataFrame): Seq[String] =
+    metrics.select(col("series")).distinct()
+      .orderBy(col("series")).collect().map(_.getString(0)).toSeq
+
+  /** One target's slice: inclusive time range (reference index.js:106),
+    * explicit order, truncation limit. Filters/limit push into the scan.
+    */
+  private def slice(metrics: DataFrame, t: Target, r: TimeRange,
+                    maxDataPoints: Int): DataFrame =
+    metrics
+      .filter(col("series") === t.target &&
+        col("ts").between(
+          to_timestamp(lit(r.fromIso)), to_timestamp(lit(r.toIso))))
+      .orderBy(col("ts"))
+      .limit(maxDataPoints)
+      .select(col("value"), unix_millis(col("ts")).as("t_ms"))
+
+  /** `/query` — returns the JSON body (reference index.js:86-155):
+    * timeseries targets → `{"target", "datapoints": [[value, epoch_ms]]}`
+    * (value FIRST, reference index.js:121-129); table targets → one
+    * concatenated fixed-schema table (Target, Value, Time).
+    */
+  def query(metrics: DataFrame, req: QueryRequest): String = {
+    val parts = req.targets.map { t =>
+      val rows = slice(metrics, t, req.range, req.maxDataPoints).collect()
+      (t, rows)
+    }
+    val ts = parts.filter(_._1.targetType != "table").map { case (t, rows) =>
+      val dps = rows.map(r => s"[${jsNum(r.getDouble(0))},${r.getLong(1)}]")
+        .mkString("[", ",", "]")
+      s"""{"target":${jsStr(t.target)},"datapoints":$dps}"""
+    }
+    val tableTargets = parts.filter(_._1.targetType == "table")
+    val table = if (tableTargets.isEmpty) Seq.empty else {
+      val rows = tableTargets.flatMap { case (t, rs) =>
+        rs.map(r => s"""[${jsStr(t.target)},${jsNum(r.getDouble(0))},${r.getLong(1)}]""")
+      }.mkString("[", ",", "]")
+      Seq(
+        s"""{"columns":[{"text":"Target","type":"string"},{"text":"Value","type":"number"},{"text":"Time","type":"time"}],"rows":$rows,"type":"table"}""")
+    }
+    (ts ++ table).mkString("[", ",", "]")
+  }
+
+  /** `/annotations`, `/tag-keys`, `/tag-values` — empty per the reference
+    * stubs (index.js:159-181).
+    */
+  val annotations: String = "[]"
+  val tagKeys: String = "[]"
+  val tagValues: String = "[]"
+
+  private def jsStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def jsNum(d: Double): String =
+    if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15) d.toLong.toString
+    else d.toString
+}

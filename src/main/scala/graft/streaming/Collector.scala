@@ -1,0 +1,116 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** The collector — Spark-native write path of the reference
+  * (reference index.js:225-284): poll sources on per-source cadence,
+  * extract one numeric value per response, append to the metric store.
+  *
+  * Reference structure → Structured Streaming mapping:
+  *  - 1 s scheduler tick (index.js:225, 284)  → `Trigger.ProcessingTime("1 second")`
+  *  - per-source due-check `now > lastRun + interval` (index.js:238)
+  *       → tick ⋈ broadcast(sources) filtered on `tick_s % interval == 0`
+  *  - `axios(config)` fetch + `transformResponse` (index.js:242,
+  *    config.js.dist:25-35) → a fetch function producing a JSON body +
+  *    `from_json` extraction (declarative, not arbitrary JS)
+  *  - header-echo series labeling (index.js:210-212, 243) → the series
+  *    column carried through the plan
+  *  - null guard (index.js:246) → validity filter `CAST AS DOUBLE IS NOT
+  *    NULL` (strengthened per SURVEY.md §1.4.9: error payloads must not
+  *    ingest)
+  *  - `writePoints` (index.js:250-257) → `foreachBatch` append to a
+  *    `p_date`-partitioned table + JSON sink, with checkpointing — an
+  *    exactly-once ledger the reference entirely lacks (its failed writes
+  *    are logged and dropped, index.js:259-261)
+  *
+  * Retention (index.js:269-282) is [[Retention]]'s partition-drop job, not
+  * a streaming concern.
+  *
+  * Scale: the stream is partitioned by series hash; the sink table is
+  * date-partitioned so readers prune by time (SURVEY.md §1.3) and
+  * retention is a metadata drop. State for windowed aggregation is bounded
+  * by the watermark.
+  */
+object Collector {
+
+  /** Per-source config — the Spark shape of config.js.dist:13-38
+    * (FIXTURES.md §2).
+    */
+  final case class SourceConfig(series: String, active: Boolean,
+                                intervalS: Int, retainS: Long, url: String)
+
+  /** Payload schema the demo fetcher produces; mirrors the dist
+    * transform's `{"count": N}` scrape (config.js.dist:25-35).
+    */
+  val payloadSchema: StructType =
+    StructType(Seq(StructField("count", DoubleType)))
+
+  /** Raw sample schema entering [[transform]]: (series, ts, body). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("series", StringType, nullable = false),
+    StructField("ts", TimestampType, nullable = false),
+    StructField("body", StringType)))
+
+  /** Extract + validate: JSON body → one double `value` per sample.
+    * Declarative `transformResponse` (R2) + validity filter (R3) +
+    * partition-date derivation for the sink layout. Works on both batch
+    * and streaming DataFrames — the streaming tests and the batch oracle
+    * share it.
+    */
+  def transform(raw: DataFrame): DataFrame =
+    raw
+      .withColumn("value",
+        from_json(col("body"), payloadSchema).getField("count").cast("double"))
+      .filter(col("value").isNotNull) // nulls, parse errors, non-numerics
+      .select(col("series"), col("ts"), col("value"),
+        to_date(col("ts")).as("p_date"))
+
+  /** Watermarked tumbling aggregation over the collected stream — the
+    * streaming form of q74 (batch analog in graft.ops.Windows). Late rows
+    * beyond 10 minutes are dropped by the state store.
+    */
+  def watermarkedCounts(metrics: DataFrame): DataFrame =
+    metrics
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("series"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_v"))
+
+  /** Demo collector over the rate source (the dev/test stand-in SURVEY.md
+    * §2.1 R1 prescribes; production swaps in a real HTTP fetch inside
+    * `fetchBody`). One streaming query multiplexes ALL sources: each 1 s
+    * tick cross-joins the broadcast source dimension and keeps sources
+    * whose interval divides the tick — the Spark-native form of the
+    * reference's due-check loop.
+    */
+  def start(spark: SparkSession, sources: Seq[SourceConfig], sinkDir: String,
+            checkpointDir: String,
+            fetchBody: String => String = defaultFetch): StreamingQuery = {
+    import spark.implicits._
+    val dim = spark.createDataset(sources.filter(s => s.active && s.intervalS > 0)).toDF()
+    val fetch = udf(fetchBody)
+    val ticks = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    val due = ticks
+      .withColumn("tick_s", unix_seconds(col("timestamp")))
+      .crossJoin(broadcast(dim))
+      .filter(col("tick_s") % col("intervalS") === 0)
+      .select(col("series"), col("timestamp").as("ts"),
+        fetch(col("url")).as("body"))
+    transform(due).writeStream
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").partitionBy("p_date").json(sinkDir)
+      }
+      .start()
+  }
+
+  /** Deterministic stand-in for the HTTP GET (no egress in this
+    * environment): value derived from the url hash. A real deployment
+    * replaces this with an HTTP client call returning the response body.
+    */
+  private[streaming] def defaultFetch(url: String): String =
+    s"""{"count": ${math.abs(url.hashCode % 1000)}.0}"""
+}

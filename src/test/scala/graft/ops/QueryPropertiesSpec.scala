@@ -1,0 +1,104 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.SparkEntry
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Algebraic properties over the declared queries (SURVEY.md §5.2.3) run
+  * against the real sf0.001 tables — invariants that hold for ANY input,
+  * complementing the value-exact oracle gate.
+  */
+class QueryPropertiesSpec extends SparkSpec {
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sf())
+
+  test("dedup keep-first is idempotent and key-unique (q73)") {
+    val once = q("q73_dedup_keep_first")
+    assert(once.groupBy("user_id", "event_type").count()
+      .filter(col("count") > 1).isEmpty)
+    // keeps the earliest: every kept ts must be the group min
+    val events = graft.model.Tables(spark, sf(), "events")
+    val mins = events.groupBy("user_id", "event_type")
+      .agg(min(unix_millis(col("ts"))).as("min_ms"))
+    val joined = once.join(mins, Seq("user_id", "event_type"))
+    assert(joined.filter(col("ts_ms") =!= col("min_ms")).isEmpty)
+  }
+
+  test("analytic windows preserve cardinality (q42 vs events)") {
+    val events = graft.model.Tables(spark, sf(), "events")
+    assert(q("q42_lag_lead").count() == events.count())
+  }
+
+  test("set-op algebra: |A ∪ B| = |A ∩ B| + |A Δ B| parts (q51-q53)") {
+    val events = graft.model.Tables(spark, sf(), "customer")
+    val inter = q("q52_intersect").count()
+    val exceptAB = q("q53_except").count()
+    val cNations = graft.model.Tables(spark, sf(), "customer")
+      .select("c_nationkey").distinct().count()
+    // |C \ S| + |C ∩ S| = |C|
+    assert(exceptAB + inter == cNations)
+  }
+
+  test("time buckets conserve totals (q70 vs global count)") {
+    val events = graft.model.Tables(spark, sf(), "events")
+    val bucketSum = q("q70_tumbling_window").agg(sum("cnt")).head().getLong(0)
+    assert(bucketSum == events.count())
+  }
+
+  test("session windows partition rows exactly (q72)") {
+    val events = graft.model.Tables(spark, sf(), "events")
+    val sessSum = q("q72_session_window").agg(sum("cnt")).head().getLong(0)
+    assert(sessSum == events.count())
+    // sessions never overlap per user: start >= previous end is too strong
+    // (end = last+gap can exceed next start only if they'd have merged);
+    // assert starts strictly increase per user instead
+    val s = q("q72_session_window")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("start_ms")
+    val bad = s.withColumn("prev_end", lag("end_ms", 1).over(w))
+      .filter(col("prev_end").isNotNull && col("start_ms") < col("prev_end"))
+    assert(bad.isEmpty)
+  }
+
+  test("retention filter keeps a subset (q05 bounds within range)") {
+    val row = q("q05_retention_filter").head()
+    val cutoffMs = java.sql.Timestamp.valueOf("2024-01-15 00:00:00").getTime
+    assert(row.getAs[Long]("min_ms") >= cutoffMs)
+    assert(row.getAs[Long]("max_ms") >= row.getAs[Long]("min_ms"))
+  }
+
+  test("LSH candidates contain all high-similarity exact pairs (q85 ⊇ q81)") {
+    import spark.implicits._
+    val exact = q("q81_shingle_jaccard").filter(col("jac") >= 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val cand = q("q85_minhash_lsh")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(exact.subsetOf(cand),
+      s"missing ${(exact -- cand).size} of ${exact.size} high-sim pairs")
+  }
+
+  test("brute-force and bucketed ANN agree on self-bucket neighbors (q82/q91)") {
+    // q91's probe 0 top-3 must be a subset of probe 0's brute-force
+    // ranking restricted to its bucket — sanity that bucketing only
+    // filters, never reorders
+    import spark.implicits._
+    val ann = q("q91_ann_bucketed").filter(col("probe_id") === 0)
+      .select("vec_id", "sim").as[(Long, Double)].collect().toMap
+    val brute = q("q82_cosine_topk")
+      .select("vec_id", "sim").as[(Long, Double)].collect().toMap
+    ann.keySet.intersect(brute.keySet).foreach { id =>
+      assert(math.abs(ann(id) - brute(id)) < 1e-9)
+    }
+  }
+
+  test("flagship entry returns rows (driver t1 smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key has a queries entry (driver contract)") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+}

@@ -1,0 +1,78 @@
+package graft.serve
+
+import java.sql.Timestamp
+import graft.SparkSpec
+import graft.serve.Grafana._
+
+/** Golden JSON tests for the Grafana protocol shapes (SURVEY.md §5.2.4,
+  * fixtures FIXTURES.md §3; shapes per reference index.js:121-150), plus
+  * the reference-quirk fixes of SURVEY.md §1.4: unknown target ⇒ empty
+  * (not crash), multiple table targets concatenate (not last-wins).
+  */
+class GrafanaSpec extends SparkSpec {
+
+  private def metrics = {
+    import spark.implicits._
+    Seq(
+      ("purchase", Timestamp.valueOf("2024-01-05 00:00:01"), 9.5),
+      ("purchase", Timestamp.valueOf("2024-01-05 00:00:02"), 12.0),
+      ("click", Timestamp.valueOf("2024-01-05 00:00:03"), 3.5),
+      ("view", Timestamp.valueOf("2024-01-20 00:00:00"), 1.0) // outside range
+    ).toDF("series", "ts", "value")
+  }
+
+  private val range = TimeRange("2024-01-05 00:00:00", "2024-01-10 00:00:00")
+
+  test("search lists distinct series (ref /search, index.js:74-84)") {
+    assert(Grafana.search(metrics) == Seq("click", "purchase", "view"))
+  }
+
+  test("timeseries response: value first, epoch-ms second (index.js:121-129)") {
+    val json = Grafana.query(metrics,
+      QueryRequest(Seq(Target("purchase", "timeseries")), range, 100))
+    assert(json ==
+      """[{"target":"purchase","datapoints":[[9.5,1704412801000],[12,1704412802000]]}]""")
+  }
+
+  test("table response: fixed 3-column schema (index.js:140-150)") {
+    val json = Grafana.query(metrics,
+      QueryRequest(Seq(Target("click", "table")), range, 100))
+    assert(json ==
+      """[{"columns":[{"text":"Target","type":"string"},{"text":"Value","type":"number"},{"text":"Time","type":"time"}],"rows":[["click",3.5,1704412803000]],"type":"table"}]""")
+  }
+
+  test("maxDataPoints truncates after explicit time order (§1.4.6-7)") {
+    val json = Grafana.query(metrics,
+      QueryRequest(Seq(Target("purchase", "timeseries")), range, 1))
+    assert(json ==
+      """[{"target":"purchase","datapoints":[[9.5,1704412801000]]}]""")
+  }
+
+  test("unknown target yields empty datapoints, not a crash (fixes §1.4.1)") {
+    val json = Grafana.query(metrics,
+      QueryRequest(Seq(Target("nope", "timeseries")), range, 100))
+    assert(json == """[{"target":"nope","datapoints":[]}]""")
+  }
+
+  test("multiple table targets concatenate, not last-wins (fixes §1.4.3)") {
+    val json = Grafana.query(metrics,
+      QueryRequest(Seq(Target("purchase", "table"), Target("click", "table")),
+        range, 100))
+    assert(json.contains(""""rows":[["purchase",9.5,1704412801000],["purchase",12,1704412802000],["click",3.5,1704412803000]]"""))
+    // exactly ONE table object
+    assert(json.split("\"type\":\"table\"").length == 2)
+  }
+
+  test("mixed targets: timeseries objects then one table (index.js:125-150)") {
+    val json = Grafana.query(metrics,
+      QueryRequest(Seq(Target("purchase", "timeseries"), Target("click", "table")),
+        range, 100))
+    assert(json.startsWith("""[{"target":"purchase""""))
+    assert(json.contains(""""type":"table""""))
+  }
+
+  test("annotations/tag endpoints are empty stubs (index.js:159-181)") {
+    assert(Grafana.annotations == "[]" && Grafana.tagKeys == "[]" &&
+      Grafana.tagValues == "[]")
+  }
+}

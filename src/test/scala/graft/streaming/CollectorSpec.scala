@@ -1,0 +1,99 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Collector write-path tests (SURVEY.md §5.2.5): extraction + validity
+  * semantics, the streaming pipeline end-to-end over MemoryStream, and
+  * watermark late-row dropping (the q74 streaming contract).
+  */
+class CollectorSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("transform extracts value and drops invalid payloads (ref §1.4.9)") {
+    import spark.implicits._
+    val raw = Seq(
+      ("cpu", ts("2024-01-01 00:00:00"), """{"count": 42.5}"""),
+      ("cpu", ts("2024-01-01 00:00:01"), """{"count": null}"""),    // null value
+      ("cpu", ts("2024-01-01 00:00:02"), """not json at all"""),    // parse error
+      ("cpu", ts("2024-01-01 00:00:03"), """{"other": 1}"""),       // missing field
+      ("mem", ts("2024-01-01 00:00:04"), """{"count": 7}""")
+    ).toDF("series", "ts", "body")
+    val out = Collector.transform(raw).orderBy("ts").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[String]("series") == "cpu" && out(0).getAs[Double]("value") == 42.5)
+    assert(out(1).getAs[String]("series") == "mem" && out(1).getAs[Double]("value") == 7.0)
+    assert(out(0).getAs[java.sql.Date]("p_date").toString == "2024-01-01")
+  }
+
+  test("streaming collector pipeline appends via foreachBatch (R1-R5)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, String)]
+    val sink = new java.util.concurrent.atomic.AtomicLong(0)
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val q = Collector.transform(
+        input.toDF().toDF("series", "ts", "body"))
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = batch.collect()
+        sink.addAndGet(rows.length)
+        collected.synchronized {
+          collected ++= rows.map(r => (r.getAs[String]("series"), r.getAs[Double]("value")))
+        }
+        ()
+      }
+      .start()
+    try {
+      input.addData(
+        ("cpu", ts("2024-01-01 10:00:00"), """{"count": 1}"""),
+        ("cpu", ts("2024-01-01 10:00:01"), """bad"""),
+        ("mem", ts("2024-01-01 10:00:02"), """{"count": 2}"""))
+      q.processAllAvailable()
+      assert(sink.get() == 2)
+      assert(collected.toSet == Set(("cpu", 1.0), ("mem", 2.0)))
+    } finally q.stop()
+  }
+
+  test("watermarked aggregation drops late rows beyond 10 minutes (q74)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val metrics = input.toDF().toDF("series", "ts", "value")
+    val q = Collector.watermarkedCounts(metrics)
+      .select(col("window.start").as("ws"), col("series"), col("cnt"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("wm_out")
+      .start()
+    try {
+      // two on-time rows in [10:00, 10:10)
+      input.addData(("cpu", ts("2024-01-01 10:00:30"), 1.0),
+        ("cpu", ts("2024-01-01 10:05:00"), 1.0))
+      q.processAllAvailable()
+      // advance event time: watermark → 10:15, finalizing [10:00,10:10)
+      input.addData(("cpu", ts("2024-01-01 10:25:00"), 1.0))
+      q.processAllAvailable()
+      // late row for the finalized window: must be dropped, not revise cnt
+      input.addData(("cpu", ts("2024-01-01 10:01:00"), 99.0))
+      q.processAllAvailable()
+      // advance far enough to also close [10:20,10:30)
+      input.addData(("cpu", ts("2024-01-01 11:00:00"), 1.0))
+      q.processAllAvailable()
+      val out = spark.table("wm_out")
+        .select(col("ws").cast("string"), col("series"), col("cnt"))
+        .as[(String, String, Long)].collect()
+        .map { case (w, _, c) => w -> c }.toMap
+      // [10:00,10:10) finalized with exactly the 2 on-time rows; the late
+      // 10:01 row (beyond the 10-minute watermark) was dropped, and the
+      // finalized window was emitted exactly once.
+      assert(out.get("2024-01-01 10:00:00") === Some(2L))
+      // [10:20,10:30) closed with its single row
+      assert(out.get("2024-01-01 10:20:00") === Some(1L))
+    } finally q.stop()
+    ()
+  }
+}
