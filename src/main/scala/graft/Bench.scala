@@ -10,6 +10,11 @@ import org.apache.spark.sql.SparkSession
   * `count()`, which lets Catalyst drop sorts/projections and answer from
   * statistics, the noop sink executes the complete physical plan — the
   * number measured is the number a real sink would see.
+  *
+  * Every query runs once untimed (codegen compilation, JIT, broadcast
+  * thread-pool spin-up) and the second, steady-state run is reported —
+  * cold-JVM overhead is a constant ~1-3 s per query that would otherwise
+  * swamp sub-second operators.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -22,9 +27,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      try run(fn) catch { case e: Throwable =>
+        System.err.println(s"[bench] $name warmup failed: ${e.getMessage}")
+      }
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      try run(fn)
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }

@@ -22,24 +22,38 @@ object Tables {
     * applies, so oracle comparisons stay sound (FIXTURES.md §1).
     */
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df =
-      if (name == "events") {
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.read.parquet(s"$sfDir/$name.parquet")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      } else {
-        spark.read.parquet(s"$sfDir/$name.parquet")
-      }
-    // Parquet ms-timestamps surface as TIMESTAMP_NTZ; normalize to
-    // TIMESTAMP (identical instants under the forced UTC session) so
-    // unix_millis & friends apply uniformly.
-    df.schema.fields.foldLeft(df) { (d, f) =>
-      f.dataType match {
-        case TimestampNTZType => d.withColumn(f.name, col(f.name).cast(TimestampType))
-        case _ => d
-      }
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Keep the raw ns column (`ts_ns`) alongside the µs-truncated
+      // timestamp: range predicates belong on `ts_ns` (a plain BIGINT the
+      // parquet scan can push down and prune row groups with — see
+      // `nsOf`); `ts` is for bucketing/window/output use.
+      spark.read.parquet(s"$sfDir/$name.parquet")
+        .withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    } else {
+      // ms-timestamps surface as TIMESTAMP_NTZ. Deliberately NOT cast
+      // here: filters on the native NTZ column push into the parquet
+      // scan, while a wrapped cast(ntz as timestamp) defeats pushdown.
+      // Use [[epochMs]] when projecting epoch millis.
+      spark.read.parquet(s"$sfDir/$name.parquet")
     }
   }
+
+  /** Epoch milliseconds of any timestamp flavor (TIMESTAMP or
+    * TIMESTAMP_NTZ — identical instants under the forced UTC session).
+    * Projection-side only; never wrap a filter column with this.
+    */
+  def epochMs(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    unix_millis(c.cast(TimestampType))
+
+  /** Nanoseconds since epoch for a UTC date/time literal — the pushdown
+    * domain of the events `ts_ns` column.
+    */
+  def nsOf(isoUtc: String): Long =
+    java.time.LocalDateTime.parse(isoUtc.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC)
+      .toEpochMilli * 1000000L
 
   /** Unified metric-store schema — the Spark mapping of the reference's
     * point model `(measurement, time, value: FLOAT)`

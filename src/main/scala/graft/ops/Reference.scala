@@ -25,12 +25,14 @@ object Reference {
     // R8: time-range scan + projection + inclusive BETWEEN + explicit order
     // + limit. The reference's LIMIT rides on InfluxDB's implicit time order
     // (index.js:106, quirk §1.4.6) — here the order is explicit.
+    // The time-range predicate runs on the raw ns BIGINT column so the
+    // parquet scan prunes row groups (PushedFilters); whole-second bounds
+    // are exact in both the ns and µs domains.
     "q01_range_scan_limit" -> ((s, dir) => {
       Tables(s, dir, "events")
         .filter(col("event_type") === "click" &&
-          col("ts").between(
-            lit("2024-01-05 00:00:00").cast("timestamp"),
-            lit("2024-01-10 00:00:00").cast("timestamp")))
+          col("ts_ns").between(
+            Tables.nsOf("2024-01-05 00:00:00"), Tables.nsOf("2024-01-10 00:00:00")))
         .orderBy(col("ts"), col("event_id"))
         .limit(100)
         .select(col("event_id"), unix_millis(col("ts")).as("ts_ms"), col("value"))
@@ -72,7 +74,7 @@ object Reference {
     // §1.2). At scale this is a partition drop (stream/Retention.scala).
     "q05_retention_filter" -> ((s, dir) => {
       Tables(s, dir, "events")
-        .filter(col("ts") >= lit("2024-01-15 00:00:00").cast("timestamp"))
+        .filter(col("ts_ns") >= Tables.nsOf("2024-01-15 00:00:00"))
         .agg(
           count(lit(1)).as("n"),
           min(unix_millis(col("ts"))).as("min_ms"),

@@ -34,7 +34,10 @@ object Relational {
     // ───────────────────────── filters & projections ─────────────────────
     "q10_filter_pred" -> ((s, dir) => {
       Tables(s, dir, "lineitem")
-        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
+        // literal cast to timestamp_ntz (the column's native type): a
+        // TIMESTAMP literal would wrap the column in a cast and defeat
+        // parquet predicate pushdown
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp_ntz")
           && col("l_discount").between(0.02, 0.08)
           && (col("l_quantity") < 10 || col("l_quantity") > 40)
           && col("l_returnflag").isin("A", "N"))
@@ -95,9 +98,9 @@ object Relational {
     "q16_join3_agg_topk" -> ((s, dir) => {
       val c = Tables(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val o = Tables(s, dir, "orders")
-        .filter(col("o_orderdate") < lit("1997-06-01 00:00:00").cast("timestamp"))
+        .filter(col("o_orderdate") < lit("1997-06-01 00:00:00").cast("timestamp_ntz"))
       val l = Tables(s, dir, "lineitem")
-        .filter(col("l_shipdate") > lit("1997-06-01 00:00:00").cast("timestamp"))
+        .filter(col("l_shipdate") > lit("1997-06-01 00:00:00").cast("timestamp_ntz"))
       c.join(o, col("c_custkey") === col("o_custkey"))
         .join(l, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
@@ -108,7 +111,7 @@ object Relational {
         .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
           .cast("decimal(18,4)")).cast("double").as("revenue"))
         .select(col("l_orderkey"), col("revenue"),
-          unix_millis(col("o_orderdate")).as("odate_ms"))
+          Tables.epochMs(col("o_orderdate")).as("odate_ms"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     }),
@@ -138,8 +141,8 @@ object Relational {
             col("l_shipdate").between(col("o_orderdate"),
               col("o_orderdate") + expr("INTERVAL 90 DAYS")))
         .select(col("l_orderkey"), col("l_linenumber"),
-          unix_millis(col("l_shipdate")).as("ship_ms"),
-          unix_millis(col("o_orderdate")).as("odate_ms"))
+          Tables.epochMs(col("l_shipdate")).as("ship_ms"),
+          Tables.epochMs(col("o_orderdate")).as("odate_ms"))
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("ship_ms"))
     }),
 
