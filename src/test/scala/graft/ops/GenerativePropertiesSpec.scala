@@ -1,0 +1,121 @@
+package graft.ops
+
+import java.sql.Timestamp
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** ScalaCheck properties over the core operator shapes (SURVEY.md §5.2.3)
+  * — invariants that must hold for ARBITRARY inputs, run on generated
+  * mini-tables with fixed seeds (the scalatest-scalacheck bridge isn't in
+  * the offline cache, so generators are sampled directly). These pin the
+  * operator semantics independently of the fixed testdata the oracle gate
+  * uses.
+  */
+class GenerativePropertiesSpec extends SparkSpec {
+
+  private val params = Gen.Parameters.default.withSize(40)
+
+  /** n deterministic samples of g (seeds 0..n-1). */
+  private def samples[A](g: Gen[A], n: Int = 5): Seq[A] =
+    (0 until n).flatMap(i => g.apply(params, Seed(i.toLong)))
+
+  private def forAll[A](g: Gen[A], n: Int = 5)(body: A => Unit): Unit =
+    samples(g, n).foreach(body)
+
+  private def whenever(cond: Boolean)(body: => Unit): Unit =
+    if (cond) body
+
+  private val eventGen: Gen[List[(Long, Long, String, Double)]] =
+    Gen.listOf(for {
+      id <- Gen.choose(0L, 999L)
+      user <- Gen.choose(0L, 4L)
+      tpe <- Gen.oneOf("click", "view", "purchase")
+      v <- Gen.choose(-100.0, 100.0)
+    } yield (id, user, tpe, v))
+
+  private def eventsDf(rows: List[(Long, Long, String, Double)]): DataFrame = {
+    import spark.implicits._
+    rows.zipWithIndex.map { case ((id, u, t, v), i) =>
+      (i.toLong, new Timestamp(1700000000000L + id * 60000), u, t, v)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+  }
+
+  private def keepFirst(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  test("dedup keep-first is idempotent and key-unique on arbitrary data") {
+    forAll(eventGen) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = eventsDf(rows)
+        val once = keepFirst(df)
+        val twice = keepFirst(once)
+        assert(once.count() == twice.count())
+        assert(once.groupBy("user_id", "event_type").count()
+          .filter(col("count") > 1).isEmpty)
+        // keeps a row per present key, no more, no less
+        assert(once.count() == df.select("user_id", "event_type").distinct().count())
+      }
+    }
+  }
+
+  test("analytic windows never change cardinality") {
+    forAll(eventGen) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = eventsDf(rows)
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val windowed = df.select(col("event_id"),
+          lag("value", 1).over(w), lead("value", 1).over(w),
+          rank().over(w), sum("value").over(w))
+        assert(windowed.count() == df.count())
+      }
+    }
+  }
+
+  test("set-op cardinality algebra: |A∪B|=|A|+|B|; |A\\B|+|A∩B|=|dA|") {
+    val pairGen = for {
+      a <- Gen.listOf(Gen.choose(0, 20))
+      b <- Gen.listOf(Gen.choose(0, 20))
+    } yield (a, b)
+    forAll(pairGen) { case (a, b) =>
+      import spark.implicits._
+      val da = a.toDF("v")
+      val db = b.toDF("v")
+      assert(da.unionAll(db).count() == a.size + b.size)
+      val exceptC = da.except(db).count()
+      val interC = da.intersect(db).count()
+      assert(exceptC + interC == da.distinct().count())
+    }
+  }
+
+  test("time buckets conserve row totals") {
+    forAll(eventGen) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = eventsDf(rows)
+        val bucketTotal = df.groupBy(window(col("ts"), "1 hour"))
+          .agg(count(lit(1)).as("cnt"))
+          .agg(sum("cnt")).head().getLong(0)
+        assert(bucketTotal == df.count())
+      }
+    }
+  }
+
+  test("retention keeps a monotone subset and is idempotent") {
+    val gen = for { rows <- eventGen; cut <- Gen.choose(0L, 999L) } yield (rows, cut)
+    forAll(gen) { case (rows, cutId) =>
+      whenever(rows.nonEmpty) {
+        val df = eventsDf(rows)
+        val cutoff = new Timestamp(1700000000000L + cutId * 60000)
+        val kept = df.filter(col("ts") >= lit(cutoff))
+        assert(kept.count() <= df.count())
+        assert(kept.filter(col("ts") < lit(cutoff)).isEmpty)
+        assert(kept.filter(col("ts") >= lit(cutoff)).count() == kept.count())
+      }
+    }
+  }
+}
