@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for embedding vectors.
+  *
+  * The declared similarity queries (q82/q91) use higher-order functions
+  * with DECIMAL accumulation — exact, order-independent, oracle-matchable
+  * (SURVEY.md §7.5.2), but interpreted per element. For the production hot
+  * path (millions of vectors × many probes) this codegen'd expression runs
+  * the 64-float dot/norm loop inside whole-stage codegen: one fused pass,
+  * no per-element boxing, no decimal arithmetic.
+  *
+  * This is the (b)-tier extension point of SURVEY.md §2.3: a custom
+  * `Expression` with `doGenCode`, registered through
+  * [[GraftExtensions]] (`SparkSessionExtensions.injectFunction`) or
+  * [[VectorExpressions.ensureRegistered]] at runtime.
+  */
+case class FloatVecCosine(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<float>, array<float>), got ($l, $r)")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_cosine"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    val den = math.sqrt(na) * math.sqrt(nb)
+    if (den == 0.0) 0.0 else dot / den
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      val den = ctx.freshName("den")
+      s"""
+         |final int $n = Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $xi = (double) $a.getFloat($i);
+         |  final double $yi = (double) $b.getFloat($i);
+         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |}
+         |final double $den = Math.sqrt($na) * Math.sqrt($nb);
+         |${ev.value} = ($den == 0.0) ? 0.0 : $dot / $den;
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatVecCosine =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExpressions {
+  val fnName = "vec_cosine"
+
+  private val info = new ExpressionInfo(
+    classOf[FloatVecCosine].getName, fnName)
+
+  private val builder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2, s"$fnName expects 2 arguments")
+    FloatVecCosine(children.head, children(1))
+  }
+
+  /** Idempotent runtime registration (for sessions not built with
+    * `spark.sql.extensions=graft.functions.GraftExtensions`).
+    */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(FunctionIdentifier(fnName)))
+      reg.registerFunction(FunctionIdentifier(fnName), info, builder)
+  }
+}
+
+/** `--conf spark.sql.extensions=graft.functions.GraftExtensions` injects
+  * the vector functions at session build (the SparkSessionExtensions
+  * route of SURVEY.md §2.3/§4.3).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((FunctionIdentifier(VectorExpressions.fnName),
+      new ExpressionInfo(classOf[FloatVecCosine].getName,
+        VectorExpressions.fnName),
+      exprs => FloatVecCosine(exprs.head, exprs(1))))
+}

@@ -49,12 +49,16 @@ object Dedup {
     // set an exact verifier (q81-style) would then refine.
     "q85_minhash_lsh" -> ((s, dir) => {
       val sig = signature(s, dir)
+      // both self-join branches consume the band table — materialize it
+      // once (tiny: 4 rows per doc) instead of recomputing the signature
+      // aggregation per branch
       val bands = sig.select(col("doc_id"), explode(array(
         (0 until BANDS).map { b =>
           struct(lit(b).as("band"),
             md5(concat_ws("|", (0 until 4).map(r => col(s"h${b * 4 + r}")): _*)).as("bh"))
         }: _*)).as("e"))
         .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&

@@ -90,11 +90,17 @@ object Extensions {
         .filter(col("text") =!= "")
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
         .filter(size(col("ws")) >= 3)
+      // The shingle set feeds three consumers (sizes + both self-join
+      // branches) — Spark has no automatic CTE reuse for DataFrame plans,
+      // so materialize it once instead of re-scanning the corpus per
+      // branch. (At 100 TB this intermediate is written to storage; the
+      // plan shape is the same.)
       val sh = ws.select(col("doc_id"),
           explode(expr(
             "transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
             .as("sh"))
         .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val pairs = sh.as("a")
         .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))

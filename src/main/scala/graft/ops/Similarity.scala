@@ -35,6 +35,24 @@ object Similarity {
 
   val queries: Map[String, Q] = Map(
 
+    // q82 rebuilt on the native codegen expression (graft.functions.
+    // FloatVecCosine) — the production hot path: one fused
+    // dot/norm/cosine loop inside whole-stage codegen instead of the
+    // interpreted decimal HOF chain. Declared rows-only: double
+    // accumulation is order-fixed per row but not decimal-exact, so it is
+    // deliberately outside the oracle set (SURVEY.md §2.3).
+    "q93_cosine_topk_native" -> ((s, dir) => {
+      graft.functions.VectorExpressions.ensureRegistered(s)
+      val emb = Tables(s, dir, "embeddings")
+      val probe = emb.filter(col("vec_id") === 0).select(col("embedding").as("p"))
+      emb.crossJoin(broadcast(probe))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          round(expr("vec_cosine(embedding, p)"), 3).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(5)
+    }),
+
     // Top-3 same-bucket cosine neighbors for each probe (vec_id < 3).
     "q91_ann_bucketed" -> ((s, dir) => {
       val all = bucketed(s, dir)

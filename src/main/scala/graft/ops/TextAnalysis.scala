@@ -22,10 +22,13 @@ object TextAnalysis {
     // classify each doc by marker hits, argmax language (ties → lexical).
     // Broadcast-sized model (25 rows) joined against the exploded corpus.
     "q87_lang_id" -> ((s, dir) => {
+      // the exploded corpus feeds both the marker model and the classify
+      // join — materialize once
       val words = Tables(s, dir, "documents")
         .filter(col("text") =!= "")
         .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
         .filter(col("w") =!= "")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val markers = words.groupBy(col("lang").as("m_lang"), col("w").as("m_w"))
         .agg(count(lit(1)).as("freq"))
         .withColumn("rn", row_number().over(
