@@ -226,6 +226,50 @@ object Relational {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Pivot: status columns per priority (Spark's relational pivot
+    // operator; oracle expresses the same contract as conditional aggs).
+    "q37_pivot" -> ((s, dir) => {
+      val p = Tables(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+      p.select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("F"),
+          coalesce(col("O"), lit(0L)).as("O"),
+          coalesce(col("P"), lit(0L)).as("P"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Exact percentiles (linear interpolation — same definition in both
+    // engines: index p*(n-1) over the sorted values).
+    "q38_percentiles" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("med_qty"),
+          // round at 4: quartile interpolation over the 2-decimal price
+          // grid yields values ON the 4-decimal grid (round = exact
+          // recovery), while rounding at 2 would have to break half-cent
+          // ties — which the engines do differently
+          expr("transform(percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D)), x -> round(x, 4))")
+            .as("price_quartiles"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Statistical aggregates over a numerically tame column (quantity):
+    // stddev/variance/corr rounded where engine update formulas can
+    // differ in low-order bits.
+    "q39_stats_agg" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 4).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qd"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ───────────────────────── sorts & set ops ───────────────────────────
     "q50_orderby_multi_limit" -> ((s, dir) => {
       Tables(s, dir, "lineitem")
@@ -400,6 +444,25 @@ object Relational {
         |                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS disc_rev,
         |       CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS big_cnt,
         |       count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q37_pivot" ->
+      """SELECT o_orderpriority,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
+        |       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
+        |       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q38_percentiles" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
+        |       list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]),
+        |                      x -> round(x, 4)) AS price_quartiles
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q39_stats_agg" ->
+      """SELECT l_returnflag,
+        |       round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |       round(var_samp(l_quantity), 4) AS var_qty,
+        |       round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+        |       round(covar_samp(l_quantity, l_discount), 6) AS cov_qd
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q50_orderby_multi_limit" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
