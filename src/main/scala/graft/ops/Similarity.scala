@@ -53,6 +53,29 @@ object Similarity {
         .limit(5)
     }),
 
+    // Embedding-cosine near-duplicate pairs: all pairs sharing a sign
+    // bucket with cosine ≥ 0.35 (the synthetic embeddings are near-orthogonal random vectors; real corpora would use ~0.9) — the vector-space analog of q85's LSH
+    // (bucket join bounds the candidate pairs; exact decimal cosine
+    // verifies). At 100 TB the bucket is the shuffle key and candidate
+    // volume stays linear-ish in corpus size.
+    "q94_embedding_neardup" -> ((s, dir) => {
+      val all = bucketed(s, dir)
+      val pairs = all.as("a")
+        .join(all.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+      val sim = round(col("dp") / (sqrt(col("na")) * sqrt(col("nb"))), 3)
+      pairs
+        .select(col("id_a"), col("id_b"),
+          dotDec("ea", "eb").cast("double").as("dp"),
+          dotDec("ea", "ea").cast("double").as("na"),
+          dotDec("eb", "eb").cast("double").as("nb"))
+        .filter(sim >= 0.35)
+        .select(col("id_a"), col("id_b"), sim.as("sim"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Top-3 same-bucket cosine neighbors for each probe (vec_id < 3).
     "q91_ann_bucketed" -> ((s, dir) => {
       val all = bucketed(s, dir)
@@ -77,6 +100,30 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "q94_embedding_neardup" ->
+      """WITH b AS (
+        |  SELECT vec_id, embedding,
+        |         array_to_string(list_transform(embedding[1:8],
+        |             x -> CAST(CAST(x >= 0 AS INT) AS VARCHAR)), '') AS bucket
+        |  FROM embeddings),
+        |cand AS (
+        |  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+        |         a.embedding AS ea, b2.embedding AS eb
+        |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+        |elems AS (
+        |  SELECT id_a, id_b,
+        |         unnest(ea) AS xa, unnest(eb) AS xb
+        |  FROM cand),
+        |dots AS (
+        |  SELECT id_a, id_b,
+        |         CAST(sum(CAST(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS dp,
+        |         CAST(sum(CAST(CAST(xa AS DOUBLE) * CAST(xa AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS na,
+        |         CAST(sum(CAST(CAST(xb AS DOUBLE) * CAST(xb AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS nb
+        |  FROM elems GROUP BY id_a, id_b)
+        |SELECT id_a, id_b, round(dp / (sqrt(na) * sqrt(nb)), 3) AS sim
+        |FROM dots
+        |WHERE round(dp / (sqrt(na) * sqrt(nb)), 3) >= 0.35
+        |ORDER BY id_a, id_b""".stripMargin,
     "q91_ann_bucketed" ->
       """WITH b AS (
         |  SELECT vec_id, embedding,
