@@ -146,6 +146,20 @@ object Relational {
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("ship_ms"))
     }),
 
+    // Correlated scalar subquery — Catalyst decorrelates it into an
+    // aggregate + outer join (SQL surface; the DataFrame API has no
+    // correlated-subquery syntax).
+    "q21_scalar_subquery" -> ((s, dir) => {
+      Tables(s, dir, "customer").createOrReplaceTempView("customer_q21")
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_q21")
+      s.sql(
+        """SELECT c_custkey, c_name,
+          |       (SELECT count(*) FROM orders_q21 WHERE o_custkey = c_custkey) AS n_orders,
+          |       (SELECT CAST(max(o_totalprice) AS DOUBLE) FROM orders_q21
+          |        WHERE o_custkey = c_custkey) AS max_price
+          |FROM customer_q21 ORDER BY c_custkey""".stripMargin)
+    }),
+
     // ──────────────────────────── aggregations ───────────────────────────
     // TPC-H Q1 shape (hash agg with map-side partials).
     "q30_groupby_agg" -> ((s, dir) => {
@@ -286,6 +300,18 @@ object Relational {
         .crossJoin(c.unionAll(su).distinct().agg(count(lit(1)).as("n_distinct")))
     }),
 
+    // Ordered string aggregation: engine-portable via sort-then-join
+    // (Spark has no ORDER BY inside an aggregate; DuckDB's string_agg
+    // ORDER BY expresses the same contract).
+    "q54_string_agg" -> ((s, dir) => {
+      Tables(s, dir, "nation")
+        .join(broadcast(Tables(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))
+        .orderBy(col("r_name"))
+    }),
+
     "q52_intersect" -> ((s, dir) => {
       Tables(s, dir, "customer").select(col("c_nationkey").as("nk"))
         .intersect(Tables(s, dir, "supplier").select(col("s_nationkey").as("nk")))
@@ -399,6 +425,16 @@ object Relational {
         |  ON l_orderkey = o_orderkey
         | AND l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 90 DAY
         |ORDER BY l_orderkey, l_linenumber, ship_ms""".stripMargin,
+    "q21_scalar_subquery" ->
+      """SELECT c_custkey, c_name,
+        |       (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
+        |       (SELECT CAST(max(o_totalprice) AS DOUBLE) FROM orders
+        |        WHERE o_custkey = c_custkey) AS max_price
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q54_string_agg" ->
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
     "q30_groupby_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -62,6 +62,17 @@ object Windows {
         .orderBy(col("p_brand"), col("p_partkey"))
     }),
 
+    // Distribution windows: percent_rank/cume_dist are pure rank
+    // arithmetic — deterministic given the unique window order.
+    "q46_pct_rank" -> ((s, dir) => {
+      val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables(s, dir, "customer").select(
+        col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        round(percent_rank().over(w), 6).as("pct"),
+        round(cume_dist().over(w), 6).as("cume"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // ───────────────────────── analytic windows ──────────────────────────
     "q42_lag_lead" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -195,6 +206,13 @@ object Windows {
         |       CAST(dense_rank() OVER w AS BIGINT) AS drnk
         |FROM part WINDOW w AS (PARTITION BY p_brand ORDER BY p_size DESC)
         |ORDER BY p_brand, p_partkey""".stripMargin,
+    "q46_pct_rank" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |       round(percent_rank() OVER w, 6) AS pct,
+        |       round(cume_dist() OVER w, 6) AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
     "q42_lag_lead" ->
       """SELECT event_id, user_id, value,
         |       lag(value) OVER w AS prev_v, lead(value) OVER w AS next_v,
