@@ -33,12 +33,18 @@ object Bench {
       try run(fn) catch { case e: Throwable =>
         System.err.println(s"[bench] $name warmup failed: ${e.getMessage}")
       }
+      // the warmup's persisted subplans would satisfy the timed run via
+      // plan-canonicalization cache lookup — clear so the timed run pays
+      // for its own intermediates
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try run(fn)
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // drop persisted subplans between queries
+      name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
