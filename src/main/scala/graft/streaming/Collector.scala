@@ -113,4 +113,26 @@ object Collector {
     */
   private[streaming] def defaultFetch(url: String): String =
     s"""{"count": ${math.abs(url.hashCode % 1000)}.0}"""
+
+  /** Drop-directory variant of the collector source (SURVEY.md §2.1 R1's
+    * file-source stand-in): agents drop raw `{series, ts, body}` JSON
+    * lines into `dropDir`; the stream picks files up, applies the same
+    * extract/validate transform, and appends to the partitioned sink.
+    * Exactly-once across restarts comes from the checkpointed file-source
+    * offsets + idempotent batch tracking.
+    */
+  def startFromDropDir(spark: SparkSession, dropDir: String, sinkDir: String,
+                       checkpointDir: String): StreamingQuery = {
+    val raw = spark.readStream
+      .schema(rawSchema)
+      .option("maxFilesPerTrigger", 100)
+      .json(dropDir)
+    transform(raw).writeStream
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").partitionBy("p_date").json(sinkDir)
+      }
+      .start()
+  }
 }

@@ -59,6 +59,28 @@ class CollectorSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("drop-dir file source collects and partitions by date (R1 file variant)") {
+    import spark.implicits._
+    val dropDir = java.nio.file.Files.createTempDirectory("drop").toString
+    val sinkDir = java.nio.file.Files.createTempDirectory("sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dropDir/batch1.json"),
+      """{"series":"cpu","ts":"2024-01-01T10:00:00.000Z","body":"{\"count\": 5}"}
+        |{"series":"cpu","ts":"2024-01-02T10:00:00.000Z","body":"{\"count\": 7}"}
+        |{"series":"bad","ts":"2024-01-01T10:00:00.000Z","body":"nope"}
+        |""".stripMargin)
+    val q = Collector.startFromDropDir(spark, dropDir, sinkDir, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.read
+      .schema("series STRING, ts TIMESTAMP, value DOUBLE, p_date DATE")
+      .json(sinkDir)
+    assert(out.count() == 2) // invalid body dropped
+    val days = out.select(col("p_date").cast("string")).as[String].collect().sorted
+    assert(days.toSeq == Seq("2024-01-01", "2024-01-02"))
+    assert(new java.io.File(s"$sinkDir/p_date=2024-01-01").exists())
+  }
+
   test("watermarked aggregation drops late rows beyond 10 minutes (q74)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -1,0 +1,35 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Compaction: partition-atomic small-file rewrite preserving data. */
+class CompactionSpec extends SparkSpec {
+
+  test("compacts fragmented partitions, preserves rows, skips small ones") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("compact").toString
+    // day 1: 20 fragments; day 2: 2 fragments (below threshold)
+    (1 to 100).map(i => ("cpu", Timestamp.valueOf("2024-01-01 10:00:00"), i.toDouble))
+      .toDF("series", "ts", "value").withColumn("p_date", to_date(col("ts")))
+      .repartition(20).write.mode("append").partitionBy("p_date").json(dir)
+    (1 to 10).map(i => ("cpu", Timestamp.valueOf("2024-01-02 10:00:00"), i.toDouble))
+      .toDF("series", "ts", "value").withColumn("p_date", to_date(col("ts")))
+      .repartition(2).write.mode("append").partitionBy("p_date").json(dir)
+
+    def files(p: String): Int =
+      new java.io.File(s"$dir/$p").listFiles()
+        .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(files("p_date=2024-01-01") >= 20)
+
+    val before = spark.read.json(dir).agg(sum("value")).head().getDouble(0)
+    val n = Compaction.compact(spark, dir, format = "json", maxFiles = 8, targetFiles = 1)
+    assert(n == 1) // only the fragmented day
+    assert(files("p_date=2024-01-01") == 1)
+    assert(files("p_date=2024-01-02") == 2) // untouched
+    val after = spark.read.json(dir).agg(sum("value")).head().getDouble(0)
+    assert(before == after)
+  }
+}
