@@ -70,6 +70,34 @@ object Grafana {
     (ts ++ table).mkString("[", ",", "]")
   }
 
+  /** Downsampling `/query` variant — what Grafana actually intends with
+    * `maxDataPoints` (the reference truncates instead, quirk §1.4.7):
+    * bucket the range into ≤ maxDataPoints equal time buckets and return
+    * one averaged point per bucket (bucket-start epoch-ms as the time).
+    */
+  def queryDownsampled(metrics: DataFrame, req: QueryRequest): String = {
+    val fromMs = java.sql.Timestamp.valueOf(req.range.fromIso.replace('T', ' ')
+      .stripSuffix("Z")).getTime
+    val toMs = java.sql.Timestamp.valueOf(req.range.toIso.replace('T', ' ')
+      .stripSuffix("Z")).getTime
+    val bucketMs = math.max(1L, (toMs - fromMs) / math.max(1, req.maxDataPoints))
+    val parts = req.targets.filter(_.targetType != "table").map { t =>
+      val rows = metrics
+        .filter(col("series") === t.target &&
+          col("ts").between(to_timestamp(lit(req.range.fromIso)),
+            to_timestamp(lit(req.range.toIso))))
+        .groupBy(((unix_millis(col("ts")) - fromMs) / bucketMs).cast("long").as("bucket"))
+        .agg(avg(col("value")).as("v"))
+        .select((col("bucket") * bucketMs + fromMs).as("t_ms"), col("v"))
+        .orderBy(col("t_ms"))
+        .collect()
+      val dps = rows.map(r => s"[${jsNum(r.getDouble(1))},${r.getLong(0)}]")
+        .mkString("[", ",", "]")
+      s"""{"target":${jsStr(t.target)},"datapoints":$dps}"""
+    }
+    parts.mkString("[", ",", "]")
+  }
+
   /** `/annotations`, `/tag-keys`, `/tag-values` — empty per the reference
     * stubs (index.js:159-181).
     */

@@ -71,6 +71,20 @@ class GrafanaSpec extends SparkSpec {
     assert(json.contains(""""type":"table""""))
   }
 
+  test("downsampled query emits at most maxDataPoints bucket averages") {
+    import spark.implicits._
+    // 10 points over 10 s, ask for 2 buckets of 5 s
+    val m = (0 until 10).map(i =>
+      ("cpu", Timestamp.valueOf(s"2024-01-05 00:00:0$i"), i.toDouble))
+      .toDF("series", "ts", "value")
+    val json = Grafana.queryDownsampled(m,
+      QueryRequest(Seq(Target("cpu", "timeseries")),
+        TimeRange("2024-01-05 00:00:00", "2024-01-05 00:00:10"), 2))
+    // bucket 0: avg(0..4)=2, bucket 1: avg(5..9)=7
+    assert(json ==
+      """[{"target":"cpu","datapoints":[[2,1704412800000],[7,1704412805000]]}]""")
+  }
+
   test("annotations/tag endpoints are empty stubs (index.js:159-181)") {
     assert(Grafana.annotations == "[]" && Grafana.tagKeys == "[]" &&
       Grafana.tagValues == "[]")
