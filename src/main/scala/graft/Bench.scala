@@ -12,9 +12,10 @@ import org.apache.spark.sql.SparkSession
   * number measured is the number a real sink would see.
   *
   * Every query runs once untimed (codegen compilation, JIT, broadcast
-  * thread-pool spin-up) and the second, steady-state run is reported —
-  * cold-JVM overhead is a constant ~1-3 s per query that would otherwise
-  * swamp sub-second operators.
+  * thread-pool spin-up), then twice timed, reporting the minimum —
+  * cold-JVM overhead is a constant ~1-3 s per query and this host shows
+  * multi-second contention stalls that would otherwise land on single
+  * unlucky queries.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -33,18 +34,20 @@ object Bench {
       try run(fn) catch { case e: Throwable =>
         System.err.println(s"[bench] $name warmup failed: ${e.getMessage}")
       }
-      // the warmup's persisted subplans would satisfy the timed run via
-      // plan-canonicalization cache lookup — clear so the timed run pays
-      // for its own intermediates
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      try run(fn)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val timed = (1 to 2).map { _ =>
+        // a previous run's persisted subplans would satisfy this one via
+        // plan-canonicalization cache lookup — clear so every timed run
+        // pays for its own intermediates
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try run(fn)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache() // drop persisted subplans between queries
-      name -> dt
+      spark.catalog.clearCache()
+      name -> timed.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
