@@ -28,31 +28,37 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      try run(fn) catch { case e: Throwable =>
-        System.err.println(s"[bench] $name warmup failed: ${e.getMessage}")
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean =
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] query failed: ${e.getMessage}"); false
       }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      run(fn) // warmup (codegen/JIT); failure also logged by run()
+      var ok = true
       val timed = (1 to 2).map { _ =>
         // a previous run's persisted subplans would satisfy this one via
         // plan-canonicalization cache lookup — clear so every timed run
         // pays for its own intermediates
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        try run(fn)
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
+        ok &= run(fn)
         (System.nanoTime() - t0) / 1e9
       }
       spark.catalog.clearCache()
-      name -> timed.min
+      (name, timed.min, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // a failed query reports -1, not its fast-failure duration — a broken
+    // query must stand out in the JSON rather than understate the total
+    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // short second line: the driver's tail capture can truncate the long
+    // per-query line; this one always fits and always parses
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${results.count(!_._3)}}""")
     spark.stop()
   }
 }

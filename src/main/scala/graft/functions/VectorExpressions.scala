@@ -82,33 +82,56 @@ case class FloatVecCosine(left: Expression, right: Expression)
 
 object VectorExpressions {
   val fnName = "vec_cosine"
+  val shinglesFnName = "text_shingles"
+  val pairsFnName = "array_pairs"
 
-  private val info = new ExpressionInfo(
-    classOf[FloatVecCosine].getName, fnName)
-
-  private val builder: Seq[Expression] => Expression = { children =>
-    require(children.length == 2, s"$fnName expects 2 arguments")
-    FloatVecCosine(children.head, children(1))
-  }
-
-  /** Idempotent runtime registration (for sessions not built with
+  /** Idempotent runtime registration of ALL graft native expressions
+    * (for sessions not built with
     * `spark.sql.extensions=graft.functions.GraftExtensions`).
     */
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(FunctionIdentifier(fnName)))
-      reg.registerFunction(FunctionIdentifier(fnName), info, builder)
+      reg.registerFunction(FunctionIdentifier(fnName),
+        new ExpressionInfo(classOf[FloatVecCosine].getName, fnName),
+        { children =>
+          require(children.length == 2, s"$fnName expects 2 arguments")
+          FloatVecCosine(children.head, children(1))
+        })
+    if (!reg.functionExists(FunctionIdentifier(shinglesFnName)))
+      reg.registerFunction(FunctionIdentifier(shinglesFnName),
+        new ExpressionInfo(classOf[TextShingles].getName, shinglesFnName),
+        { children =>
+          require(children.length == 1, s"$shinglesFnName expects 1 argument")
+          TextShingles(children.head)
+        })
+    if (!reg.functionExists(FunctionIdentifier(pairsFnName)))
+      reg.registerFunction(FunctionIdentifier(pairsFnName),
+        new ExpressionInfo(classOf[ArrayPairs].getName, pairsFnName),
+        { children =>
+          require(children.length == 1, s"$pairsFnName expects 1 argument")
+          ArrayPairs(children.head)
+        })
   }
 }
 
 /** `--conf spark.sql.extensions=graft.functions.GraftExtensions` injects
-  * the vector functions at session build (the SparkSessionExtensions
-  * route of SURVEY.md §2.3/§4.3).
+  * the graft native expressions at session build (the
+  * SparkSessionExtensions route of SURVEY.md §2.3/§4.3).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier(VectorExpressions.fnName),
       new ExpressionInfo(classOf[FloatVecCosine].getName,
         VectorExpressions.fnName),
       exprs => FloatVecCosine(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier(VectorExpressions.shinglesFnName),
+      new ExpressionInfo(classOf[TextShingles].getName,
+        VectorExpressions.shinglesFnName),
+      exprs => TextShingles(exprs.head)))
+    ext.injectFunction((FunctionIdentifier(VectorExpressions.pairsFnName),
+      new ExpressionInfo(classOf[ArrayPairs].getName,
+        VectorExpressions.pairsFnName),
+      exprs => ArrayPairs(exprs.head)))
+  }
 }

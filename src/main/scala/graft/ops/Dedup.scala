@@ -24,16 +24,17 @@ object Dedup {
   private val K = 16 // signature width (4 bands × 4 rows)
   private val BANDS = 4
 
-  /** distinct (doc_id, 3-word shingle) pairs; mirrors q81's generator. */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
+  /** distinct (doc_id, 3-word shingle) pairs; mirrors q81's generator
+    * (the native codegen'd text_shingles — see graft.functions.TextShingles
+    * for why the declarative HOF form is avoided on this hot path).
+    */
+  private def shingles(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(s)
     Tables(s, dir, "documents")
-      .filter(col("text") =!= "")
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
-        .as("sh"))
+      .select(col("doc_id"),
+        explode(expr("text_shingles(text)")).as("sh"))
       .distinct()
+  }
 
   /** One row per doc: columns h0..h15 = the MinHash signature. */
   private def signature(s: SparkSession, dir: String): DataFrame = {

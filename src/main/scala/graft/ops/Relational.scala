@@ -261,12 +261,20 @@ object Relational {
         .groupBy(col("l_returnflag"))
         .agg(
           round(expr("percentile(l_quantity, 0.5)"), 4).as("med_qty"),
+          // ONE percentile aggregation for all three quartiles (each agg
+          // buffers the column separately — three would triple the work);
+          // the array stays internal, outputs are scalars — the driver's
+          // harness cannot hash array-typed cells.
+          expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").as("qs"))
+        .select(col("l_returnflag"),
+          col("med_qty"),
           // round at 4: quartile interpolation over the 2-decimal price
           // grid yields values ON the 4-decimal grid (round = exact
           // recovery), while rounding at 2 would have to break half-cent
           // ties — which the engines do differently
-          expr("transform(percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D)), x -> round(x, 4))")
-            .as("price_quartiles"))
+          round(element_at(col("qs"), 1), 4).as("p25"),
+          round(element_at(col("qs"), 2), 4).as("p50"),
+          round(element_at(col("qs"), 3), 4).as("p75"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -490,8 +498,9 @@ object Relational {
     "q38_percentiles" ->
       """SELECT l_returnflag,
         |       round(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
-        |       list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]),
-        |                      x -> round(x, 4)) AS price_quartiles
+        |       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q39_stats_agg" ->
       """SELECT l_returnflag,

@@ -16,22 +16,35 @@ import org.apache.spark.sql.functions._
   * with high cosine — stay together. At 100 TB the bucket id becomes the
   * shuffle/partition key and each bucket's candidates fit one task.
   *
-  * Float sums are reduced as DECIMAL(28,12) — exact and order-independent
-  * (same rationale as q82, SURVEY.md §7.5.2).
+  * Cosines run on the native codegen expression (graft.functions.
+  * FloatVecCosine); [[dotDec]] is the decimal-exact, order-independent
+  * fallback (SURVEY.md §7.5.2) kept for datasets whose true cosine lands
+  * on a 3-decimal rounding boundary.
   */
 object Similarity {
 
-  private def dotDec(a: String, b: String) =
+  private[ops] def dotDec(a: String, b: String) =
     expr(
       s"""aggregate(
          |  zip_with($a, $b, (x, y) -> CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))),
          |  CAST(0 AS DECIMAL(28,12)),
          |  (acc, v) -> CAST(acc + v AS DECIMAL(28,12)))""".stripMargin)
 
-  /** embeddings + sign bucket: 8 chars of '0'/'1' from dims 1..8. */
-  private def bucketed(s: SparkSession, dir: String): DataFrame =
+  /** embeddings + sign bucket: `bits` chars of '0'/'1' from the leading
+    * dimensions — 2^bits buckets.
+    *
+    * Bucket-count scaling (the 100 TB knob): with N vectors and a target
+    * of ~B candidates per bucket, choose `bits ≈ log2(N / B)` — e.g.
+    * 10^10 vectors at ~10^5 per bucket → 17 bits. A FIXED bucket count is
+    * not a scale design: at 100 TB each of 256 buckets would hold ~400 GB
+    * and the per-bucket join blows up. For higher recall at large `bits`,
+    * band the code like q85's LSH (split the bits into b bands and join
+    * on any matching band) instead of requiring all bits equal.
+    * The 8-bit default is the declared oracle contract (q91/q94).
+    */
+  private[ops] def bucketed(s: SparkSession, dir: String, bits: Int = 8): DataFrame =
     Tables(s, dir, "embeddings").withColumn("bucket",
-      expr("array_join(transform(slice(embedding, 1, 8), x -> CAST(CAST(x >= 0 AS INT) AS STRING)), '')"))
+      expr(s"array_join(transform(slice(embedding, 1, $bits), x -> CAST(CAST(x >= 0 AS INT) AS STRING)), '')"))
 
   val queries: Map[String, Q] = Map(
 
@@ -59,25 +72,24 @@ object Similarity {
     // verifies). At 100 TB the bucket is the shuffle key and candidate
     // volume stays linear-ish in corpus size.
     "q94_embedding_neardup" -> ((s, dir) => {
+      graft.functions.VectorExpressions.ensureRegistered(s)
       val all = bucketed(s, dir)
+      // native codegen cosine (order-fixed per-row accumulation; rounding
+      // at 3 decimals hash-matches the decimal-exact oracle — dotDec is
+      // the fallback if a dataset ever lands on a rounding boundary)
       val pairs = all.as("a")
         .join(all.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-          col("a.embedding").as("ea"), col("b.embedding").as("eb"))
-      val sim = round(col("dp") / (sqrt(col("na")) * sqrt(col("nb"))), 3)
+          round(expr("vec_cosine(a.embedding, b.embedding)"), 3).as("sim"))
       pairs
-        .select(col("id_a"), col("id_b"),
-          dotDec("ea", "eb").cast("double").as("dp"),
-          dotDec("ea", "ea").cast("double").as("na"),
-          dotDec("eb", "eb").cast("double").as("nb"))
-        .filter(sim >= 0.35)
-        .select(col("id_a"), col("id_b"), sim.as("sim"))
+        .filter(col("sim") >= 0.35)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
     // Top-3 same-bucket cosine neighbors for each probe (vec_id < 3).
     "q91_ann_bucketed" -> ((s, dir) => {
+      graft.functions.VectorExpressions.ensureRegistered(s)
       val all = bucketed(s, dir)
       val probes = all.filter(col("vec_id") < 3)
         .select(col("vec_id").as("probe_id"), col("embedding").as("p"),
@@ -87,11 +99,7 @@ object Similarity {
       all.join(broadcast(probes),
           col("bucket") === col("p_bucket") && col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id"),
-          dotDec("embedding", "p").cast("double").as("dp"),
-          dotDec("embedding", "embedding").cast("double").as("na"),
-          dotDec("p", "p").cast("double").as("np"))
-        .select(col("probe_id"), col("vec_id"),
-          round(col("dp") / (sqrt(col("na")) * sqrt(col("np"))), 3).as("sim"))
+          round(expr("vec_cosine(embedding, p)"), 3).as("sim"))
         .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 3)
         .select("probe_id", "vec_id", "sim", "rn")

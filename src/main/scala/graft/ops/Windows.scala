@@ -110,17 +110,46 @@ object Windows {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
-    // Global ntile is inherently a single-stream sort — fine for a
-    // quartile report, documented as non-scalable; the per-segment
-    // first/last windows shuffle on c_mktsegment as usual.
+    // Global quartiles WITHOUT a global single-task window: a naked
+    // `ntile(4) OVER (ORDER BY …)` puts the whole table through one
+    // executor. Instead: range-partition on the sort key, rank within
+    // partitions in parallel, add broadcast per-partition prefix offsets,
+    // and reproduce ntile's bucket arithmetic exactly (first n%4 buckets
+    // get ⌈n/4⌉ rows) — the oracle stays the literal ntile(4). The
+    // per-segment first/last windows shuffle on c_mktsegment as usual.
     "q45_ntile_first_last" -> ((s, dir) => {
-      val wn = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+      val cust = Tables(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+      val keys = Seq(col("c_acctbal"), col("c_custkey")) // unique sort key
+      // pid is captured from the range partitioning, so local rank +
+      // prefix offset = exact global rank regardless of where the
+      // sampled range boundaries land
+      val local = cust.repartitionByRange(32, keys: _*)
+        .withColumn("pid", spark_partition_id())
+        .withColumn("lrn", row_number().over(
+          Window.partitionBy("pid").orderBy(keys: _*)).cast("long"))
+      // ≤ 32 rows: cumulative counts per range partition, broadcast back
+      val offs = local.groupBy("pid").agg(count(lit(1)).as("c"))
+        .withColumn("off", coalesce(sum(col("c")).over(
+          Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select("pid", "off")
+      val n1 = cust.agg(count(lit(1)).as("n")) // 1 row, broadcast
+      val ranked = local.join(broadcast(offs), "pid")
+        .withColumn("rn", col("off") + col("lrn"))
+        .crossJoin(broadcast(n1))
+      // ntile(4): r = n%4 buckets of size (n div 4)+1, then size n div 4
+      val quartile = expr(
+        """CAST(CASE WHEN rn <= (n % 4) * ((n div 4) + 1)
+          |          THEN (rn - 1) div ((n div 4) + 1) + 1
+          |          ELSE (n % 4) + (rn - (n % 4) * ((n div 4) + 1) - 1) div (n div 4) + 1
+          |     END AS BIGINT)""".stripMargin)
       val wf = Window.partitionBy("c_mktsegment")
         .orderBy(col("c_acctbal").desc, col("c_custkey"))
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      Tables(s, dir, "customer").select(
+      ranked.select(
         col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
-        ntile(4).over(wn).cast("long").as("quartile"),
+        quartile.as("quartile"),
         first("c_name").over(wf).as("top_name"),
         last("c_name").over(wf).as("bottom_name"))
         .orderBy(col("c_custkey"))

@@ -40,6 +40,7 @@ object Grafana {
       .filter(col("series") === t.target &&
         col("ts").between(
           to_timestamp(lit(r.fromIso)), to_timestamp(lit(r.toIso))))
+      .filter(col("value").isNotNull) // schema allows null; getDouble must not NPE
       .orderBy(col("ts"))
       .limit(maxDataPoints)
       .select(col("value"), unix_millis(col("ts")).as("t_ms"))
@@ -80,13 +81,21 @@ object Grafana {
       .stripSuffix("Z")).getTime
     val toMs = java.sql.Timestamp.valueOf(req.range.toIso.replace('T', ' ')
       .stripSuffix("Z")).getTime
-    val bucketMs = math.max(1L, (toMs - fromMs) / math.max(1, req.maxDataPoints))
+    // ceiling division + index clamp so bucket indices stay
+    // < maxDataPoints (floor division could emit maxDataPoints+1 buckets:
+    // the range is inclusive, so a row at exactly `to` lands one past the
+    // end — it's clamped into the last bucket)
+    val max = math.max(1, req.maxDataPoints).toLong
+    val span = toMs - fromMs
+    val bucketMs = math.max(1L, (span + max - 1) / max)
     val parts = req.targets.filter(_.targetType != "table").map { t =>
       val rows = metrics
         .filter(col("series") === t.target &&
           col("ts").between(to_timestamp(lit(req.range.fromIso)),
             to_timestamp(lit(req.range.toIso))))
-        .groupBy(((unix_millis(col("ts")) - fromMs) / bucketMs).cast("long").as("bucket"))
+        .filter(col("value").isNotNull)
+        .groupBy(least(((unix_millis(col("ts")) - fromMs) / bucketMs).cast("long"),
+          lit(max - 1)).as("bucket"))
         .agg(avg(col("value")).as("v"))
         .select((col("bucket") * bucketMs + fromMs).as("t_ms"), col("v"))
         .orderBy(col("t_ms"))

@@ -21,10 +21,11 @@ import org.apache.spark.sql.types._
   *  - null guard (index.js:246) → validity filter `CAST AS DOUBLE IS NOT
   *    NULL` (strengthened per SURVEY.md §1.4.9: error payloads must not
   *    ingest)
-  *  - `writePoints` (index.js:250-257) → `foreachBatch` append to a
-  *    `p_date`-partitioned table + JSON sink, with checkpointing — an
-  *    exactly-once ledger the reference entirely lacks (its failed writes
-  *    are logged and dropped, index.js:259-261)
+  *  - `writePoints` (index.js:250-257) → `foreachBatch` idempotent write
+  *    to a `p_date`-partitioned table (each batch overwrites its own
+  *    `batch_id` subpartition, see [[writeBatch]]), with checkpointing —
+  *    an exactly-once ledger the reference entirely lacks (its failed
+  *    writes are logged and dropped, index.js:259-261)
   *
   * Retention (index.js:269-282) is [[Retention]]'s partition-drop job, not
   * a streaming concern.
@@ -37,16 +38,24 @@ import org.apache.spark.sql.types._
 object Collector {
 
   /** Per-source config — the Spark shape of config.js.dist:13-38
-    * (FIXTURES.md §2).
+    * (FIXTURES.md §2). `valueExpr` is the per-source response transform
+    * (the reference's arbitrary `transformResponse`, config.js.dist:25-35,
+    * made declarative): a SQL expression over the string column `body`
+    * that yields the sample's numeric value.
     */
   final case class SourceConfig(series: String, active: Boolean,
-                                intervalS: Int, retainS: Long, url: String)
+                                intervalS: Int, retainS: Long, url: String,
+                                valueExpr: String = Collector.defaultValueExpr)
 
   /** Payload schema the demo fetcher produces; mirrors the dist
     * transform's `{"count": N}` scrape (config.js.dist:25-35).
     */
   val payloadSchema: StructType =
     StructType(Seq(StructField("count", DoubleType)))
+
+  /** Default response transform: the dist config's `{"count": N}` scrape. */
+  val defaultValueExpr: String =
+    "CAST(get_json_object(body, '$.count') AS DOUBLE)"
 
   /** Raw sample schema entering [[transform]]: (series, ts, body). */
   val rawSchema: StructType = StructType(Seq(
@@ -59,14 +68,25 @@ object Collector {
     * partition-date derivation for the sink layout. Works on both batch
     * and streaming DataFrames — the streaming tests and the batch oracle
     * share it.
+    *
+    * `extractors` maps series → per-source SQL extraction expression over
+    * `body` (from [[SourceConfig.valueExpr]]); series without an entry use
+    * [[defaultValueExpr]]. The per-series dispatch compiles to one CASE
+    * expression — still a single codegen'd map stage, no per-source
+    * branching in the stream graph.
     */
-  def transform(raw: DataFrame): DataFrame =
+  def transform(raw: DataFrame,
+                extractors: Map[String, String] = Map.empty): DataFrame = {
+    val value =
+      extractors.foldLeft(when(lit(false), lit(null))) {
+        case (acc, (series, e)) => acc.when(col("series") === series, expr(e))
+      }.otherwise(expr(defaultValueExpr))
     raw
-      .withColumn("value",
-        from_json(col("body"), payloadSchema).getField("count").cast("double"))
+      .withColumn("value", value.cast("double"))
       .filter(col("value").isNotNull) // nulls, parse errors, non-numerics
       .select(col("series"), col("ts"), col("value"),
         to_date(col("ts")).as("p_date"))
+  }
 
   /** Watermarked tumbling aggregation over the collected stream — the
     * streaming form of q74 (batch analog in graft.ops.Windows). Late rows
@@ -98,14 +118,31 @@ object Collector {
       .filter(col("tick_s") % col("intervalS") === 0)
       .select(col("series"), col("timestamp").as("ts"),
         fetch(col("url")).as("body"))
-    transform(due).writeStream
+    val extractors = sources.map(s => s.series -> s.valueExpr).toMap
+    transform(due, extractors).writeStream
       .trigger(Trigger.ProcessingTime("1 second"))
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").partitionBy("p_date").json(sinkDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatch(batch, batchId, sinkDir)
       }
       .start()
   }
+
+  /** Idempotent micro-batch append: each batch lands under its own
+    * `batch_id=<id>` subpartition via dynamic partition OVERWRITE, so a
+    * batch replayed after a failure between sink write and checkpoint
+    * commit rewrites exactly its own output instead of appending
+    * duplicates. Checkpointed source offsets + this idempotent write give
+    * end-to-end exactly-once; a blind `mode(append)` here would only be
+    * at-least-once.
+    */
+  private[streaming] def writeBatch(batch: DataFrame, batchId: Long,
+                                    sinkDir: String): Unit =
+    batch.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("p_date", "batch_id")
+      .json(sinkDir)
 
   /** Deterministic stand-in for the HTTP GET (no egress in this
     * environment): value derived from the url hash. A real deployment
@@ -130,8 +167,8 @@ object Collector {
     transform(raw).writeStream
       .trigger(Trigger.ProcessingTime("1 second"))
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").partitionBy("p_date").json(sinkDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatch(batch, batchId, sinkDir)
       }
       .start()
   }

@@ -20,6 +20,66 @@ import org.apache.spark.sql.functions._
   */
 object Retention {
 
+  /** Per-series retention — the reference's per-proxy `autoRemove.age`
+    * (index.js:272-273, each proxy deletes with its OWN age from
+    * index.js:231-232): every series keeps rows with `ts >= cutoffs(series)`;
+    * series absent from the map are kept in full.
+    *
+    * Partition handling on the unified table:
+    *  - days strictly before EVERY cutoff → metadata-only partition drop
+    *    (all series expired there);
+    *  - days where only some series expire (any day before the latest
+    *    cutoff, or the latest cutoff's own day with sub-day precision) →
+    *    rewritten with a per-series predicate via a broadcast cutoff dim.
+    *
+    * At 100 TB, series with wildly different retention would instead get a
+    * (series-bucket, p_date) layout so each policy is pure partition
+    * drops; the rewrite path here is the general fallback the unified
+    * layout needs. Returns (droppedPartitions, rewrittenPartitions).
+    */
+  def enforcePerSeries(spark: SparkSession, tableDir: String,
+                       cutoffs: Map[String, Timestamp],
+                       format: String = "parquet"): (Int, Int) = {
+    if (cutoffs.isEmpty) return (0, 0)
+    val fs = new Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(tableDir))) return (0, 0)
+    val earliest = cutoffs.values.min(Ordering.by((t: Timestamp) => t.getTime))
+    val latest = cutoffs.values.max(Ordering.by((t: Timestamp) => t.getTime))
+    val dropBefore = earliest.toLocalDateTime.toLocalDate
+    val latestDate = latest.toLocalDateTime.toLocalDate
+    val latestMidnight =
+      latest.toLocalDateTime.toLocalTime == java.time.LocalTime.MIDNIGHT
+    val parts = fs.listStatus(new Path(tableDir)).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(_.getName.startsWith("p_date="))
+    var dropped = 0
+    var rewritten = 0
+    parts.foreach { p =>
+      val date = java.time.LocalDate.parse(p.getName.stripPrefix("p_date="))
+      if (date.isBefore(dropBefore)) {
+        fs.delete(p, true) // before every cutoff: metadata-only drop
+        dropped += 1
+      } else if (date.isBefore(latestDate) ||
+        (date.isEqual(latestDate) && !latestMidnight)) {
+        // mixed-expiry day: keep rows whose series policy allows them
+        import spark.implicits._
+        val dim = broadcast(cutoffs.toSeq.toDF("r_series", "cutoff"))
+        val survivors = spark.read.format(format).load(p.toString)
+          .join(dim, col("series") === col("r_series"), "left")
+          .filter(col("cutoff").isNull || col("ts") >= col("cutoff"))
+          .drop("r_series", "cutoff")
+        val tmp = new Path(p.getParent, s".retention_tmp_${p.getName}")
+        survivors.write.mode("overwrite").format(format).save(tmp.toString)
+        fs.delete(p, true)
+        fs.rename(tmp, p)
+        rewritten += 1
+      }
+    }
+    (dropped, rewritten)
+  }
+
   /** Enforce `keep rows with ts >= cutoff` on a p_date-partitioned
     * parquet/json table rooted at `tableDir`. Returns (droppedPartitions,
     * rewrittenPartitions).

@@ -1,0 +1,72 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** text_shingles must agree EXACTLY with the declarative split/transform/
+  * concat_ws formulation the oracle SQL mirrors (including empty-word
+  * behavior around consecutive/leading/trailing spaces), in both codegen
+  * and interpreted execution.
+  */
+class TextExpressionsSpec extends SparkSpec {
+
+  private val hofForm = expr(
+    """CASE WHEN text <> '' AND size(split(text, ' ')) >= 3
+      |THEN transform(sequence(0, size(split(text, ' ')) - 3),
+      |     i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], split(text, ' ')[i+2]))
+      |ELSE array() END""".stripMargin)
+
+  test("text_shingles matches the HOF form on edge cases") {
+    VectorExpressions.ensureRegistered(spark)
+    import spark.implicits._
+    val docs = Seq(
+      "a b c d e",
+      "one two three",
+      "two words",
+      "one",
+      "",
+      "a  b c",      // consecutive spaces → empty word, kept
+      " a b c",      // leading space → leading empty word
+      "a b c ",      // trailing space → trailing empty word
+      "héllo wörld ünïcode ça va",
+      "x y z x y z x y z"
+    ).toDF("text")
+    val out = docs.select(
+      expr("text_shingles(text)").as("native"), hofForm.as("hof")).collect()
+    out.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"native=${r.getSeq[String](0)} hof=${r.getSeq[String](1)}")
+    }
+  }
+
+  test("text_shingles matches the HOF form corpus-wide (sf0.001)") {
+    VectorExpressions.ensureRegistered(spark)
+    val docs = graft.model.Tables(spark, sf(), "documents")
+    val diff = docs.select(col("text"),
+        expr("text_shingles(text)").as("native"), hofForm.as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("codegen and interpreted paths agree") {
+    VectorExpressions.ensureRegistered(spark)
+    import spark.implicits._
+    val df = Seq("a b c d").toDF("text")
+    val withCg = df.select(expr("text_shingles(text)")).head().getSeq[String](0)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val noCg = df.select(expr("text_shingles(text)")).head().getSeq[String](0)
+      assert(withCg == noCg && withCg == Seq("a b c", "b c d"))
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
+  test("null text yields null, not a crash") {
+    VectorExpressions.ensureRegistered(spark)
+    import spark.implicits._
+    val df = Seq(Some("a b c"), None).toDF("text")
+    val out = df.select(expr("text_shingles(text)")).collect()
+    assert(out(0).getSeq[String](0) == Seq("a b c"))
+    assert(out(1).isNullAt(0))
+  }
+}

@@ -1,0 +1,47 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.ops.Multimodal.GzipCodec
+
+/** Multimodal decode path (q92): the codec is REAL gzip — assert genuine
+  * header/trailer structure (magic bytes, RFC 1952 ISIZE), a full
+  * round-trip, and the distributed plumbing end-to-end on testdata.
+  */
+class MultimodalSpec extends SparkSpec {
+
+  test("gzip codec round-trips and parses real header/trailer fields") {
+    val text = "the quick brown fox jumps over the lazy dog " * 20
+    val bytes = text.getBytes("UTF-8")
+    val enc = GzipCodec.encode(bytes)
+    // real gzip stream: RFC 1952 magic
+    assert((enc(0) & 0xff) == 0x1f && (enc(1) & 0xff) == 0x8b)
+    assert(enc.length < bytes.length) // repetitive text actually compresses
+    val meta = GzipCodec.decode(7L, enc)
+    assert(meta.doc_id == 7L)
+    assert(meta.format == "gzip")
+    assert(meta.enc_len == enc.length.toLong)
+    assert(meta.dec_len == bytes.length.toLong)
+    // ISIZE trailer parsed from the last 4 bytes matches the true length
+    assert(meta.isize == bytes.length.toLong && meta.isize_ok)
+  }
+
+  test("non-gzip payload is classified raw, not crashed on") {
+    val meta = GzipCodec.decode(1L, "plainly not gzip".getBytes("UTF-8"))
+    assert(meta.format == "raw" && meta.dec_len == -1L && !meta.isize_ok)
+  }
+
+  test("q92 decodes every document and conserves byte counts (sf0.001)") {
+    val sf = "/root/testdata/sf0.001"
+    val out = Multimodal.queries("q92_multimodal_decode")(spark, sf).collect()
+    assert(out.nonEmpty)
+    // every group decoded as genuine gzip with a verified ISIZE
+    assert(out.forall(_.getAs[String]("format") == "gzip"))
+    assert(out.forall(_.getAs[Boolean]("all_isize_ok")))
+    // decompressed bytes must equal the corpus' UTF-8 text bytes
+    val decTotal = out.map(_.getAs[Long]("dec_bytes")).sum
+    val expected = graft.model.Tables(spark, sf, "documents")
+      .selectExpr("CAST(sum(octet_length(CAST(text AS BINARY))) AS BIGINT)")
+      .head().getLong(0)
+    assert(decTotal == expected)
+  }
+}

@@ -85,6 +85,34 @@ class GrafanaSpec extends SparkSpec {
       """[{"target":"cpu","datapoints":[[2,1704412800000],[7,1704412805000]]}]""")
   }
 
+  test("downsampled query never exceeds maxDataPoints buckets (edge spans)") {
+    import spark.implicits._
+    // 12 points over an 11 s inclusive span with maxDataPoints=2: floor
+    // division would yield a third bucket; ceiling+clamp must not
+    val m = (0 to 11).map(i =>
+      ("cpu", Timestamp.valueOf(f"2024-01-05 00:00:$i%02d"), i.toDouble))
+      .toDF("series", "ts", "value")
+    val json = Grafana.queryDownsampled(m,
+      QueryRequest(Seq(Target("cpu", "timeseries")),
+        TimeRange("2024-01-05 00:00:00", "2024-01-05 00:00:11"), 2))
+    val buckets = json.split("\\[\\[|\\],\\[").length - 1
+    assert(buckets <= 2, s"got $buckets buckets: $json")
+    // the row at exactly `to` is clamped into the last bucket, not lost
+    assert(json.contains("datapoints") && json.split(",1704412").length - 1 == 2)
+  }
+
+  test("downsampled query skips null values instead of NPEing") {
+    import spark.implicits._
+    val m = Seq(
+      ("cpu", Timestamp.valueOf("2024-01-05 00:00:01"), Some(1.0)),
+      ("cpu", Timestamp.valueOf("2024-01-05 00:00:02"), None))
+      .toDF("series", "ts", "value")
+    val json = Grafana.queryDownsampled(m,
+      QueryRequest(Seq(Target("cpu", "timeseries")), range, 10))
+    // one surviving point, reported at its bucket's start time
+    assert(json == """[{"target":"cpu","datapoints":[[1,1704412800000]]}]""")
+  }
+
   test("annotations/tag endpoints are empty stubs (index.js:159-181)") {
     assert(Grafana.annotations == "[]" && Grafana.tagKeys == "[]" &&
       Grafana.tagValues == "[]")

@@ -29,6 +29,23 @@ class CollectorSpec extends SparkSpec {
     assert(out(0).getAs[java.sql.Date]("p_date").toString == "2024-01-01")
   }
 
+  test("per-source transformResponse: two sources, two payload shapes (R2)") {
+    import spark.implicits._
+    // cpu scrapes {"count": N} (default); mem scrapes a nested field —
+    // the reference's per-proxy transformResponse (config.js.dist:25-35)
+    val raw = Seq(
+      ("cpu", ts("2024-01-01 00:00:00"), """{"count": 42.5}"""),
+      ("mem", ts("2024-01-01 00:00:01"), """{"data": {"used_pct": 63.2}}"""),
+      ("mem", ts("2024-01-01 00:00:02"), """{"count": 9}""") // wrong shape for mem
+    ).toDF("series", "ts", "body")
+    val out = Collector.transform(raw, Map(
+      "mem" -> "CAST(get_json_object(body, '$.data.used_pct') AS DOUBLE)"))
+      .orderBy("ts").collect()
+    assert(out.length == 2) // mem's wrong-shape payload fails ITS extractor
+    assert(out(0).getAs[String]("series") == "cpu" && out(0).getAs[Double]("value") == 42.5)
+    assert(out(1).getAs[String]("series") == "mem" && out(1).getAs[Double]("value") == 63.2)
+  }
+
   test("streaming collector pipeline appends via foreachBatch (R1-R5)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -79,6 +96,18 @@ class CollectorSpec extends SparkSpec {
     val days = out.select(col("p_date").cast("string")).as[String].collect().sorted
     assert(days.toSeq == Seq("2024-01-01", "2024-01-02"))
     assert(new java.io.File(s"$sinkDir/p_date=2024-01-01").exists())
+  }
+
+  test("sink batch replay is idempotent (exactly-once, not at-least-once)") {
+    import spark.implicits._
+    val sinkDir = java.nio.file.Files.createTempDirectory("sink_idem").toString
+    val batch = Seq(("cpu", ts("2024-01-01 10:00:00"), 1.0))
+      .toDF("series", "ts", "value").withColumn("p_date", to_date(col("ts")))
+    Collector.writeBatch(batch, 0L, sinkDir)
+    Collector.writeBatch(batch, 0L, sinkDir) // replay after a simulated crash
+    Collector.writeBatch(batch, 1L, sinkDir) // a genuinely new batch
+    val n = spark.read.json(sinkDir).count()
+    assert(n == 2) // the replay overwrote its own batch partition
   }
 
   test("watermarked aggregation drops late rows beyond 10 minutes (q74)") {

@@ -35,6 +35,55 @@ class RetentionSpec extends SparkSpec {
     assert(left == Seq(4.0, 5.0))
   }
 
+  test("per-series cutoffs: short-retention series expires while long survives") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("retention3").toString
+    val rows = Seq(
+      // cpu retains from 01-03 12:00; mem retains everything from 01-01
+      ("cpu", Timestamp.valueOf("2024-01-01 05:00:00"), 1.0),
+      ("mem", Timestamp.valueOf("2024-01-01 05:00:00"), 10.0),
+      ("cpu", Timestamp.valueOf("2024-01-02 05:00:00"), 2.0),
+      ("mem", Timestamp.valueOf("2024-01-02 05:00:00"), 20.0),
+      ("cpu", Timestamp.valueOf("2024-01-03 05:00:00"), 3.0),  // before cpu cutoff time
+      ("cpu", Timestamp.valueOf("2024-01-03 18:00:00"), 4.0),  // after cpu cutoff time
+      ("mem", Timestamp.valueOf("2024-01-03 05:00:00"), 30.0),
+      ("gpu", Timestamp.valueOf("2024-01-01 05:00:00"), 99.0)  // no policy: kept
+    ).toDF("series", "ts", "value")
+      .withColumn("p_date", to_date(col("ts")))
+    rows.write.mode("overwrite").partitionBy("p_date").parquet(dir)
+
+    val (dropped, rewritten) = Retention.enforcePerSeries(spark, dir, Map(
+      "cpu" -> Timestamp.valueOf("2024-01-03 12:00:00"),
+      "mem" -> Timestamp.valueOf("2024-01-01 00:00:00")))
+    // no day is before EVERY cutoff (mem keeps from 01-01) → no drops;
+    // days 01-01..01-03 rewritten with the per-series predicate
+    assert(dropped == 0 && rewritten == 3)
+    val left = spark.read.parquet(dir)
+      .select("series", "value").as[(String, Double)].collect().toSet
+    assert(left == Set(("cpu", 4.0),
+      ("mem", 10.0), ("mem", 20.0), ("mem", 30.0), ("gpu", 99.0)))
+  }
+
+  test("per-series cutoffs: days before every cutoff drop without a read") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("retention4").toString
+    Seq(("cpu", Timestamp.valueOf("2024-01-01 05:00:00"), 1.0),
+      ("mem", Timestamp.valueOf("2024-01-01 06:00:00"), 2.0),
+      ("cpu", Timestamp.valueOf("2024-01-05 05:00:00"), 3.0),
+      ("mem", Timestamp.valueOf("2024-01-05 06:00:00"), 4.0))
+      .toDF("series", "ts", "value")
+      .withColumn("p_date", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("p_date").parquet(dir)
+    val (dropped, rewritten) = Retention.enforcePerSeries(spark, dir, Map(
+      "cpu" -> Timestamp.valueOf("2024-01-04 00:00:00"),
+      "mem" -> Timestamp.valueOf("2024-01-03 00:00:00")))
+    // 01-01 is before both cutoffs → metadata drop; 01-05 is at/after the
+    // latest cutoff's midnight → untouched
+    assert(dropped == 1 && rewritten == 0)
+    val left = spark.read.parquet(dir).select("value").as[Double].collect().sorted.toSeq
+    assert(left == Seq(3.0, 4.0))
+  }
+
   test("midnight cutoff needs no edge rewrite (pure partition drop)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("retention2").toString
