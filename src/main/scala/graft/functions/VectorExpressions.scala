@@ -84,6 +84,7 @@ object VectorExpressions {
   val fnName = "vec_cosine"
   val shinglesFnName = "text_shingles"
   val pairsFnName = "array_pairs"
+  val simhashFnName = "simhash_agg"
 
   /** Idempotent runtime registration of ALL graft native expressions
     * (for sessions not built with
@@ -112,6 +113,13 @@ object VectorExpressions {
           require(children.length == 1, s"$pairsFnName expects 1 argument")
           ArrayPairs(children.head)
         })
+    if (!reg.functionExists(FunctionIdentifier(simhashFnName)))
+      reg.registerFunction(FunctionIdentifier(simhashFnName),
+        new ExpressionInfo(classOf[SimHashAgg].getName, simhashFnName),
+        { children =>
+          require(children.length == 1, s"$simhashFnName expects 1 argument")
+          SimHashAgg(children.head).toAggregateExpression()
+        })
   }
 }
 
@@ -133,5 +141,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ArrayPairs].getName,
         VectorExpressions.pairsFnName),
       exprs => ArrayPairs(exprs.head)))
+    ext.injectFunction((FunctionIdentifier(VectorExpressions.simhashFnName),
+      new ExpressionInfo(classOf[SimHashAgg].getName,
+        VectorExpressions.simhashFnName),
+      exprs => SimHashAgg(exprs.head).toAggregateExpression()))
   }
 }

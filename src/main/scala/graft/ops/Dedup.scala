@@ -49,56 +49,41 @@ object Dedup {
     // (band hash = md5 of its 4 signature rows). Output is the candidate
     // set an exact verifier (q81-style) would then refine.
     "q85_minhash_lsh" -> ((s, dir) => {
-      val sig = signature(s, dir)
-      // both self-join branches consume the band table — materialize it
-      // once (tiny: 4 rows per doc) instead of recomputing the signature
-      // aggregation per branch
-      val bands = sig.select(col("doc_id"), explode(array(
+      val bands = signature(s, dir).select(col("doc_id"), explode(array(
         (0 until BANDS).map { b =>
           struct(lit(b).as("band"),
             md5(concat_ws("|", (0 until 4).map(r => col(s"h${b * 4 + r}")): _*)).as("bh"))
         }: _*)).as("e"))
         .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      // candidate pairs per band bucket via groupBy + compiled pair
+      // expansion (array_pairs) — ONE shuffle on the bucket key instead
+      // of a two-sided self-join (which would exchange the band table
+      // twice and build a join hash side); same quadratic-per-bucket
+      // output either way, and LSH buckets are near-dup clusters, so
+      // they stay small by construction
+      bands.groupBy(col("band"), col("bh"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .select(explode(expr("array_pairs(ds)")).as("p"))
+        .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
         .agg(count(lit(1)).as("shared_bands"))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
-    // SimHash: 64-bit fingerprint from the corpus's own md5 word hashes.
-    // Per (doc, hex position 1..16): sum ±1 votes per bit of the nibble,
-    // reassemble the majority nibble, concat positions → 16-hex-char
-    // fingerprint. One shuffle (groupBy doc_id, pos), one more to
-    // reassemble — linear in token count.
+    // SimHash: 64-bit fingerprint from the corpus's own md5 word hashes,
+    // computed by the custom TypedImperativeAggregate simhash_agg
+    // (graft.functions.SimHashAgg): each distinct word's hash folds into
+    // a 64-slot ±1 vote buffer map-side, buffers merge by elementwise
+    // add (order-independent), ONE shuffle of 256-byte partials. The
+    // declarative form would explode every token row into 16 — a 16×
+    // shuffle amplification this aggregate exists to avoid.
     "q86_simhash" -> ((s, dir) => {
-      val words = Tables(s, dir, "documents")
+      graft.functions.VectorExpressions.ensureRegistered(s)
+      Tables(s, dir, "documents")
         .filter(col("text") =!= "")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .filter(col("w") =!= "").distinct()
-        .withColumn("h", md5(col("w")))
-      val perPos = words
-        .select(col("doc_id"), explode(expr(
-          """transform(sequence(1, 16), p -> named_struct(
-            |  'pos', p,
-            |  'v', instr('0123456789abcdef', substr(h, p, 1)) - 1))""".stripMargin)).as("e"))
-        .select(col("doc_id"), col("e.pos").as("pos"), col("e.v").as("v"))
-        .groupBy(col("doc_id"), col("pos"))
-        .agg(
-          sum(expr("2 * ((v div 8) % 2) - 1")).as("s3"),
-          sum(expr("2 * ((v div 4) % 2) - 1")).as("s2"),
-          sum(expr("2 * ((v div 2) % 2) - 1")).as("s1"),
-          sum(expr("2 * (v % 2) - 1")).as("s0"))
-        .withColumn("nib",
-          expr("8 * CAST(s3 > 0 AS INT) + 4 * CAST(s2 > 0 AS INT) + 2 * CAST(s1 > 0 AS INT) + CAST(s0 > 0 AS INT)"))
-        .withColumn("ch", expr("substr('0123456789abcdef', nib + 1, 1)"))
-      perPos.groupBy(col("doc_id"))
-        .agg(array_join(
-          expr("transform(array_sort(collect_list(struct(pos, ch))), x -> x.ch)"), "")
-          .as("simhash"))
+        .groupBy(col("doc_id"))
+        .agg(expr("simhash_agg(md5(w))").as("simhash"))
         .orderBy(col("doc_id"))
     }),
 
