@@ -45,6 +45,54 @@ case class TextShingles(child: Expression)
     copy(child = newChild)
 }
 
+/** Native character n-gram generator: `char_ngrams(text, n)` →
+  * `array<string>` of every n-character window (n a foldable literal).
+  * Character counting is code-point-agnostic ASCII-equivalent: positions
+  * follow `String` UTF-16 units, identical to DuckDB `substr` semantics
+  * for ASCII and BMP text (the corpus contract). Same rationale as
+  * [[TextShingles]]: the transform/substring HOF form runs interpreted.
+  */
+case class CharNGrams(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, literal int), got ($l, $r)")
+    }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_ngrams"
+
+  override def nullSafeEval(t: Any, n: Any): Any =
+    CharNGrams.ngrams(t.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, n) =>
+      s"${ev.value} = graft.functions.CharNGrams.ngrams($t, $n);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CharNGrams =
+    copy(left = newLeft, right = newRight)
+}
+
+object CharNGrams {
+  def ngrams(s: UTF8String, n: Int): ArrayData = {
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    val str = s.toString
+    val len = str.length
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](len - n + 1)
+    var i = 0
+    while (i <= len - n) {
+      out(i) = UTF8String.fromString(str.substring(i, i + n))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Native unordered-pair expansion: `array_pairs(xs)` over a SORTED
   * `array<bigint>` → `array<struct<a:bigint, b:bigint>>` of all a<b
   * element pairs — the candidate-pair generator after a groupBy-collect

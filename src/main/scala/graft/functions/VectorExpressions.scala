@@ -85,6 +85,7 @@ object VectorExpressions {
   val shinglesFnName = "text_shingles"
   val pairsFnName = "array_pairs"
   val simhashFnName = "simhash_agg"
+  val ngramsFnName = "char_ngrams"
 
   /** Idempotent runtime registration of ALL graft native expressions
     * (for sessions not built with
@@ -120,6 +121,13 @@ object VectorExpressions {
           require(children.length == 1, s"$simhashFnName expects 1 argument")
           SimHashAgg(children.head).toAggregateExpression()
         })
+    if (!reg.functionExists(FunctionIdentifier(ngramsFnName)))
+      reg.registerFunction(FunctionIdentifier(ngramsFnName),
+        new ExpressionInfo(classOf[CharNGrams].getName, ngramsFnName),
+        { children =>
+          require(children.length == 2, s"$ngramsFnName expects 2 arguments")
+          CharNGrams(children.head, children(1))
+        })
   }
 }
 
@@ -145,5 +153,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHashAgg].getName,
         VectorExpressions.simhashFnName),
       exprs => SimHashAgg(exprs.head).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier(VectorExpressions.ngramsFnName),
+      new ExpressionInfo(classOf[CharNGrams].getName,
+        VectorExpressions.ngramsFnName),
+      exprs => CharNGrams(exprs.head, exprs(1))))
   }
 }

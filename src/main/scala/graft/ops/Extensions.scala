@@ -149,6 +149,41 @@ object Extensions {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Character n-gram Jaccard near-dup (the n-gram variant of q81:
+    // robust to word-boundary edits — tokenization-free). Same scale
+    // machinery: native char_ngrams generator, stop-gram DF cap (char
+    // n-grams are far hotter than word shingles — the cap is what keeps
+    // candidate fan-out bounded), compiled pair expansion. n=8 because
+    // this corpus' vocabulary is tiny (char-5-grams all exceed the cap).
+    "q95_ngram_jaccard" -> ((s, dir) => {
+      graft.functions.VectorExpressions.ensureRegistered(s)
+      val maxDf = 50 // stop-gram bound; mirrored in the oracle HAVING
+      val sh = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(expr("char_ngrams(text, 8)")).as("g"))
+        .distinct()
+      val kept = sh
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("g")))
+        .filter(col("df") <= maxDf)
+        .drop("df")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sz = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pairs = kept.groupBy("g")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .select(explode(expr("array_pairs(ds)")).as("p"))
+        .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      val jac = col("inter").cast("double") /
+        (col("sa.n") + col("sb.n") - col("inter")).cast("double")
+      pairs
+        .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .filter(jac >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("inter"), round(jac, 4).as("jac"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // ─────────────────────── similarity search ───────────────────────────
     // Brute-force cosine top-k against probe vec_id=0 (broadcast), on the
     // native codegen expression (graft.functions.FloatVecCosine): one
@@ -229,6 +264,26 @@ object Extensions {
         |FROM pr JOIN sz sa ON pr.doc_a = sa.doc_id
         |        JOIN sz sb ON pr.doc_b = sb.doc_id
         |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q95_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id,
+        |           unnest(list_transform(range(1, len(text) - 6),
+        |                  i -> substr(text, i, 8))) AS g
+        |    FROM documents WHERE len(text) >= 8)),
+        |keep AS (SELECT g FROM sh GROUP BY g HAVING count(*) <= 50),
+        |kept AS (SELECT s.doc_id, s.g FROM sh s JOIN keep USING (g)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+        |pr AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT doc_a, doc_b, inter,
+        |       round(CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE), 4) AS jac
+        |FROM pr JOIN sz sa ON pr.doc_a = sa.doc_id
+        |        JOIN sz sb ON pr.doc_b = sb.doc_id
+        |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q82_cosine_topk" ->
       """WITH pe AS (

@@ -129,9 +129,12 @@ object Windows {
         .withColumn("lrn", row_number().over(
           Window.partitionBy("pid").orderBy(keys: _*)).cast("long"))
       // ≤ 32 rows: cumulative counts per range partition, broadcast back
+      // (constant partitionBy: deliberately one tiny partition — and no
+      // spurious "no partition defined" WARN in the driver logs)
       val offs = local.groupBy("pid").agg(count(lit(1)).as("c"))
         .withColumn("off", coalesce(sum(col("c")).over(
-          Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+          Window.partitionBy(lit(0)).orderBy("pid")
+            .rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
         .select("pid", "off")
       val n1 = cust.agg(count(lit(1)).as("n")) // 1 row, broadcast

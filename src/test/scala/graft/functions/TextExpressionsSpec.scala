@@ -49,6 +49,34 @@ class TextExpressionsSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("char_ngrams matches the substring HOF form on edge cases") {
+    VectorExpressions.ensureRegistered(spark)
+    import spark.implicits._
+    val hof = expr(
+      """CASE WHEN length(text) >= 4
+        |THEN transform(sequence(1, length(text) - 3), i -> substring(text, i, 4))
+        |ELSE array() END""".stripMargin)
+    val docs = Seq("abcdef", "abcd", "abc", "", "a b c d", "aaaa aaaa").toDF("text")
+    docs.select(expr("char_ngrams(text, 4)").as("native"), hof.as("hof"))
+      .collect().foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"native=${r.getSeq[String](0)} hof=${r.getSeq[String](1)}")
+      }
+  }
+
+  test("char_ngrams corpus-wide parity (sf0.001)") {
+    VectorExpressions.ensureRegistered(spark)
+    val docs = graft.model.Tables(spark, sf(), "documents")
+    val hof = expr(
+      """CASE WHEN length(text) >= 8
+        |THEN transform(sequence(1, length(text) - 7), i -> substring(text, i, 8))
+        |ELSE array() END""".stripMargin)
+    val diff = docs.select(
+        expr("char_ngrams(text, 8)").as("native"), hof.as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diff == 0)
+  }
+
   test("codegen and interpreted paths agree") {
     VectorExpressions.ensureRegistered(spark)
     import spark.implicits._
