@@ -15,29 +15,53 @@ import org.apache.spark.sql.SparkSession
   *
   * Run it like retention ([[Retention.enforce]]): a periodic maintenance
   * job over closed (past-day) partitions.
+  *
+  * Scale note: partition discovery here is a driver-side directory
+  * listing — right for date-partitioned maintenance, but at 100 TB
+  * (millions of partitions) the production substrate is a table format
+  * with a metadata catalog (Iceberg/Delta-style manifest lists), where
+  * both the listing and the swap become catalog transactions.
   */
 object Compaction {
 
-  /** Compact partitions with more than `maxFiles` data files down to
-    * `targetFiles`. Returns the number of partitions rewritten.
+  /** Compact partitions with more than `maxFiles` data files (counted
+    * recursively — the collector's idempotent sink nests `batch_id=`
+    * subdirs under each day) down to `targetFiles`. Compacted rows merge
+    * into a single `batch_id=-1` subpartition so the table keeps ONE
+    * uniform partition tree (a flat rewrite next to batch_id-nested
+    * sibling days would make every later read fail on conflicting
+    * partition columns). Only run over CLOSED (past-day) partitions: a
+    * micro-batch replayed after its rows were merged into batch_id=-1
+    * would no longer be deduplicated by the sink's overwrite.
+    * Returns the number of partitions rewritten.
     */
   def compact(spark: SparkSession, tableDir: String, format: String = "json",
               maxFiles: Int = 8, targetFiles: Int = 1): Int = {
     val root = new Path(tableDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0
+    def dataFiles(dir: Path): Seq[Path] =
+      fs.listStatus(dir).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Seq.empty
+        else if (st.isDirectory) dataFiles(st.getPath)
+        else Seq(st.getPath)
+      }
     var rewritten = 0
     fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("p_date="))
       .foreach { part =>
-        val dataFiles = fs.listStatus(part.getPath).toSeq
-          .filter(f => f.isFile && !f.getPath.getName.startsWith("_")
-            && !f.getPath.getName.startsWith("."))
-        if (dataFiles.length > maxFiles) {
+        if (dataFiles(part.getPath).length > maxFiles) {
           val df = spark.read.format(format).load(part.getPath.toString)
           val tmp = new Path(part.getPath.getParent, s".compact_tmp_${part.getPath.getName}")
-          df.repartition(targetFiles)
-            .write.mode("overwrite").format(format).save(tmp.toString)
+          val merged =
+            if (df.columns.contains("batch_id"))
+              df.withColumn("batch_id", org.apache.spark.sql.functions.lit(-1))
+            else df
+          val w = merged.repartition(targetFiles)
+            .write.mode("overwrite").format(format)
+          (if (merged.columns.contains("batch_id")) w.partitionBy("batch_id") else w)
+            .save(tmp.toString)
           fs.delete(part.getPath, true)
           fs.rename(tmp, part.getPath)
           rewritten += 1

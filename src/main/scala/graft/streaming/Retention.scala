@@ -17,6 +17,11 @@ import org.apache.spark.sql.functions._
   *    full rewrite);
   *  - the single edge partition containing the cutoff instant → rewritten
   *    with `ts >= cutoff`, giving the reference's sub-day precision.
+  *
+  * Scale note: partition discovery is a driver-side directory listing —
+  * fine for date-partition maintenance; at 100 TB (millions of
+  * partitions) the production substrate is a table format with a
+  * metadata catalog, where the drop is a manifest-level delete.
   */
 object Retention {
 
@@ -70,10 +75,7 @@ object Retention {
           .join(dim, col("series") === col("r_series"), "left")
           .filter(col("cutoff").isNull || col("ts") >= col("cutoff"))
           .drop("r_series", "cutoff")
-        val tmp = new Path(p.getParent, s".retention_tmp_${p.getName}")
-        survivors.write.mode("overwrite").format(format).save(tmp.toString)
-        fs.delete(p, true)
-        fs.rename(tmp, p)
+        rewrite(spark, fs, p, survivors, format)
         rewritten += 1
       }
     }
@@ -107,13 +109,28 @@ object Retention {
         // complement of the reference's `time < cutoff` delete)
         val survivors = spark.read.format(format).load(p.toString)
           .filter(col("ts") >= lit(cutoff))
-        val tmp = new Path(p.getParent, s".retention_tmp_${p.getName}")
-        survivors.write.mode("overwrite").format(format).save(tmp.toString)
-        fs.delete(p, true)
-        fs.rename(tmp, p)
+        rewrite(spark, fs, p, survivors, format)
         rewritten += 1
       }
     }
     (dropped, rewritten)
+  }
+
+  /** Atomically replace partition directory `p` with `survivors`,
+    * PRESERVING any sub-partition columns discovered under it (the
+    * collector's idempotent sink nests `batch_id=` under each day — a
+    * flat rewrite would leave sibling day directories with conflicting
+    * partition trees and break every later read of the table).
+    */
+  private def rewrite(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+                      p: Path, survivors: org.apache.spark.sql.DataFrame,
+                      format: String): Unit = {
+    val subParts = survivors.columns.filter(Set("batch_id"))
+    val tmp = new Path(p.getParent, s".retention_tmp_${p.getName}")
+    val w = survivors.write.mode("overwrite").format(format)
+    (if (subParts.nonEmpty) w.partitionBy(subParts.toIndexedSeq: _*) else w)
+      .save(tmp.toString)
+    fs.delete(p, true)
+    fs.rename(tmp, p)
   }
 }

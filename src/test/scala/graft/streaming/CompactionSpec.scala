@@ -32,4 +32,28 @@ class CompactionSpec extends SparkSpec {
     val after = spark.read.json(dir).agg(sum("value")).head().getDouble(0)
     assert(before == after)
   }
+
+  test("compacts the collector's batch_id-nested layout into one uniform tree") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("compact_b").toString
+    // simulate the idempotent sink: many tiny batches on day 1, two on day 2
+    def batch(day: String, id: Long, v: Double) =
+      Collector.writeBatch(
+        Seq(("cpu", Timestamp.valueOf(s"$day 10:00:00"), v))
+          .toDF("series", "ts", "value").withColumn("p_date", to_date(col("ts"))),
+        id, dir)
+    (0 until 12).foreach(i => batch("2024-01-01", i.toLong, i.toDouble))
+    (100 until 102).foreach(i => batch("2024-01-02", i.toLong, i.toDouble))
+
+    val before = spark.read.json(dir).agg(sum("value")).head().getDouble(0)
+    val n = Compaction.compact(spark, dir, format = "json", maxFiles = 8, targetFiles = 1)
+    assert(n == 1) // only the fragmented day
+    // day 1 merged into the single batch_id=-1 subpartition; tree uniform
+    assert(new java.io.File(s"$dir/p_date=2024-01-01/batch_id=-1").exists())
+    assert(!new java.io.File(s"$dir/p_date=2024-01-01/batch_id=0").exists())
+    assert(new java.io.File(s"$dir/p_date=2024-01-02/batch_id=100").exists())
+    // the whole table still reads as one consistent partitioned dataset
+    val after = spark.read.json(dir).agg(sum("value")).head().getDouble(0)
+    assert(before == after)
+  }
 }
