@@ -23,8 +23,8 @@ object SparkEntry {
       Similarity.queries ++ Multimodal.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Queries declared Spark-only (q66, q71, q74,
-    * q92) are intentionally absent (SURVEY.md §2.2 "oracle = no").
+    * the same parquet tables. The one Spark-only query (q92 — DuckDB has
+    * no gzip codec) is intentionally absent (SURVEY.md §2.2 "oracle = no").
     */
   def oracleSql: Map[String, String] =
     Reference.oracle ++ Relational.oracle ++ Windows.oracle ++

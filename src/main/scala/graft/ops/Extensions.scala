@@ -70,9 +70,9 @@ object Extensions {
         .limit(20)
     }),
 
-    // Spark-only (no oracle): DuckDB map semantics differ (SURVEY.md §2.2).
-    // Keys are serialized to a CSV string — even no-oracle queries pass
-    // through the driver's rows check, which cannot sort array cells.
+    // Map ops over JSON props; keys serialized to a CSV string (the
+    // driver's harness cannot sort array cells). Oracle via DuckDB's json
+    // extension (json_keys / json_extract — autoloaded offline).
     "q66_map_type" -> ((s, dir) => {
       Tables(s, dir, "events")
         .withColumn("m", from_json(col("props"), MapType(StringType, LongType)))
@@ -106,9 +106,12 @@ object Extensions {
     //     sorted doc list → pair expansion inside one codegen'd lambda:
     //     one shuffle on the shingle instead of a two-sided string join,
     //     and the cap bounds each group's expansion.
-    //  3. The window that computes DF partitions on `sh`, and the groupBy
-    //     that follows groups on `sh` — Catalyst reuses the partitioning,
-    //     so DF-cap + pair-gen cost ONE shuffle on the shingle total.
+    //  3. DF via a COUNT WINDOW over sh, not groupBy(sh).agg(collect_set):
+    //     the window spills per-partition state safely, while collecting a
+    //     hot shingle's full doc set into one agg buffer before the cap
+    //     could filter it is exactly the OOM the cap exists to prevent.
+    //     (The persist boundary makes the later groupBy(sh) re-exchange
+    //     the capped set — a second, much smaller shingle shuffle.)
     "q81_shingle_jaccard" -> ((s, dir) => {
       graft.functions.VectorExpressions.ensureRegistered(s)
       val maxDf = 50 // stop-shingle bound; mirrored in the oracle HAVING
@@ -239,6 +242,11 @@ object Extensions {
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |WHERE word <> '' GROUP BY word
         |ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
+    "q66_map_type" ->
+      """SELECT event_id,
+        |       array_to_string(list_sort(json_keys(props)), ',') AS ks,
+        |       CAST(json_extract(props, '$.k') AS BIGINT) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
     "q80_exact_dedup_docs" ->
       """SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS min_id
         |FROM documents GROUP BY md5(text) HAVING count(*) > 1

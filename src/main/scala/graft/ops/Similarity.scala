@@ -48,12 +48,10 @@ object Similarity {
 
   val queries: Map[String, Q] = Map(
 
-    // q82 rebuilt on the native codegen expression (graft.functions.
-    // FloatVecCosine) — the production hot path: one fused
-    // dot/norm/cosine loop inside whole-stage codegen instead of the
-    // interpreted decimal HOF chain. Declared rows-only: double
-    // accumulation is order-fixed per row but not decimal-exact, so it is
-    // deliberately outside the oracle set (SURVEY.md §2.3).
+    // The named showcase of the SparkSessionExtensions-registered native
+    // cosine (q82 adopted the same expression once its 3-decimal rounding
+    // was verified hash-identical to the decimal-exact formulation, so
+    // this now shares q82's oracle).
     "q93_cosine_topk_native" -> ((s, dir) => {
       graft.functions.VectorExpressions.ensureRegistered(s)
       val emb = Tables(s, dir, "embeddings")
@@ -108,6 +106,26 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    // q93 computes exactly q82's contract on the native expression —
+    // same decimal-exact oracle
+    "q93_cosine_topk_native" ->
+      """WITH pe AS (
+        |  SELECT generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v
+        |  FROM embeddings WHERE vec_id = 0),
+        |ee AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v
+        |  FROM embeddings),
+        |dots AS (
+        |  SELECT ee.vec_id,
+        |         CAST(sum(CAST(CAST(ee.v AS DOUBLE) * CAST(pe.v AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS dp,
+        |         CAST(sum(CAST(CAST(ee.v AS DOUBLE) * CAST(ee.v AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS na
+        |  FROM ee JOIN pe USING (i) GROUP BY ee.vec_id),
+        |pn AS (
+        |  SELECT CAST(sum(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS np
+        |  FROM pe)
+        |SELECT vec_id, round(dp / (sqrt(na) * sqrt(np)), 3) AS sim
+        |FROM dots, pn WHERE vec_id <> 0
+        |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin,
     "q94_embedding_neardup" ->
       """WITH b AS (
         |  SELECT vec_id, embedding,

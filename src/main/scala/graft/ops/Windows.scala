@@ -169,8 +169,9 @@ object Windows {
         .orderBy(col("day_ms"), col("event_type"))
     }),
 
-    // Sliding windows overlap ⇒ each row lands in 2 buckets; Spark-only
-    // (declared without oracle, SURVEY.md §2.2).
+    // Sliding windows overlap ⇒ each row lands in exactly 2 buckets
+    // (duration 1 h, slide 30 min: starts floor30(t) and floor30(t)−30min);
+    // the oracle expands that membership explicitly via unnest.
     "q71_sliding_window" -> ((s, dir) => {
       Tables(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
@@ -207,7 +208,8 @@ object Windows {
     // Batch analog of the watermarked streaming aggregation; the real
     // streaming query (withWatermark + window) lives in
     // graft.streaming.Collector and is exercised by the streaming test
-    // harness (SURVEY.md §5.2.5). Declared without oracle.
+    // harness (SURVEY.md §5.2.5). The batch tumbling count itself is
+    // oracle-checked.
     "q74_watermark_late" -> ((s, dir) => {
       Tables(s, dir, "events")
         .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
@@ -279,6 +281,17 @@ object Windows {
       """SELECT epoch_ms(date_trunc('day', ts)) AS day_ms, event_type, count(*) AS cnt,
         |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v
         |FROM events GROUP BY 1, 2 ORDER BY day_ms, event_type""".stripMargin,
+    "q71_sliding_window" ->
+      """SELECT w_ms, event_type, count(*) AS cnt FROM (
+        |  SELECT event_type,
+        |         unnest([epoch_ms(ts) // 1800000 * 1800000 - 1800000,
+        |                 epoch_ms(ts) // 1800000 * 1800000]) AS w_ms
+        |  FROM events)
+        |GROUP BY w_ms, event_type
+        |ORDER BY w_ms, event_type""".stripMargin,
+    "q74_watermark_late" ->
+      """SELECT epoch_ms(ts) // 600000 * 600000 AS w_ms, event_type, count(*) AS cnt
+        |FROM events GROUP BY 1, 2 ORDER BY w_ms, event_type""".stripMargin,
     "q72_session_window" ->
       """WITH flagged AS (
         |  SELECT user_id, ts,

@@ -105,6 +105,50 @@ class GenerativePropertiesSpec extends SparkSpec {
     }
   }
 
+  test("text_shingles/char_ngrams match their HOF forms on arbitrary text") {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    import spark.implicits._
+    // arbitrary words incl. empties (consecutive/leading/trailing spaces)
+    val textGen: Gen[String] = Gen.listOf(
+      Gen.oneOf(Gen.alphaNumStr.map(_.take(6)), Gen.const("")))
+      .map(_.mkString(" "))
+    forAll(Gen.listOf(textGen), n = 8) { texts =>
+      whenever(texts.nonEmpty) {
+        val df = texts.toDF("text")
+        val shingleHof = expr(
+          """CASE WHEN text <> '' AND size(split(text, ' ')) >= 3
+            |THEN transform(sequence(0, size(split(text, ' ')) - 3),
+            |     i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], split(text, ' ')[i+2]))
+            |ELSE array() END""".stripMargin)
+        val ngramHof = expr(
+          """CASE WHEN length(text) >= 5
+            |THEN transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))
+            |ELSE array() END""".stripMargin)
+        assert(df.select(
+          expr("text_shingles(text)").as("a"), shingleHof.as("b"))
+          .filter(col("a") =!= col("b")).isEmpty)
+        assert(df.select(
+          expr("char_ngrams(text, 5)").as("a"), ngramHof.as("b"))
+          .filter(col("a") =!= col("b")).isEmpty)
+      }
+    }
+  }
+
+  test("array_pairs emits exactly k(k-1)/2 ordered pairs of a sorted set") {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    import spark.implicits._
+    forAll(Gen.listOf(Gen.choose(0L, 50L)), n = 8) { xs =>
+      val ds = xs.distinct.sorted
+      val df = Seq(Tuple1(ds.toArray)).toDF("ds")
+      val pairs = df.select(explode(expr("array_pairs(ds)")).as("p"))
+        .select(col("p.a"), col("p.b"))
+        .as[(Long, Long)].collect().toSeq
+      assert(pairs.length == ds.length * (ds.length - 1) / 2)
+      assert(pairs.forall { case (a, b) => a < b })
+      assert(pairs.distinct.length == pairs.length)
+    }
+  }
+
   test("retention keeps a monotone subset and is idempotent") {
     val gen = for { rows <- eventGen; cut <- Gen.choose(0L, 999L) } yield (rows, cut)
     forAll(gen) { case (rows, cutId) =>
