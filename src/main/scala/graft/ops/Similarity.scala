@@ -85,6 +85,35 @@ object Similarity {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Banded ANN near-dup — the recall-scaling variant the fixed-bucket
+    // design (q94) can't reach: TWO independent 8-bit sign bands (dims
+    // 1-8 and 9-16); a pair is a candidate if it collides in EITHER band
+    // (union of two projections ≈ double the recall of one bucket at the
+    // same per-bucket cost), then the native cosine verifies exactly.
+    // At 100 TB: more/narrower bands trade shuffle volume for recall,
+    // the same (b, r) dial as q85's MinHash banding.
+    "q96_ann_banded" -> ((s, dir) => {
+      graft.functions.VectorExpressions.ensureRegistered(s)
+      val emb = Tables(s, dir, "embeddings")
+      def bandBits(from: Int) = expr(
+        s"array_join(transform(slice(embedding, $from, 8), x -> CAST(CAST(x >= 0 AS INT) AS STRING)), '')")
+      val keys = emb.select(col("vec_id"), explode(array(
+        concat(lit("0|"), bandBits(1)),
+        concat(lit("1|"), bandBits(9)))).as("bk"))
+      val cand = keys.groupBy("bk")
+        .agg(sort_array(collect_list(col("vec_id"))).as("ds"))
+        .select(explode(expr("array_pairs(ds)")).as("p"))
+        .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+        .distinct() // a pair may collide in both bands
+      cand
+        .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("ea")), "id_a")
+        .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("eb")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          round(expr("vec_cosine(ea, eb)"), 3).as("sim"))
+        .filter(col("sim") >= 0.35)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Top-3 same-bucket cosine neighbors for each probe (vec_id < 3).
     "q91_ann_bucketed" -> ((s, dir) => {
       graft.functions.VectorExpressions.ensureRegistered(s)
@@ -126,6 +155,33 @@ object Similarity {
         |SELECT vec_id, round(dp / (sqrt(na) * sqrt(np)), 3) AS sim
         |FROM dots, pn WHERE vec_id <> 0
         |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin,
+    "q96_ann_banded" ->
+      """WITH b AS (
+        |  SELECT vec_id, embedding,
+        |         array_to_string(list_transform(embedding[1:8],
+        |             x -> CAST(CAST(x >= 0 AS INT) AS VARCHAR)), '') AS b0,
+        |         array_to_string(list_transform(embedding[9:16],
+        |             x -> CAST(CAST(x >= 0 AS INT) AS VARCHAR)), '') AS b1
+        |  FROM embeddings),
+        |keys AS (
+        |  SELECT vec_id, unnest(['0|' || b0, '1|' || b1]) AS bk FROM b),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+        |  FROM keys a JOIN keys c ON a.bk = c.bk AND a.vec_id < c.vec_id),
+        |elems AS (
+        |  SELECT id_a, id_b, unnest(ea.embedding) AS xa, unnest(eb.embedding) AS xb
+        |  FROM cand JOIN embeddings ea ON cand.id_a = ea.vec_id
+        |            JOIN embeddings eb ON cand.id_b = eb.vec_id),
+        |dots AS (
+        |  SELECT id_a, id_b,
+        |         CAST(sum(CAST(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS dp,
+        |         CAST(sum(CAST(CAST(xa AS DOUBLE) * CAST(xa AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS na,
+        |         CAST(sum(CAST(CAST(xb AS DOUBLE) * CAST(xb AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS nb
+        |  FROM elems GROUP BY id_a, id_b)
+        |SELECT id_a, id_b, round(dp / (sqrt(na) * sqrt(nb)), 3) AS sim
+        |FROM dots
+        |WHERE round(dp / (sqrt(na) * sqrt(nb)), 3) >= 0.35
+        |ORDER BY id_a, id_b""".stripMargin,
     "q94_embedding_neardup" ->
       """WITH b AS (
         |  SELECT vec_id, embedding,
