@@ -207,6 +207,44 @@ object Extensions {
         .limit(5)
     }),
 
+    // ──────────────────── training-data shaping ──────────────────────────
+    // Document chunking — fixed 50-token windows with 10-token overlap
+    // (stride 40), the standard shaping step before tokenization/packing.
+    // Chunk identity is carried as md5 of the chunk text (scalar outputs
+    // only, per the harness rule). Map-side work that pipelines inside
+    // the scan; per-doc chunk counts are tiny so the HOF expansion is
+    // not a hot path.
+    "q97_doc_chunks" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), w -> w <> '')").as("ws"))
+        .filter(size(col("ws")) > 0)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, CAST(ceil(size(ws) / 40.0) AS INT) - 1),
+            |  i -> named_struct('idx', i, 'chunk', slice(ws, i * 40 + 1, 50)))""".stripMargin))
+          .as("e"))
+        .select(col("doc_id"),
+          col("e.idx").cast("long").as("chunk_idx"),
+          size(col("e.chunk")).cast("long").as("n_tokens"),
+          md5(concat_ws(" ", col("e.chunk"))).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // Deterministic stratified sampling — top-20 docs per language under
+    // a content-independent md5 order: the reproducible-training-mix
+    // sampler (same sample on any cluster, any partitioning, any day).
+    "q98_stratified_sample" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("rk"), col("doc_id"))
+      Tables(s, dir, "documents")
+        .withColumn("rk",
+          md5(concat(col("doc_id").cast("string"), lit("|"), col("lang"))))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 20)
+        .select(col("lang"), col("doc_id"), col("rn"))
+        .orderBy(col("lang"), col("rn"))
+    }),
+
     // ─────────────────────── text analysis ───────────────────────────────
     "q83_text_stats" -> ((s, dir) => {
       Tables(s, dir, "documents")
@@ -311,6 +349,28 @@ object Extensions {
         |SELECT vec_id, round(dp / (sqrt(na) * sqrt(np)), 3) AS sim
         |FROM dots, pn WHERE vec_id <> 0
         |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin,
+    "q97_doc_chunks" ->
+      """WITH ws AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(0, CAST(ceil(len(ws) / 40.0) AS INT)),
+        |                i -> {'idx': i, 'chunk': ws[i*40+1 : i*40+50]})) AS e
+        |  FROM ws WHERE len(ws) > 0)
+        |SELECT doc_id, CAST(e.idx AS BIGINT) AS chunk_idx,
+        |       CAST(len(e.chunk) AS BIGINT) AS n_tokens,
+        |       md5(array_to_string(e.chunk, ' ')) AS chunk_md5
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q98_stratified_sample" ->
+      """SELECT lang, doc_id, rn FROM (
+        |  SELECT lang, doc_id,
+        |         CAST(row_number() OVER (
+        |           PARTITION BY lang
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR) || '|' || lang), doc_id)
+        |         AS BIGINT) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
     "q83_text_stats" ->
       """SELECT lang, count(*) AS docs,
         |       round(CAST(sum(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_chars,
