@@ -123,11 +123,18 @@ object Windows {
       val keys = Seq(col("c_acctbal"), col("c_custkey")) // unique sort key
       // pid is captured from the range partitioning, so local rank +
       // prefix offset = exact global rank regardless of where the
-      // sampled range boundaries land
+      // sampled range boundaries land. MUST be materialized once: both
+      // consumers (offsets, ranked join) would otherwise re-execute the
+      // range exchange, and RangePartitioner's sampling is not stable
+      // across executions — offsets from one partitioning applied to
+      // pids of another silently corrupts the global rank (caught by
+      // the sf0.1 oracle; invisible at small SFs where every sampling
+      // lands the same boundaries).
       val local = cust.repartitionByRange(32, keys: _*)
         .withColumn("pid", spark_partition_id())
         .withColumn("lrn", row_number().over(
           Window.partitionBy("pid").orderBy(keys: _*)).cast("long"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // ≤ 32 rows: cumulative counts per range partition, broadcast back
       // (constant partitionBy: deliberately one tiny partition — and no
       // spurious "no partition defined" WARN in the driver logs)
