@@ -256,6 +256,10 @@ object Relational {
 
     // Exact percentiles (linear interpolation — same definition in both
     // engines: index p*(n-1) over the sorted values).
+    // Scale note: EXACT percentile buffers every value per group — right
+    // for the oracle-exact contract at bench scale, but at 100 TB the
+    // scale path is approx_percentile (t-digest sketch, bounded state,
+    // mergeable partials); swap is a one-word change when tolerance > 0.
     "q38_percentiles" -> ((s, dir) => {
       Tables(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
