@@ -233,6 +233,10 @@ object Extensions {
     // Deterministic stratified sampling — top-20 docs per language under
     // a content-independent md5 order: the reproducible-training-mix
     // sampler (same sample on any cluster, any partitioning, any day).
+    // Scale note: at 100 TB a per-lang window sort is unnecessary — the
+    // md5 order is uniform, so pre-filter rows whose hash prefix exceeds
+    // ~k/N_lang (a generous bound), then rank only the survivors; same
+    // result, no full per-group sort.
     "q98_stratified_sample" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("lang").orderBy(col("rk"), col("doc_id"))
