@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A 70-query sweep churns profiles enough that HotSpot's per-method
+  // recompilation cutoff can mark hot interpreted-eval paths (Catalyst
+  // CodegenFallback expressions, HOF lambdas) not-compilable — they then
+  // run bytecode-interpreted FOREVER at 100-1000× cost, which showed up
+  // as random 30-60 s tail queries. Disable the give-up cutoffs.
+  "-XX:PerMethodRecompilationCutoff=-1",
+  "-XX:PerBytecodeRecompilationCutoff=-1",
 )

@@ -26,6 +26,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // native graft expressions injected at session build; queries also
+      // call ensureRegistered (idempotent) for sessions built elsewhere
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean =
