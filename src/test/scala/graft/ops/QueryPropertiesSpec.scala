@@ -101,4 +101,18 @@ class QueryPropertiesSpec extends SparkSpec {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
+
+  test("no declared query outputs array/map/struct columns (harness rule)") {
+    // the driver's correctness harness sorts and hashes every output
+    // cell with pandas, which cannot handle nested cells — the round-1
+    // q38/q64/q66 failures. Schema-only check: no job execution.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      fn(spark, sf()).schema.fields.foreach { f =>
+        val nested = f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] || f.dataType.isInstanceOf[StructType]
+        assert(!nested, s"$name.${f.name} is ${f.dataType.simpleString}")
+      }
+    }
+  }
 }
