@@ -114,6 +114,35 @@ object Similarity {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Self k-NN join — EVERY vector's top-2 same-bucket neighbors (the
+    // canonical retrieval shape of embedding dedup/clustering pipelines;
+    // q91 is the few-probe special case). Candidates expand per bucket
+    // with the compiled pair generator, then both directions of each
+    // unordered pair are ranked per query vector. Scale: candidate count
+    // is Σ_b c_b², controlled by the bucket-bits knob; the rank window
+    // partitions on the query id — maximal parallelism.
+    "q99_knn_join" -> ((s, dir) => {
+      graft.functions.VectorExpressions.ensureRegistered(s)
+      val emb = Tables(s, dir, "embeddings")
+      val pairs = bucketed(s, dir).groupBy("bucket")
+        .agg(sort_array(collect_list(col("vec_id"))).as("ds"))
+        .select(explode(expr("array_pairs(ds)")).as("p"))
+      // each unordered bucket pair serves as a candidate in BOTH directions
+      val cand = pairs.select(col("p.a").as("qid"), col("p.b").as("nid"))
+        .unionAll(pairs.select(col("p.b").as("qid"), col("p.a").as("nid")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+      cand
+        .join(emb.select(col("vec_id").as("qid"), col("embedding").as("eq")), "qid")
+        .join(emb.select(col("vec_id").as("nid"), col("embedding").as("en")), "nid")
+        .select(col("qid"), col("nid"),
+          round(expr("vec_cosine(eq, en)"), 3).as("sim"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 2)
+        .select("qid", "nid", "sim", "rn")
+        .orderBy(col("qid"), col("rn"))
+    }),
+
     // Top-3 same-bucket cosine neighbors for each probe (vec_id < 3).
     "q91_ann_bucketed" -> ((s, dir) => {
       graft.functions.VectorExpressions.ensureRegistered(s)
@@ -155,6 +184,33 @@ object Similarity {
         |SELECT vec_id, round(dp / (sqrt(na) * sqrt(np)), 3) AS sim
         |FROM dots, pn WHERE vec_id <> 0
         |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin,
+    "q99_knn_join" ->
+      """WITH b AS (
+        |  SELECT vec_id, embedding,
+        |         array_to_string(list_transform(embedding[1:8],
+        |             x -> CAST(CAST(x >= 0 AS INT) AS VARCHAR)), '') AS bucket
+        |  FROM embeddings),
+        |cand AS (
+        |  SELECT a.vec_id AS qid, c.vec_id AS nid
+        |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
+        |elems AS (
+        |  SELECT qid, nid, unnest(eq.embedding) AS xq, unnest(en.embedding) AS xn
+        |  FROM cand JOIN embeddings eq ON cand.qid = eq.vec_id
+        |            JOIN embeddings en ON cand.nid = en.vec_id),
+        |dots AS (
+        |  SELECT qid, nid,
+        |         CAST(sum(CAST(CAST(xq AS DOUBLE) * CAST(xn AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS dp,
+        |         CAST(sum(CAST(CAST(xq AS DOUBLE) * CAST(xq AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS nq,
+        |         CAST(sum(CAST(CAST(xn AS DOUBLE) * CAST(xn AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS nn
+        |  FROM elems GROUP BY qid, nid),
+        |sims AS (
+        |  SELECT qid, nid, round(dp / (sqrt(nq) * sqrt(nn)), 3) AS sim FROM dots)
+        |SELECT qid, nid, sim, rn FROM (
+        |  SELECT qid, nid, sim,
+        |         CAST(row_number() OVER (PARTITION BY qid
+        |                                 ORDER BY sim DESC, nid) AS BIGINT) AS rn
+        |  FROM sims)
+        |WHERE rn <= 2 ORDER BY qid, rn""".stripMargin,
     "q96_ann_banded" ->
       """WITH b AS (
         |  SELECT vec_id, embedding,
