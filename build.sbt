@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked output normally routes through sbt's logger, which prefixes every
+// line with "[info] " — the driver's bench parser then finds no line
+// starting with '{' and records "parsed": null. Stream the forked
+// process's stdout through unchanged instead.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

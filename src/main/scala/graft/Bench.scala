@@ -31,13 +31,23 @@ object Bench {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean =
+    def run(name: String,
+            fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean =
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
       catch { case e: Throwable =>
-        System.err.println(s"[bench] query failed: ${e.getMessage}"); false
+        // name in the message: interleaved stderr from a 70-query sweep
+        // must attribute the failure without waiting for the failed-list
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
       }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      run(fn) // warmup (codegen/JIT); failure also logged by run()
+    // SPARK_GRAFT_ONLY=q81_...,q85_... restricts the sweep — the tool for
+    // re-timing a spike in isolation (host stalls and long-JVM effects
+    // land on single queries in a full sweep; see verify skill gotchas)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
+      run(name, fn) // warmup (codegen/JIT); failure also logged by run()
       var ok = true
       val timed = (1 to 2).map { _ =>
         // a previous run's persisted subplans would satisfy this one via
@@ -45,7 +55,7 @@ object Bench {
         // pays for its own intermediates
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        ok &= run(fn)
+        ok &= run(name, fn)
         (System.nanoTime() - t0) / 1e9
       }
       spark.catalog.clearCache()

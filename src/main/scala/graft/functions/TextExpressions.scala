@@ -128,7 +128,15 @@ case class ArrayPairs(child: Expression)
 object ArrayPairs {
   def pairs(xs: ArrayData): ArrayData = {
     val k = xs.numElements()
-    val out = new Array[Any](k * (k - 1) / 2)
+    // Long arithmetic: k*(k-1)/2 overflows Int for k > ~65k, which would
+    // otherwise surface as an inscrutable NegativeArraySizeException from
+    // a hot bucket. Fail with the actionable message instead — the caller
+    // must cap bucket cardinality (DF cap / bucket-size cap) upstream.
+    val np = k.toLong * (k - 1) / 2
+    if (np > Int.MaxValue - 8) throw new IllegalArgumentException(
+      s"array_pairs: bucket of $k elements expands to $np pairs — too " +
+        "large for pair expansion; cap bucket size upstream")
+    val out = new Array[Any](np.toInt)
     var idx = 0
     var i = 0
     while (i < k) {

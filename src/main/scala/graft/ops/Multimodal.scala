@@ -43,7 +43,10 @@ object Multimodal {
 
     /** Real decode: magic check, full decompression, ISIZE-trailer parse
       * and verification (RFC 1952 §2.3.1: last 4 bytes, little-endian,
-      * uncompressed size mod 2^32).
+      * uncompressed size mod 2^32). A payload that passes the magic check
+      * but fails to decompress (truncated/bit-flipped — inevitable in a
+      * 100 TB media corpus) is surfaced as a `format="corrupt"` record
+      * rather than an exception that would kill the whole task.
       */
     def decode(docId: Long, payload: Array[Byte]): MediaMeta = {
       val len = payload.length
@@ -52,18 +55,24 @@ object Multimodal {
       if (!isGzip) MediaMeta(docId, len.toLong, -1L, -1L, isize_ok = false, "raw")
       else {
         val out = new ByteArrayOutputStream()
-        val in = new GZIPInputStream(new java.io.ByteArrayInputStream(payload))
-        val buf = new Array[Byte](8192)
-        var n = in.read(buf)
-        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-        in.close()
-        val decLen = out.size().toLong
-        val isize = (payload(len - 4) & 0xffL) |
-          ((payload(len - 3) & 0xffL) << 8) |
-          ((payload(len - 2) & 0xffL) << 16) |
-          ((payload(len - 1) & 0xffL) << 24)
-        MediaMeta(docId, len.toLong, decLen, isize,
-          isize_ok = isize == (decLen & 0xffffffffL), "gzip")
+        var in: GZIPInputStream = null
+        try {
+          // the constructor already parses the full header and can throw
+          in = new GZIPInputStream(new java.io.ByteArrayInputStream(payload))
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+          val decLen = out.size().toLong
+          val isize = (payload(len - 4) & 0xffL) |
+            ((payload(len - 3) & 0xffL) << 8) |
+            ((payload(len - 2) & 0xffL) << 16) |
+            ((payload(len - 1) & 0xffL) << 24)
+          MediaMeta(docId, len.toLong, decLen, isize,
+            isize_ok = isize == (decLen & 0xffffffffL), "gzip")
+        } catch {
+          case _: java.io.IOException =>
+            MediaMeta(docId, len.toLong, -1L, -1L, isize_ok = false, "corrupt")
+        } finally if (in != null) in.close()
       }
     }
   }
@@ -84,22 +93,29 @@ object Multimodal {
       .toDF("doc_id", "lang", "payload")
   }
 
-  /** Partition-local decode: binary rows in, typed metadata out. */
-  def decoded(s: SparkSession, dir: String): Dataset[MediaMeta] = {
+  /** Partition-local decode: binary rows in, typed metadata out. Metadata
+    * carried alongside the payload (here `lang`) rides through the decode
+    * in the same tuple — re-joining it to the media table would force the
+    * expensive encode stage (not projection-prunable through
+    * mapPartitions) to run a second time over the whole corpus.
+    */
+  def decoded(s: SparkSession, dir: String): Dataset[(String, MediaMeta)] = {
     import s.implicits._
     mediaTable(s, dir)
-      .select(col("doc_id"), col("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) => GzipCodec.decode(id, bytes) })
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, lang, bytes) =>
+        (lang, GzipCodec.decode(id, bytes))
+      })
   }
 
   val queries: Map[String, Q] = Map(
-    // Decode → per-lang compression stats joined back to the media table.
+    // Decode → per-lang compression stats; lang travels with the decode
+    // tuple so the corpus is encoded exactly once per run.
     // Declared rows-only (no oracle): DuckDB has no gzip codec to mirror.
     // All output columns are scalars (driver-harness rule).
     "q92_multimodal_decode" -> ((s, dir) => {
-      val meta = decoded(s, dir).toDF()
-      meta.join(mediaTable(s, dir).select("doc_id", "lang"), Seq("doc_id"))
+      decoded(s, dir).toDF("lang", "m")
+        .select(col("lang"), col("m.*"))
         .groupBy(col("lang"), col("format"))
         .agg(count(lit(1)).as("cnt"),
           sum(col("enc_len")).as("enc_bytes"),

@@ -31,11 +31,20 @@ object Retention {
     * series absent from the map are kept in full.
     *
     * Partition handling on the unified table:
-    *  - days strictly before EVERY cutoff → metadata-only partition drop
-    *    (all series expired there);
+    *  - days strictly before EVERY cutoff → metadata-only partition drop,
+    *    but ONLY when `allSeries` proves the cutoff map covers every
+    *    series in the table — a day before all cutoffs may still hold
+    *    rows of a series with no policy, which must be kept in full, so
+    *    without that proof the day takes the rewrite path instead;
     *  - days where only some series expire (any day before the latest
     *    cutoff, or the latest cutoff's own day with sub-day precision) →
     *    rewritten with a per-series predicate via a broadcast cutoff dim.
+    *
+    * `allSeries` is the complete series inventory of the table (the
+    * caller's catalog knows it; reference config.js.dist declares every
+    * proxy up front). Pass it to unlock metadata-only drops; leave it
+    * empty when unknown and retention stays rewrite-only but never
+    * deletes an unlisted series' rows.
     *
     * At 100 TB, series with wildly different retention would instead get a
     * (series-bucket, p_date) layout so each policy is pure partition
@@ -44,7 +53,8 @@ object Retention {
     */
   def enforcePerSeries(spark: SparkSession, tableDir: String,
                        cutoffs: Map[String, Timestamp],
-                       format: String = "parquet"): (Int, Int) = {
+                       format: String = "parquet",
+                       allSeries: Set[String] = Set.empty): (Int, Int) = {
     if (cutoffs.isEmpty) return (0, 0)
     val fs = new Path(tableDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -59,11 +69,15 @@ object Retention {
       .filter(_.isDirectory)
       .map(_.getPath)
       .filter(_.getName.startsWith("p_date="))
+    // metadata drop is provably safe only when every series the table can
+    // contain has a cutoff; otherwise an unlisted (no-policy) series in an
+    // old day would be silently deleted
+    val dropSafe = allSeries.nonEmpty && allSeries.subsetOf(cutoffs.keySet)
     var dropped = 0
     var rewritten = 0
     parts.foreach { p =>
       val date = java.time.LocalDate.parse(p.getName.stripPrefix("p_date="))
-      if (date.isBefore(dropBefore)) {
+      if (date.isBefore(dropBefore) && dropSafe) {
         fs.delete(p, true) // before every cutoff: metadata-only drop
         dropped += 1
       } else if (date.isBefore(latestDate) ||

@@ -30,6 +30,22 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.format == "raw" && meta.dec_len == -1L && !meta.isize_ok)
   }
 
+  test("corrupt payload past the magic check is classified, not thrown") {
+    val enc = GzipCodec.encode(("corpus text " * 50).getBytes("UTF-8"))
+    // truncation: valid magic/header, stream ends mid-deflate
+    val truncated = java.util.Arrays.copyOf(enc, enc.length / 2)
+    val m1 = GzipCodec.decode(2L, truncated)
+    assert(m1.format == "corrupt" && !m1.isize_ok)
+    // bit flips in the deflate body: CRC/stream error instead of a crash
+    val flipped = enc.clone()
+    for (i <- 12 until math.min(flipped.length - 8, 40))
+      flipped(i) = (flipped(i) ^ 0x5a).toByte
+    // must classify (corrupt via deflate/CRC error, or gzip if the flip
+    // happened to survive decoding) — never propagate an exception
+    val m2 = GzipCodec.decode(3L, flipped)
+    assert(m2.format == "corrupt" || m2.format == "gzip")
+  }
+
   test("q92 decodes every document and conserves byte counts (sf0.001)") {
     val sf = "/root/testdata/sf0.001"
     val out = Multimodal.queries("q92_multimodal_decode")(spark, sf).collect()

@@ -76,12 +76,34 @@ class RetentionSpec extends SparkSpec {
       .write.mode("overwrite").partitionBy("p_date").parquet(dir)
     val (dropped, rewritten) = Retention.enforcePerSeries(spark, dir, Map(
       "cpu" -> Timestamp.valueOf("2024-01-04 00:00:00"),
-      "mem" -> Timestamp.valueOf("2024-01-03 00:00:00")))
-    // 01-01 is before both cutoffs → metadata drop; 01-05 is at/after the
-    // latest cutoff's midnight → untouched
+      "mem" -> Timestamp.valueOf("2024-01-03 00:00:00")),
+      allSeries = Set("cpu", "mem"))
+    // 01-01 is before both cutoffs AND the inventory proves every series
+    // has a policy → metadata drop; 01-05 is at/after the latest cutoff's
+    // midnight → untouched
     assert(dropped == 1 && rewritten == 0)
     val left = spark.read.parquet(dir).select("value").as[Double].collect().sorted.toSeq
     assert(left == Seq(3.0, 4.0))
+  }
+
+  test("no-policy series in a day older than every cutoff is kept, not dropped") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("retention5").toString
+    Seq(("cpu", Timestamp.valueOf("2024-01-01 05:00:00"), 1.0),
+      ("gpu", Timestamp.valueOf("2024-01-01 06:00:00"), 99.0), // no policy
+      ("cpu", Timestamp.valueOf("2024-01-05 05:00:00"), 3.0))
+      .toDF("series", "ts", "value")
+      .withColumn("p_date", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("p_date").parquet(dir)
+    // no allSeries inventory → the cutoff map can't be proven complete, so
+    // 01-01 must go through the per-series rewrite (keeping gpu) rather
+    // than a wholesale fs.delete
+    val (dropped, rewritten) = Retention.enforcePerSeries(spark, dir, Map(
+      "cpu" -> Timestamp.valueOf("2024-01-04 00:00:00")))
+    assert(dropped == 0 && rewritten == 1)
+    val left = spark.read.parquet(dir)
+      .select("series", "value").as[(String, Double)].collect().toSet
+    assert(left == Set(("gpu", 99.0), ("cpu", 3.0)))
   }
 
   test("midnight cutoff needs no edge rewrite (pure partition drop)") {
