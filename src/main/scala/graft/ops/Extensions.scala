@@ -230,6 +230,40 @@ object Extensions {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // Sequence packing — the step after chunking: chunks fill fixed
+    // 512-token training bins in a deterministic (doc_id, chunk_idx)
+    // order, by cumulative token count. Packing is inherently sequential,
+    // so it runs WITHIN shards (shard = doc_id mod 8): each shard's
+    // cumulative-sum window is independent — embarrassingly parallel, no
+    // global single-task window (the q45 lesson). At 100 TB the shard
+    // count scales with the cluster and each worker packs its own shard
+    // stream; a global packing order across shards is neither needed nor
+    // wanted (any shard-local order is a valid training mix).
+    "q58_pack_sequences" -> ((s, dir) => {
+      val chunks = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), w -> w <> '')").as("ws"))
+        .filter(size(col("ws")) > 0)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, CAST(ceil(size(ws) / 40.0) AS INT) - 1),
+            |  i -> named_struct('idx', i, 'n', size(slice(ws, i * 40 + 1, 50))))""".stripMargin))
+          .as("e"))
+        .select(col("doc_id"), col("e.idx").cast("long").as("chunk_idx"),
+          col("e.n").cast("long").as("n_tokens"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("shard").orderBy(col("doc_id"), col("chunk_idx"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      chunks.withColumn("shard", pmod(col("doc_id"), lit(8)))
+        .withColumn("cum0", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .withColumn("bin", floor(col("cum0") / 512).cast("long"))
+        .groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("n_tokens")).as("tok_total"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("shard"), col("bin"))
+    }),
+
     // Deterministic stratified sampling — top-20 docs per language under
     // a content-independent md5 order: the reproducible-training-mix
     // sampler (same sample on any cluster, any partitioning, any day).
@@ -353,6 +387,29 @@ object Extensions {
         |SELECT vec_id, round(dp / (sqrt(na) * sqrt(np)), 3) AS sim
         |FROM dots, pn WHERE vec_id <> 0
         |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin,
+    "q58_pack_sequences" ->
+      """WITH ws AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(0, CAST(ceil(len(ws) / 40.0) AS INT)),
+        |                i -> {'idx': i, 'n': len(ws[i*40+1 : i*40+50])})) AS e
+        |  FROM ws WHERE len(ws) > 0),
+        |chunks AS (
+        |  SELECT doc_id, CAST(e.idx AS BIGINT) AS chunk_idx,
+        |         CAST(e.n AS BIGINT) AS n_tokens, doc_id % 8 AS shard
+        |  FROM ch),
+        |binned AS (
+        |  SELECT shard, doc_id, n_tokens,
+        |         CAST(COALESCE(sum(n_tokens) OVER (
+        |              PARTITION BY shard ORDER BY doc_id, chunk_idx
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum0
+        |  FROM chunks)
+        |SELECT shard, CAST(floor(cum0 / 512) AS BIGINT) AS bin,
+        |       count(*) AS n_chunks, CAST(sum(n_tokens) AS BIGINT) AS tok_total,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM binned GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
     "q97_doc_chunks" ->
       """WITH ws AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws

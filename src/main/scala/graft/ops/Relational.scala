@@ -296,6 +296,30 @@ object Relational {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Salted two-stage aggregation — the skew survival pattern as a
+    // first-class operator: stage 1 groups on (key, salt) so one hot key
+    // spreads over 16 reducers, stage 2 re-aggregates the 16 partials per
+    // key. Results are identical to the plain groupBy (decimal partials
+    // sum exactly in any order — §7.5.2), so the oracle is the UNSALTED
+    // SQL. lineitem's 3-value l_returnflag is exactly the shape where a
+    // plain shuffle would put a third of the table through one task; at
+    // 100 TB, salt width scales with observed key skew (AQE's skew-join
+    // handles joins, but skewed AGGREGATION keys need this by hand).
+    "q55_salted_agg" -> ((s, dir) => {
+      val partials = Tables(s, dir, "lineitem")
+        .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+        .groupBy(col("l_returnflag"), col("salt"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("p_qty"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")).as("p_rev"),
+          count(lit(1)).as("p_cnt"))
+      partials.groupBy(col("l_returnflag"))
+        .agg(sum(col("p_qty")).cast("double").as("sum_qty"),
+          sum(col("p_rev")).cast("double").as("sum_rev"),
+          sum(col("p_cnt")).as("cnt"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ───────────────────────── sorts & set ops ───────────────────────────
     "q50_orderby_multi_limit" -> ((s, dir) => {
       Tables(s, dir, "lineitem")
@@ -512,6 +536,13 @@ object Relational {
         |       round(var_samp(l_quantity), 4) AS var_qty,
         |       round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
         |       round(covar_samp(l_quantity, l_discount), 6) AS cov_qd
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the UNSALTED form: the salted two-stage plan must be result-identical
+    "q55_salted_agg" ->
+      """SELECT l_returnflag,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_rev,
+        |       count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q50_orderby_multi_limit" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount

@@ -143,6 +143,61 @@ object Similarity {
         .orderBy(col("qid"), col("rn"))
     }),
 
+    // IVF ANN — the OTHER canonical scale path next to sign-bucket LSH
+    // (q91/q96): a coarse quantizer partitions the corpus into K cells,
+    // every vector joins its nearest centroid's inverted list, and a
+    // probe searches only its `nprobe` nearest cells. Here the K=8
+    // centroids are a deterministic md5-ordered sample of the corpus (the
+    // stand-in for offline k-means — centroid TRAINING is a separate
+    // batch job at scale; the ENGINE work is assignment + probe, which is
+    // what this query exercises). Assignment is a broadcast nested-loop
+    // over K centroids (N·K codegen cosines, no shuffle until the argmax
+    // window); at 100 TB: K grows ~√N, the cell id becomes the partition
+    // key of the stored inverted lists, and the argmax window collapses
+    // into the map-side pass (per-row max over the broadcast centroid
+    // array — no exchange at all). Ranking uses round(sim, 3) + id
+    // tiebreaks so both engines resolve near-ties identically (§7.5.2).
+    "q57_ivf_ann" -> ((s, dir) => {
+      graft.functions.VectorExpressions.ensureRegistered(s)
+      val emb = Tables(s, dir, "embeddings")
+      val cent = emb
+        .withColumn("crk", md5(col("vec_id").cast("string")))
+        .orderBy(col("crk"), col("vec_id")).limit(8)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      val wA = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("csim").desc, col("c_id"))
+      // narrow (id, c_id, csim) rows through the argmax window — carrying
+      // the 64-float embedding here would duplicate it K× through the
+      // shuffle; it is re-joined once per assigned row instead. Persisted:
+      // the assignment and the probe-cell branches both consume it.
+      val csims = emb.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("c_id"),
+          round(expr("vec_cosine(embedding, c_emb)"), 3).as("csim"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val assigned = emb.join(
+        csims.withColumn("crn", row_number().over(wA))
+          .filter(col("crn") === 1)
+          .select(col("vec_id"), col("c_id").as("cell")),
+        "vec_id")
+      // probes (vec_id < 3) visit their nprobe=2 nearest cells
+      val probeCells = csims.filter(col("vec_id") < 3)
+        .withColumn("crn", row_number().over(wA))
+        .filter(col("crn") <= 2)
+        .join(emb.filter(col("vec_id") < 3), "vec_id")
+        .select(col("vec_id").as("probe_id"), col("embedding").as("p"),
+          col("c_id").as("cell"))
+      val wR = org.apache.spark.sql.expressions.Window
+        .partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id"))
+      assigned.join(broadcast(probeCells), Seq("cell"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          round(expr("vec_cosine(embedding, p)"), 3).as("sim"))
+        .withColumn("rn", row_number().over(wR).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("probe_id", "vec_id", "sim", "rn")
+        .orderBy(col("probe_id"), col("rn"))
+    }),
+
     // Top-3 same-bucket cosine neighbors for each probe (vec_id < 3).
     "q91_ann_bucketed" -> ((s, dir) => {
       graft.functions.VectorExpressions.ensureRegistered(s)
@@ -262,6 +317,49 @@ object Similarity {
         |FROM dots
         |WHERE round(dp / (sqrt(na) * sqrt(nb)), 3) >= 0.35
         |ORDER BY id_a, id_b""".stripMargin,
+    "q57_ivf_ann" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS c_id, embedding AS c_emb
+        |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        |ae AS (
+        |  SELECT e.vec_id, c.c_id, unnest(e.embedding) AS x, unnest(c.c_emb) AS y
+        |  FROM embeddings e CROSS JOIN cent c),
+        |adots AS (
+        |  SELECT vec_id, c_id,
+        |         CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS dp,
+        |         CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS nx,
+        |         CAST(sum(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS ny
+        |  FROM ae GROUP BY vec_id, c_id),
+        |ranked AS (
+        |  SELECT vec_id, c_id,
+        |         row_number() OVER (PARTITION BY vec_id
+        |           ORDER BY round(dp / (sqrt(nx) * sqrt(ny)), 3) DESC, c_id) AS rn
+        |  FROM adots),
+        |assigned AS (
+        |  SELECT vec_id, c_id AS cell FROM ranked WHERE rn = 1),
+        |pcells AS (
+        |  SELECT vec_id AS probe_id, c_id AS cell
+        |  FROM ranked WHERE vec_id < 3 AND rn <= 2),
+        |cand AS (
+        |  SELECT p.probe_id, a.vec_id
+        |  FROM pcells p JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.probe_id),
+        |ce AS (
+        |  SELECT probe_id, cand.vec_id,
+        |         unnest(ev.embedding) AS x, unnest(ep.embedding) AS y
+        |  FROM cand JOIN embeddings ev ON cand.vec_id = ev.vec_id
+        |            JOIN embeddings ep ON cand.probe_id = ep.vec_id),
+        |cdots AS (
+        |  SELECT probe_id, vec_id,
+        |         CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS dp,
+        |         CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS nx,
+        |         CAST(sum(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS ny
+        |  FROM ce GROUP BY probe_id, vec_id)
+        |SELECT probe_id, vec_id, sim, rn FROM (
+        |  SELECT probe_id, vec_id, round(dp / (sqrt(nx) * sqrt(ny)), 3) AS sim,
+        |         CAST(row_number() OVER (PARTITION BY probe_id
+        |           ORDER BY round(dp / (sqrt(nx) * sqrt(ny)), 3) DESC, vec_id) AS BIGINT) AS rn
+        |  FROM cdots)
+        |WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin,
     "q91_ann_bucketed" ->
       """WITH b AS (
         |  SELECT vec_id, embedding,

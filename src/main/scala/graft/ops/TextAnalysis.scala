@@ -48,6 +48,25 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // Text normalization — the canonicalization pass before dedup/
+    // tokenization: lowercase, strip non-alphanumerics to spaces, collapse
+    // whitespace, trim. Emits the normalized form's md5 (the dedup key a
+    // normalized-exact dedup would group on), its length, and word count.
+    // Pure map-side codegen work; the simple character classes used here
+    // behave identically under Java regex (Spark) and RE2 (DuckDB).
+    "q56_normalize_text" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          trim(regexp_replace(regexp_replace(lower(col("text")),
+            "[^a-z0-9 ]", " "), " +", " ")).as("norm"))
+        .select(col("doc_id"),
+          md5(col("norm")).as("norm_md5"),
+          length(col("norm")).cast("long").as("norm_len"),
+          size(filter(split(col("norm"), " "), w => w =!= "")).cast("long")
+            .as("n_words"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Quality scoring: length/uniqueness heuristics — the cheap filters a
     // pretraining pipeline runs before anything expensive.
     "q88_quality_score" -> ((s, dir) => {
@@ -83,6 +102,16 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "q56_normalize_text" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |         trim(regexp_replace(regexp_replace(lower(text),
+        |              '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT doc_id, md5(norm) AS norm_md5,
+        |       CAST(length(norm) AS BIGINT) AS norm_len,
+        |       CAST(len(list_filter(string_split(norm, ' '), w -> w <> '')) AS BIGINT) AS n_words
+        |FROM n ORDER BY doc_id""".stripMargin,
     "q87_lang_id" ->
       """WITH words AS (
         |  SELECT doc_id, lang, w FROM (
