@@ -93,6 +93,61 @@ class QueryPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("salted two-stage agg equals the plain groupBy (q55)") {
+    import spark.implicits._
+    val salted = q("q55_salted_agg")
+      .select("l_returnflag", "sum_qty", "sum_rev", "cnt")
+      .as[(String, Double, Double, Long)].collect().toSet
+    val plain = graft.model.Tables(spark, sf(), "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("sum_rev"),
+        count(lit(1)).as("cnt"))
+      .select("l_returnflag", "sum_qty", "sum_rev", "cnt")
+      .as[(String, Double, Double, Long)].collect().toSet
+    assert(salted == plain)
+  }
+
+  test("normalization output is idempotent (q56 fixpoint)") {
+    // normalizing an already-normalized text must be the identity: no
+    // uppercase, no punctuation, no double spaces survive the first pass
+    val docs = graft.model.Tables(spark, sf(), "documents")
+      .select(col("doc_id"),
+        trim(regexp_replace(regexp_replace(lower(col("text")),
+          "[^a-z0-9 ]", " "), " +", " ")).as("norm"))
+    val renorm = docs.select(col("doc_id"),
+      trim(regexp_replace(regexp_replace(lower(col("norm")),
+        "[^a-z0-9 ]", " "), " +", " ")).as("norm2"),
+      col("norm"))
+    assert(renorm.filter(col("norm") =!= col("norm2")).isEmpty)
+  }
+
+  test("IVF candidates rank consistently with brute force (q57 vs q82)") {
+    // probe 0's IVF hits must carry the same cosine the brute-force
+    // ranking computed — cells only filter candidates, never change sims
+    import spark.implicits._
+    val ivf = q("q57_ivf_ann").filter(col("probe_id") === 0)
+      .select("vec_id", "sim").as[(Long, Double)].collect().toMap
+    val brute = q("q82_cosine_topk")
+      .select("vec_id", "sim").as[(Long, Double)].collect().toMap
+    ivf.keySet.intersect(brute.keySet).foreach { id =>
+      assert(math.abs(ivf(id) - brute(id)) < 1e-9)
+    }
+  }
+
+  test("packing conserves chunks and respects bin bounds (q58 vs q97)") {
+    // every chunk lands in exactly one bin...
+    val chunks = q("q97_doc_chunks")
+    val packed = q("q58_pack_sequences")
+    val total = packed.agg(sum("n_chunks")).head().getLong(0)
+    assert(total == chunks.count())
+    // ...and a bin only ever EXCEEDS 512 tokens by its last chunk (a bin
+    // closes once the cumulative count crosses the boundary, so overflow
+    // is < the 50-token max chunk: tok_total < 512 + 50 always)
+    assert(packed.filter(col("tok_total") >= 512 + 50).isEmpty)
+  }
+
   test("flagship entry returns rows (driver t1 smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
