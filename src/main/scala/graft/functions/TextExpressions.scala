@@ -153,6 +153,103 @@ object ArrayPairs {
   }
 }
 
+/** Native winnowing fingerprinter: `winnow_fps(text, k, w)` →
+  * `array<string>` of the DISTINCT window minima of md5-hashed k-char
+  * grams over every w-gram sliding window (tail windows shrink) — the
+  * MOSS fingerprint set, fused into one compiled per-document pass.
+  *
+  * WHY a custom expression: the declarative form (explode grams → md5 →
+  * per-doc window min → distinct) shuffles every gram hash — ~32 bytes
+  * per corpus CHARACTER through the exchange, a shuffle ~30× the corpus
+  * size. Winnowing is document-local by definition, so it belongs
+  * map-side: this expression turns q59 into scan → project → final agg
+  * with no intermediate shuffle at all.
+  */
+case class WinnowFps(child: Expression, kExpr: Expression, wExpr: Expression)
+  extends TernaryExpression {
+
+  override def first: Expression = child
+  override def second: Expression = kExpr
+  override def third: Expression = wExpr
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (child.dataType, kExpr.dataType, wExpr.dataType) match {
+      case (StringType, IntegerType, IntegerType)
+        if kExpr.foldable && wExpr.foldable => TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, literal int, literal int), got ($a, $b, $c)")
+    }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "winnow_fps"
+
+  override def nullSafeEval(t: Any, k: Any, w: Any): Any =
+    WinnowFps.winnow(t.asInstanceOf[UTF8String],
+      k.asInstanceOf[Int], w.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, k, w) =>
+      s"${ev.value} = graft.functions.WinnowFps.winnow($t, $k, $w);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): WinnowFps =
+    copy(child = newFirst, kExpr = newSecond, wExpr = newThird)
+}
+
+object WinnowFps {
+  def winnow(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val str = s.toString
+    val len = str.length
+    if (k <= 0 || w <= 0 || len < k)
+      return new GenericArrayData(Array.empty[Any])
+    val nGrams = len - k + 1
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hashes = new Array[Array[Byte]](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      hashes(i) = md.digest(str.substring(i, i + k)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      i += 1
+    }
+    // min per window on RAW digest bytes — unsigned byte order is exactly
+    // the engines' lexicographic order of the lowercase-hex VARCHAR (each
+    // byte maps monotonically to two hex chars); only the few surviving
+    // minima pay for hex conversion. w is small (4): the O(n·w) scan
+    // beats a deque's allocation churn.
+    val seen = new java.util.LinkedHashSet[String]()
+    var last: Array[Byte] = null // consecutive windows usually share a min
+    i = 0
+    while (i < nGrams) {
+      var m = hashes(i)
+      var j = i + 1
+      val end = math.min(i + w, nGrams)
+      while (j < end) {
+        if (java.util.Arrays.compareUnsigned(hashes(j), m) < 0) m = hashes(j)
+        j += 1
+      }
+      if (m ne last) { seen.add(toHex(m)); last = m }
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var idx = 0
+    while (it.hasNext) { out(idx) = UTF8String.fromString(it.next()); idx += 1 }
+    new GenericArrayData(out)
+  }
+
+  private def toHex(b: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < b.length) {
+      val v = b(i) & 0xff
+      sb.append(Character.forDigit(v >> 4, 16))
+      sb.append(Character.forDigit(v & 15, 16))
+      i += 1
+    }
+    sb.toString
+  }
+}
+
 object TextShingles {
   /** One compiled pass: space positions → shingle byte ranges. Safe on
     * UTF-8 bytes (0x20 never occurs inside a multi-byte sequence).

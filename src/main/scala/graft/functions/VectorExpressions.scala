@@ -86,6 +86,7 @@ object VectorExpressions {
   val pairsFnName = "array_pairs"
   val simhashFnName = "simhash_agg"
   val ngramsFnName = "char_ngrams"
+  val winnowFnName = "winnow_fps"
 
   /** Idempotent runtime registration of ALL graft native expressions
     * (for sessions not built with
@@ -128,6 +129,13 @@ object VectorExpressions {
           require(children.length == 2, s"$ngramsFnName expects 2 arguments")
           CharNGrams(children.head, children(1))
         })
+    if (!reg.functionExists(FunctionIdentifier(winnowFnName)))
+      reg.registerFunction(FunctionIdentifier(winnowFnName),
+        new ExpressionInfo(classOf[WinnowFps].getName, winnowFnName),
+        { children =>
+          require(children.length == 3, s"$winnowFnName expects 3 arguments")
+          WinnowFps(children.head, children(1), children(2))
+        })
   }
 }
 
@@ -157,5 +165,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CharNGrams].getName,
         VectorExpressions.ngramsFnName),
       exprs => CharNGrams(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier(VectorExpressions.winnowFnName),
+      new ExpressionInfo(classOf[WinnowFps].getName,
+        VectorExpressions.winnowFnName),
+      exprs => WinnowFps(exprs.head, exprs(1), exprs(2))))
   }
 }

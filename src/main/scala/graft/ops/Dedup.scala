@@ -87,6 +87,29 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
+    // Winnowing (rolling-hash) fingerprints — the MOSS algorithm: hash
+    // every 8-char gram, keep the MIN hash of each 4-gram sliding window,
+    // fingerprint = the distinct set of window minima. Guarantees any
+    // shared substring of length ≥ 8+4-1 produces a shared fingerprint,
+    // robust to insertions/deletions elsewhere — the partial-overlap
+    // detector that whole-document hashes (q80/q90) can't be. Emits the
+    // fingerprint-set size and an order-insensitive set signature.
+    // Scale: winnowing is document-LOCAL, so the whole gram-hash/
+    // window-min/distinct pipeline runs inside the native codegen
+    // winnow_fps expression — scan → project, no shuffle at all before
+    // the final sort (the declarative explode + per-doc window form
+    // would shuffle ~32 bytes per corpus character).
+    "q59_winnowing_fp" -> ((s, dir) => {
+      graft.functions.VectorExpressions.ensureRegistered(s)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), expr("winnow_fps(text, 8, 4)").as("fps"))
+        .filter(size(col("fps")) > 0)
+        .select(col("doc_id"),
+          size(col("fps")).cast("long").as("n_fps"),
+          md5(array_join(sort_array(col("fps")), "")).as("fp_sig"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Content fingerprint: md5 of the sorted distinct word set — an
     // order- and repetition-insensitive dedup key (catches shuffled /
     // re-worded duplicates that exact md5(text) misses).
@@ -157,6 +180,20 @@ object Dedup {
           |  FROM votes)
           |SELECT doc_id, string_agg(ch, '' ORDER BY pos) AS simhash
           |FROM nibs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "q59_winnowing_fp" ->
+        """WITH g AS (
+          |  SELECT doc_id, i AS pos, md5(substr(text, CAST(i AS INT), 8)) AS h
+          |  FROM (SELECT doc_id, text, unnest(range(1, len(text) - 6)) AS i
+          |        FROM documents WHERE len(text) >= 8)),
+          |wm AS (
+          |  SELECT doc_id,
+          |         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+          |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+          |  FROM g),
+          |fps AS (SELECT DISTINCT doc_id, fp FROM wm)
+          |SELECT doc_id, count(*) AS n_fps,
+          |       md5(string_agg(fp, '' ORDER BY fp)) AS fp_sig
+          |FROM fps GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "q90_fingerprint" ->
         """SELECT fp, count(*) AS cnt, min(doc_id) AS min_id
           |FROM (SELECT doc_id,

@@ -77,6 +77,43 @@ class TextExpressionsSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("winnow_fps matches the declarative window-min formulation") {
+    VectorExpressions.ensureRegistered(spark)
+    import spark.implicits._
+    val docs = graft.model.Tables(spark, sf(), "documents").limit(50)
+    // the shuffle-free native set must equal the explode → md5 → per-doc
+    // ROWS-window min → distinct form the oracle SQL mirrors
+    val declarative = docs
+      .select(col("doc_id"),
+        posexplode(expr("char_ngrams(text, 8)")).as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos"), md5(col("g")).as("h"))
+      .withColumn("fp", min(col("h")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, 3)))
+      .groupBy("doc_id").agg(sort_array(collect_set(col("fp"))).as("fps"))
+    val native = docs.select(col("doc_id"),
+      sort_array(expr("winnow_fps(text, 8, 4)")).as("fps"))
+    val joined = native.as[(Long, Seq[String])].collect().toMap
+    declarative.as[(Long, Seq[String])].collect().foreach { case (id, fps) =>
+      assert(joined(id) == fps, s"doc $id")
+    }
+  }
+
+  test("winnowing guarantees a shared fingerprint for long shared substrings") {
+    VectorExpressions.ensureRegistered(spark)
+    import spark.implicits._
+    // any shared substring of length >= k + w - 1 = 11 must yield at
+    // least one common window-min fingerprint (the MOSS guarantee)
+    val a = "completely different prefix THE SHARED SEGMENT here"
+    val b = "other text entirely THE SHARED SEGMENT and a tail"
+    val out = Seq(a, b).toDF("text")
+      .select(expr("winnow_fps(text, 8, 4)").as("fps")).collect()
+    val fa = out(0).getSeq[String](0).toSet
+    val fb = out(1).getSeq[String](0).toSet
+    assert(fa.intersect(fb).nonEmpty)
+  }
+
   test("codegen and interpreted paths agree") {
     VectorExpressions.ensureRegistered(spark)
     import spark.implicits._
