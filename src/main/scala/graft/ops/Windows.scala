@@ -165,6 +165,40 @@ object Windows {
         .orderBy(col("c_custkey"))
     }),
 
+    // Gap filling with forward fill — the timeseries-store semantic the
+    // reference's InfluxDB backend calls fill(previous): a complete
+    // hourly bucket spine per series over the observed range, empty
+    // buckets carrying the last observed value forward (NULL before the
+    // first observation), with the gap flagged. Spine = one 1-row
+    // min/max agg broadcast into a sequence() explode × the distinct
+    // series dim — no data-sized shuffle to build it; the fill is one
+    // running last() window per series. At 100 TB the spine is still
+    // tiny (hours × series), and the per-series window shuffles
+    // bucket-rows, not raw events.
+    "q47_gap_fill" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val byBucket = ev
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_v"))
+      val bounds = ev.agg(
+        date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      val spine = bounds
+        .select(explode(sequence(col("h0"), col("h1"),
+          expr("interval 1 hour"))).as("h"))
+        .crossJoin(ev.select(col("event_type")).distinct())
+      val wFill = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("h")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      spine.join(byBucket, Seq("h", "event_type"), "left")
+        .select(Tables.epochMs(col("h")).as("h_ms"), col("event_type"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"),
+          last(col("sum_v"), ignoreNulls = true).over(wFill).as("filled_v"),
+          when(col("cnt").isNull, lit(1L)).otherwise(lit(0L)).as("gap"))
+        .orderBy(col("event_type"), col("h_ms"))
+    }),
+
     // ─────────────────── time buckets (streaming analogs) ────────────────
     "q70_tumbling_window" -> ((s, dir) => {
       Tables(s, dir, "events")
@@ -227,6 +261,28 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q47_gap_fill" ->
+      """WITH bounds AS (
+        |  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+        |  FROM events),
+        |spine AS (
+        |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |b AS (
+        |  SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS cnt,
+        |         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT s.h, t.event_type, b.cnt, b.sum_v
+        |  FROM spine s CROSS JOIN types t
+        |  LEFT JOIN b ON b.h = s.h AND b.event_type = t.event_type)
+        |SELECT epoch_ms(h) AS h_ms, event_type,
+        |       CAST(COALESCE(cnt, 0) AS BIGINT) AS cnt,
+        |       last_value(sum_v IGNORE NULLS) OVER (
+        |         PARTITION BY event_type ORDER BY h
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_v,
+        |       CAST(CASE WHEN cnt IS NULL THEN 1 ELSE 0 END AS BIGINT) AS gap
+        |FROM g ORDER BY event_type, h_ms""".stripMargin,
     "q20_asof_latest_prior" ->
       """SELECT p.event_id AS event_id, epoch_ms(p.ts) AS p_ms, epoch_ms(max(s.ts)) AS s_ms
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
