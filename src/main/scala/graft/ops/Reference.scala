@@ -69,6 +69,58 @@ object Reference {
         .orderBy(col("event_type"), col("event_id"))
     }),
 
+    // The backend downsample the reference leans on implicitly: InfluxDB's
+    // `GROUP BY time(interval)` / Grafana's maxDataPoints contract. A
+    // 30-day request at 100 points → fixed 2592-second buckets computed
+    // with pure epoch arithmetic (identical in both engines — no calendar
+    // functions), mean per (series, bucket). The serving-layer twin is
+    // Grafana.downsample; this is the oracle-checked declared form.
+    // Scale: one map-side bucket projection + one hash agg on
+    // (series, bucket) — the classic pre-aggregation any timeseries store
+    // runs; at 100 TB the same plan with the time filter pruning
+    // partitions first.
+    "q48_downsample" -> ((s, dir) => {
+      val startMs = 1704067200000L // 2024-01-01 00:00:00 UTC
+      val widthMs = 2592000L       // ceil(30 d / 100 points) in ms
+      Tables(s, dir, "events")
+        .select(col("event_type"), col("value"),
+          (((unix_millis(col("ts")) - startMs) / widthMs).cast("long") * widthMs
+            + startMs).as("bucket_ms"))
+        .groupBy(col("event_type"), col("bucket_ms"))
+        // UNROUNDED mean: numerator (exact decimal sum → double) and
+        // denominator are bit-identical in both engines, so the IEEE
+        // division is too — rounding would INTRODUCE divergence here
+        // (the two engines round doubles by different algorithms and
+        // disagree on 4th-decimal boundary values; seen at sf0.1)
+        .agg(count(lit(1)).as("cnt"),
+          (sum(col("value").cast("decimal(18,4)")).cast("double")
+            / count(lit(1))).as("avg_v"))
+        .orderBy(col("event_type"), col("bucket_ms"))
+    }),
+
+    // InfluxQL DERIVATIVE(1s): per-series rate of change between
+    // consecutive samples — (value − lag value) / seconds elapsed, NULL
+    // for each series' first sample and for zero gaps. One lag window
+    // per series over a unique (ts, event_id) order.
+    "q49_rate" -> ((s, dir) => {
+      // order on the ms-truncated epoch + unique event_id in BOTH engines:
+      // DuckDB's raw ts keeps ns precision Spark's µs domain can't see, so
+      // ordering by raw ts would resolve same-ms neighbors differently
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("ts_ms"), col("event_id"))
+      Tables(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          unix_millis(col("ts")).as("ts_ms"), col("value"))
+        .withColumn("prev_v", lag(col("value"), 1).over(w))
+        .withColumn("prev_ms", lag(col("ts_ms"), 1).over(w))
+        .select(col("event_type"), col("event_id"), col("ts_ms"),
+          when(col("prev_ms").isNotNull && col("ts_ms") > col("prev_ms"),
+            round((col("value") - col("prev_v"))
+              / ((col("ts_ms") - col("prev_ms")) / lit(1000.0)), 6))
+            .as("rate_per_s"))
+        .orderBy(col("event_type"), col("ts_ms"), col("event_id"))
+    }),
+
     // R7: retention as a filter — rows surviving `ts >= cutoff`
     // (reference deletes `time < cutoff`, index.js:269-282, exclusive cutoff
     // §1.2). At scale this is a partition drop (stream/Retention.scala).
@@ -100,6 +152,28 @@ object Reference {
         |ORDER BY event_type, event_id""".stripMargin,
     "q05_retention_filter" ->
       """SELECT count(*) AS n, min(epoch_ms(ts)) AS min_ms, max(epoch_ms(ts)) AS max_ms
-        |FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'""".stripMargin
+        |FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'""".stripMargin,
+    "q48_downsample" ->
+      """WITH b AS (
+        |  SELECT event_type, value,
+        |         CAST(FLOOR((epoch_ms(ts) - 1704067200000) / 2592000.0) AS BIGINT)
+        |           * 2592000 + 1704067200000 AS bucket_ms
+        |  FROM events)
+        |SELECT event_type, bucket_ms, count(*) AS cnt,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_v
+        |FROM b GROUP BY event_type, bucket_ms
+        |ORDER BY event_type, bucket_ms""".stripMargin,
+    "q49_rate" ->
+      """WITH s AS (
+        |  SELECT event_type, event_id, epoch_ms(ts) AS ts_ms, value,
+        |         lag(value) OVER w AS prev_v,
+        |         lag(epoch_ms(ts)) OVER w AS prev_ms
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_ms(ts), event_id))
+        |SELECT event_type, event_id, ts_ms,
+        |       CASE WHEN prev_ms IS NOT NULL AND ts_ms > prev_ms
+        |            THEN round((value - prev_v) / ((ts_ms - prev_ms) / 1000.0), 6)
+        |       END AS rate_per_s
+        |FROM s ORDER BY event_type, ts_ms, event_id""".stripMargin
   )
 }
