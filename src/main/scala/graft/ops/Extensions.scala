@@ -283,6 +283,36 @@ object Extensions {
         .orderBy(col("lang"), col("rn"))
     }),
 
+    // Train/eval decontamination — per eval document, how many of its
+    // distinct 8-grams also occur anywhere in the train split (deterministic
+    // doc_id-parity split). The overlap scan every benchmark-eval pipeline
+    // runs before trusting its numbers. Plan: two distinct gram sets, one
+    // LEFT SEMI join on the gram (the probe side never widens), per-doc
+    // counts. Scale: the semi join shuffles on the gram hash — skew-free
+    // keys; at 100 TB the train gram set compresses into a broadcast
+    // bloom filter for a shuffle-free first pass (exact semi join only on
+    // the bloom hits). Ratio ships UNROUNDED (identical integer operands
+    // → identical IEEE division; rounding would introduce divergence).
+    "q76_decontaminate" -> ((s, dir) => {
+      graft.functions.VectorExpressions.ensureRegistered(s)
+      def grams(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        Tables(s, dir, "documents")
+          .filter(f(col("doc_id")))
+          .select(col("doc_id"), explode(expr("char_ngrams(text, 8)")).as("g"))
+          .distinct()
+      val train = grams(_ % 2 === 0).select("g").distinct()
+      val evalG = grams(_ % 2 === 1)
+      val tot = evalG.groupBy("doc_id").agg(count(lit(1)).as("total"))
+      val con = evalG.join(train, Seq("g"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("contaminated"))
+      tot.join(con, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("total"),
+          coalesce(col("contaminated"), lit(0L)).as("contaminated"),
+          (coalesce(col("contaminated"), lit(0L)).cast("double") / col("total"))
+            .as("contam_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ─────────────────────── text analysis ───────────────────────────────
     "q83_text_stats" -> ((s, dir) => {
       Tables(s, dir, "documents")
@@ -410,6 +440,25 @@ object Extensions {
         |       count(*) AS n_chunks, CAST(sum(n_tokens) AS BIGINT) AS tok_total,
         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM binned GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
+    "q76_decontaminate" ->
+      """WITH tg AS (
+        |  SELECT DISTINCT g FROM (
+        |    SELECT unnest(list_transform(range(1, len(text) - 6),
+        |           i -> substr(text, i, 8))) AS g
+        |    FROM documents WHERE doc_id % 2 = 0 AND len(text) >= 8)),
+        |eg AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(text) - 6),
+        |           i -> substr(text, i, 8))) AS g
+        |    FROM documents WHERE doc_id % 2 = 1 AND len(text) >= 8)),
+        |tot AS (SELECT doc_id, count(*) AS total FROM eg GROUP BY doc_id),
+        |con AS (
+        |  SELECT doc_id, count(*) AS contaminated
+        |  FROM eg WHERE g IN (SELECT g FROM tg) GROUP BY doc_id)
+        |SELECT t.doc_id, t.total,
+        |       COALESCE(c.contaminated, 0) AS contaminated,
+        |       CAST(COALESCE(c.contaminated, 0) AS DOUBLE) / t.total AS contam_ratio
+        |FROM tot t LEFT JOIN con c USING (doc_id) ORDER BY t.doc_id""".stripMargin,
     "q97_doc_chunks" ->
       """WITH ws AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
