@@ -86,6 +86,24 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // Repetition detection — the degenerate-text filter: the share of a
+    // document's 3-word shingle occurrences taken by its single most
+    // repeated shingle (1.0 ⇒ the document is one phrase looping; natural
+    // text stays low). Counts are NOT de-duplicated — repetition is the
+    // signal. Two skew-free shuffles on (doc, shingle) then doc; ratio
+    // ships unrounded (identical integer operands both engines).
+    "q77_repetition" -> ((s, dir) => {
+      graft.functions.VectorExpressions.ensureRegistered(s)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(expr("text_shingles(text)")).as("sh"))
+        .groupBy(col("doc_id"), col("sh")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("total"), max(col("c")).as("max_rep"))
+        .select(col("doc_id"), col("total"), col("max_rep"),
+          (col("max_rep").cast("double") / col("total")).as("rep_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Token counting: whitespace tokens + a BPE-ish regex token count
     // ([a-z]+ runs / digit runs / other non-space) + the chars/4 rule of
     // thumb — the three estimators a data pipeline actually compares.
@@ -152,6 +170,20 @@ object TextAnalysis {
         |                  THEN round(CAST(n_uniq AS DOUBLE) / n_words, 4) ELSE 0.0 END
         |             * round(least(1.0, CAST(n_words AS DOUBLE) / 100), 4), 4) AS quality
         |FROM m ORDER BY doc_id""".stripMargin,
+    "q77_repetition" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(ws) - 1),
+        |                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |  WHERE len(ws) >= 3),
+        |cnt AS (
+        |  SELECT doc_id, sh, count(*) AS c FROM sh GROUP BY doc_id, sh)
+        |SELECT doc_id,
+        |       CAST(sum(c) AS BIGINT) AS total,
+        |       CAST(max(c) AS BIGINT) AS max_rep,
+        |       CAST(max(c) AS DOUBLE) / sum(c) AS rep_ratio
+        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q89_token_count" ->
       """SELECT doc_id,
         |       CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS ws_tokens,
