@@ -149,6 +149,50 @@ class GenerativePropertiesSpec extends SparkSpec {
     }
   }
 
+  test("winnowing shares a fingerprint for any shared substring >= k+w-1") {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    import spark.implicits._
+    // random distinct prefixes/suffixes around one shared core of length
+    // >= 8+4-1 = 11: the MOSS guarantee must hold for ANY such pair
+    val gen = for {
+      core <- Gen.listOfN(12, Gen.alphaLowerChar).map(_.mkString)
+      p1 <- Gen.listOfN(15, Gen.alphaUpperChar).map(_.mkString)
+      p2 <- Gen.listOfN(15, Gen.numChar).map(_.mkString)
+      s1 <- Gen.listOfN(15, Gen.numChar).map(_.mkString)
+      s2 <- Gen.listOfN(15, Gen.alphaUpperChar).map(_.mkString)
+    } yield (p1 + core + s1, p2 + core + s2)
+    forAll(gen, n = 8) { case (a, b) =>
+      val out = Seq(a, b).toDF("text")
+        .select(expr("winnow_fps(text, 8, 4)").as("fps")).collect()
+      val fa = out(0).getSeq[String](0).toSet
+      val fb = out(1).getSeq[String](0).toSet
+      assert(fa.intersect(fb).nonEmpty, s"no shared fp for '$a' / '$b'")
+    }
+  }
+
+  test("cumulative packing bins conserve items and bound overflow") {
+    import spark.implicits._
+    // arbitrary chunk streams: bin by cumulative-before div 512 — every
+    // chunk lands in exactly one bin and a bin overflows 512 by less
+    // than one max-sized chunk
+    val gen = Gen.listOf(Gen.choose(1L, 50L))
+    forAll(gen, n = 8) { sizes =>
+      whenever(sizes.nonEmpty) {
+        val df = sizes.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+          .toDF("idx", "n_tokens")
+        val w = Window.orderBy("idx")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val binned = df
+          .withColumn("cum0", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+          .withColumn("bin", floor(col("cum0") / 512).cast("long"))
+        val packed = binned.groupBy("bin")
+          .agg(count(lit(1)).as("n_chunks"), sum("n_tokens").as("tok_total"))
+        assert(packed.agg(sum("n_chunks")).head().getLong(0) == sizes.length)
+        assert(packed.filter(col("tok_total") >= 512 + 50).isEmpty)
+      }
+    }
+  }
+
   test("retention keeps a monotone subset and is idempotent") {
     val gen = for { rows <- eventGen; cut <- Gen.choose(0L, 999L) } yield (rows, cut)
     forAll(gen) { case (rows, cutId) =>
