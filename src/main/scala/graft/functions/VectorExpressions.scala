@@ -87,6 +87,7 @@ object VectorExpressions {
   val simhashFnName = "simhash_agg"
   val ngramsFnName = "char_ngrams"
   val winnowFnName = "winnow_fps"
+  val minhashFnName = "minhash_agg"
 
   /** Idempotent runtime registration of ALL graft native expressions
     * (for sessions not built with
@@ -136,6 +137,13 @@ object VectorExpressions {
           require(children.length == 3, s"$winnowFnName expects 3 arguments")
           WinnowFps(children.head, children(1), children(2))
         })
+    if (!reg.functionExists(FunctionIdentifier(minhashFnName)))
+      reg.registerFunction(FunctionIdentifier(minhashFnName),
+        new ExpressionInfo(classOf[MinHashAgg].getName, minhashFnName),
+        { children =>
+          require(children.length == 1, s"$minhashFnName expects 1 argument")
+          MinHashAgg(children.head).toAggregateExpression()
+        })
   }
 }
 
@@ -169,5 +177,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WinnowFps].getName,
         VectorExpressions.winnowFnName),
       exprs => WinnowFps(exprs.head, exprs(1), exprs(2))))
+    ext.injectFunction((FunctionIdentifier(VectorExpressions.minhashFnName),
+      new ExpressionInfo(classOf[MinHashAgg].getName,
+        VectorExpressions.minhashFnName),
+      exprs => MinHashAgg(exprs.head).toAggregateExpression()))
   }
 }

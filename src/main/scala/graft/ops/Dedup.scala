@@ -36,11 +36,19 @@ object Dedup {
       .distinct()
   }
 
-  /** One row per doc: columns h0..h15 = the MinHash signature. */
+  /** One row per doc: columns h0..h15 = the MinHash signature, computed
+    * by the single native minhash_agg (graft.functions.MinHashAgg: one
+    * compiled seed+md5+fold pass per row, 16×16-byte partial buffers
+    * merged by elementwise min) instead of 16 separate
+    * `min(md5(concat(seed, sh)))` aggregate columns. Same values — the
+    * oracle SQL keeps the 16-column formulation.
+    */
   private def signature(s: SparkSession, dir: String): DataFrame = {
-    val aggs: Seq[Column] =
-      (0 until K).map(i => min(md5(concat(lit(s"$i|"), col("sh")))).as(s"h$i"))
-    shingles(s, dir).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val sig = shingles(s, dir).groupBy(col("doc_id"))
+      .agg(expr("minhash_agg(sh)").as("sig"))
+    val cols: Seq[Column] = col("doc_id") +:
+      (0 until K).map(i => element_at(col("sig"), i + 1).as(s"h$i"))
+    sig.select(cols: _*)
   }
 
   val queries: Map[String, Q] = Map(
