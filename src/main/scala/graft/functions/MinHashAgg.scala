@@ -81,7 +81,7 @@ case class MinHashAgg(
     val out = new Array[Any](K)
     var i = 0
     while (i < K) {
-      out(i) = UTF8String.fromString(MinHashAgg.toHex(buf(i)))
+      out(i) = UTF8String.fromString(HexBytes.lower(buf(i)))
       i += 1
     }
     new GenericArrayData(out)
@@ -125,16 +125,4 @@ object MinHashAgg {
     */
   private[functions] val seedPrefix: Array[Array[Byte]] =
     Array.tabulate(K)(i => s"$i|".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-
-  private[functions] def toHex(b: Array[Byte]): String = {
-    val sb = new java.lang.StringBuilder(32)
-    var i = 0
-    while (i < b.length) {
-      val v = b(i) & 0xff
-      sb.append(Character.forDigit(v >> 4, 16))
-      sb.append(Character.forDigit(v & 15, 16))
-      i += 1
-    }
-    sb.toString
-  }
 }

@@ -153,6 +153,24 @@ object ArrayPairs {
   }
 }
 
+/** Lowercase hex of raw digest bytes — load-bearing for cross-engine
+  * comparability (must match Spark's and DuckDB's md5 output exactly);
+  * shared by every fingerprint expression so the format can never fork.
+  */
+private[functions] object HexBytes {
+  def lower(b: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(2 * b.length)
+    var i = 0
+    while (i < b.length) {
+      val v = b(i) & 0xff
+      sb.append(Character.forDigit(v >> 4, 16))
+      sb.append(Character.forDigit(v & 15, 16))
+      i += 1
+    }
+    sb.toString
+  }
+}
+
 /** Native winnowing fingerprinter: `winnow_fps(text, k, w)` →
   * `array<string>` of the DISTINCT window minima of md5-hashed k-char
   * grams over every w-gram sliding window (tail windows shrink) — the
@@ -227,7 +245,7 @@ object WinnowFps {
         if (java.util.Arrays.compareUnsigned(hashes(j), m) < 0) m = hashes(j)
         j += 1
       }
-      if (m ne last) { seen.add(toHex(m)); last = m }
+      if (m ne last) { seen.add(HexBytes.lower(m)); last = m }
       i += 1
     }
     val out = new Array[Any](seen.size)
@@ -235,18 +253,6 @@ object WinnowFps {
     var idx = 0
     while (it.hasNext) { out(idx) = UTF8String.fromString(it.next()); idx += 1 }
     new GenericArrayData(out)
-  }
-
-  private def toHex(b: Array[Byte]): String = {
-    val sb = new java.lang.StringBuilder(32)
-    var i = 0
-    while (i < b.length) {
-      val v = b(i) & 0xff
-      sb.append(Character.forDigit(v >> 4, 16))
-      sb.append(Character.forDigit(v & 15, 16))
-      i += 1
-    }
-    sb.toString
   }
 }
 

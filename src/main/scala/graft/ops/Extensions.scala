@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Q
 import graft.model.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -39,6 +40,25 @@ object Extensions {
          |  zip_with($a, $b, (x, y) -> CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))),
          |  CAST(0 AS DECIMAL(28,12)),
          |  (acc, v) -> CAST(acc + v AS DECIMAL(28,12)))""".stripMargin)
+
+  /** One row per (doc, chunk): fixed 50-token windows at stride 40 over
+    * the non-empty tokens — the SINGLE source of chunk geometry, consumed
+    * by q97 (identity/stats) and q58 (packing). The q58-vs-q97
+    * conservation invariant only means something because both read this
+    * one definition.
+    */
+  private def docChunks(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), w -> w <> '')").as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, CAST(ceil(size(ws) / 40.0) AS INT) - 1),
+          |  i -> named_struct('idx', i, 'chunk', slice(ws, i * 40 + 1, 50)))""".stripMargin))
+        .as("e"))
+      .select(col("doc_id"),
+        col("e.idx").cast("long").as("chunk_idx"),
+        col("e.chunk").as("chunk"))
 
   val queries: Map[String, Q] = Map(
 
@@ -215,18 +235,10 @@ object Extensions {
     // the scan; per-doc chunk counts are tiny so the HOF expansion is
     // not a hot path.
     "q97_doc_chunks" -> ((s, dir) => {
-      Tables(s, dir, "documents")
-        .select(col("doc_id"),
-          expr("filter(split(text, ' '), w -> w <> '')").as("ws"))
-        .filter(size(col("ws")) > 0)
-        .select(col("doc_id"), explode(expr(
-          """transform(sequence(0, CAST(ceil(size(ws) / 40.0) AS INT) - 1),
-            |  i -> named_struct('idx', i, 'chunk', slice(ws, i * 40 + 1, 50)))""".stripMargin))
-          .as("e"))
-        .select(col("doc_id"),
-          col("e.idx").cast("long").as("chunk_idx"),
-          size(col("e.chunk")).cast("long").as("n_tokens"),
-          md5(concat_ws(" ", col("e.chunk"))).as("chunk_md5"))
+      docChunks(s, dir)
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("chunk")).cast("long").as("n_tokens"),
+          md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
@@ -240,16 +252,9 @@ object Extensions {
     // stream; a global packing order across shards is neither needed nor
     // wanted (any shard-local order is a valid training mix).
     "q58_pack_sequences" -> ((s, dir) => {
-      val chunks = Tables(s, dir, "documents")
-        .select(col("doc_id"),
-          expr("filter(split(text, ' '), w -> w <> '')").as("ws"))
-        .filter(size(col("ws")) > 0)
-        .select(col("doc_id"), explode(expr(
-          """transform(sequence(0, CAST(ceil(size(ws) / 40.0) AS INT) - 1),
-            |  i -> named_struct('idx', i, 'n', size(slice(ws, i * 40 + 1, 50))))""".stripMargin))
-          .as("e"))
-        .select(col("doc_id"), col("e.idx").cast("long").as("chunk_idx"),
-          col("e.n").cast("long").as("n_tokens"))
+      val chunks = docChunks(s, dir)
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("chunk")).cast("long").as("n_tokens"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("shard").orderBy(col("doc_id"), col("chunk_idx"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -295,13 +300,16 @@ object Extensions {
     // → identical IEEE division; rounding would introduce divergence).
     "q76_decontaminate" -> ((s, dir) => {
       graft.functions.VectorExpressions.ensureRegistered(s)
-      def grams(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
-        Tables(s, dir, "documents")
-          .filter(f(col("doc_id")))
-          .select(col("doc_id"), explode(expr("char_ngrams(text, 8)")).as("g"))
-          .distinct()
-      val train = grams(_ % 2 === 0).select("g").distinct()
-      val evalG = grams(_ % 2 === 1)
+      // train needs only the distinct gram SET — a per-doc distinct first
+      // would be a second full shuffle of the train grams for no effect
+      val train = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 2 === 0)
+        .select(explode(expr("char_ngrams(text, 8)")).as("g"))
+        .distinct()
+      val evalG = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), explode(expr("char_ngrams(text, 8)")).as("g"))
+        .distinct()
       val tot = evalG.groupBy("doc_id").agg(count(lit(1)).as("total"))
       val con = evalG.join(train, Seq("g"), "left_semi")
         .groupBy("doc_id").agg(count(lit(1)).as("contaminated"))

@@ -54,15 +54,19 @@ object Multimodal {
         (payload(0) & 0xff) == 0x1f && (payload(1) & 0xff) == 0x8b
       if (!isGzip) MediaMeta(docId, len.toLong, -1L, -1L, isize_ok = false, "raw")
       else {
-        val out = new ByteArrayOutputStream()
         var in: GZIPInputStream = null
         try {
           // the constructor already parses the full header and can throw
           in = new GZIPInputStream(new java.io.ByteArrayInputStream(payload))
           val buf = new Array[Byte](8192)
+          // COUNT the decompressed stream, never buffer it: only the
+          // length is needed, and buffering would die with an
+          // uncatchable OutOfMemoryError (not IOException) on an
+          // oversized/bomb payload — the exact task-kill the corrupt
+          // classification exists to prevent
+          var decLen = 0L
           var n = in.read(buf)
-          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-          val decLen = out.size().toLong
+          while (n >= 0) { decLen += n; n = in.read(buf) }
           val isize = (payload(len - 4) & 0xffL) |
             ((payload(len - 3) & 0xffL) << 8) |
             ((payload(len - 2) & 0xffL) << 16) |

@@ -71,7 +71,7 @@ object Reference {
 
     // The backend downsample the reference leans on implicitly: InfluxDB's
     // `GROUP BY time(interval)` / Grafana's maxDataPoints contract. A
-    // 30-day request at 100 points → fixed 2592-second buckets computed
+    // 30-day request at 1000 points → fixed 2592-second buckets computed
     // with pure epoch arithmetic (identical in both engines — no calendar
     // functions), mean per (series, bucket). The serving-layer twin is
     // Grafana.downsample; this is the oracle-checked declared form.
@@ -81,10 +81,14 @@ object Reference {
     // partitions first.
     "q48_downsample" -> ((s, dir) => {
       val startMs = 1704067200000L // 2024-01-01 00:00:00 UTC
-      val widthMs = 2592000L       // ceil(30 d / 100 points) in ms
+      val widthMs = 2592000L       // 30 d / 1000 points in ms
       Tables(s, dir, "events")
+        // floor, NOT cast-truncate: a timestamp before startMs (backfill,
+        // clock skew) gives a negative quotient, where truncation rounds
+        // toward zero but the oracle's FLOOR rounds down — the row would
+        // land in different buckets per engine
         .select(col("event_type"), col("value"),
-          (((unix_millis(col("ts")) - startMs) / widthMs).cast("long") * widthMs
+          (floor((unix_millis(col("ts")) - startMs) / widthMs) * widthMs
             + startMs).as("bucket_ms"))
         .groupBy(col("event_type"), col("bucket_ms"))
         // UNROUNDED mean: numerator (exact decimal sum → double) and
@@ -101,7 +105,9 @@ object Reference {
     // InfluxQL DERIVATIVE(1s): per-series rate of change between
     // consecutive samples — (value − lag value) / seconds elapsed, NULL
     // for each series' first sample and for zero gaps. One lag window
-    // per series over a unique (ts, event_id) order.
+    // per series over a unique (ts, event_id) order. The rate ships
+    // UNROUNDED (§7.5.7): both engines divide bit-identical doubles, so
+    // the quotient matches exactly while round() itself could diverge.
     "q49_rate" -> ((s, dir) => {
       // order on the ms-truncated epoch + unique event_id in BOTH engines:
       // DuckDB's raw ts keeps ns precision Spark's µs domain can't see, so
@@ -115,8 +121,8 @@ object Reference {
         .withColumn("prev_ms", lag(col("ts_ms"), 1).over(w))
         .select(col("event_type"), col("event_id"), col("ts_ms"),
           when(col("prev_ms").isNotNull && col("ts_ms") > col("prev_ms"),
-            round((col("value") - col("prev_v"))
-              / ((col("ts_ms") - col("prev_ms")) / lit(1000.0)), 6))
+            (col("value") - col("prev_v"))
+              / ((col("ts_ms") - col("prev_ms")) / lit(1000.0)))
             .as("rate_per_s"))
         .orderBy(col("event_type"), col("ts_ms"), col("event_id"))
     }),
@@ -172,7 +178,7 @@ object Reference {
         |  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_ms(ts), event_id))
         |SELECT event_type, event_id, ts_ms,
         |       CASE WHEN prev_ms IS NOT NULL AND ts_ms > prev_ms
-        |            THEN round((value - prev_v) / ((ts_ms - prev_ms) / 1000.0), 6)
+        |            THEN (value - prev_v) / ((ts_ms - prev_ms) / 1000.0)
         |       END AS rate_per_s
         |FROM s ORDER BY event_type, ts_ms, event_id""".stripMargin
   )
