@@ -49,7 +49,7 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       run(name, fn) // warmup (codegen/JIT); failure also logged by run()
       var ok = true
-      val timed = (1 to 2).map { _ =>
+      def timedRun(): Double = {
         // a previous run's persisted subplans would satisfy this one via
         // plan-canonicalization cache lookup — clear so every timed run
         // pays for its own intermediates
@@ -58,6 +58,15 @@ object Bench {
         ok &= run(name, fn)
         (System.nanoTime() - t0) / 1e9
       }
+      var timed = (1 to 2).map(_ => timedRun())
+      // this host shows multi-second contention stalls that can hit BOTH
+      // timed runs of one unlucky query (observed: a 0.4 s query
+      // reporting 5+ s as the min of two). When the two runs disagree
+      // badly AND the min is slow, buy one more sample — min of N stays
+      // an honest steady-state estimate and the retry is bounded to
+      // genuinely suspicious cases
+      if (timed.min > 2.0 && timed.max > 1.5 * timed.min)
+        timed = timed :+ timedRun()
       spark.catalog.clearCache()
       (name, timed.min, ok)
     }

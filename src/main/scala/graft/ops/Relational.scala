@@ -160,6 +160,25 @@ object Relational {
           |FROM customer_q21 ORDER BY c_custkey""".stripMargin)
     }),
 
+    // ANSI three-valued NOT IN — the null trap, exercised deliberately:
+    // a NULL in the subquery list makes `x NOT IN (...)` UNKNOWN for
+    // every x outside the list (never TRUE), so the with-null count
+    // collapses wherever NULLIF fires. SQL form on purpose: Spark plans
+    // `NOT IN (subquery)` as a null-aware anti join, a distinct physical
+    // operator the DataFrame left_anti (null-blind) does not exercise.
+    "q22_not_in_nulls" -> ((s, dir) => {
+      Tables(s, dir, "customer").createOrReplaceTempView("customer_q22")
+      Tables(s, dir, "supplier").createOrReplaceTempView("supplier_q22")
+      s.sql(
+        """SELECT
+          |  (SELECT count(*) FROM customer_q22
+          |   WHERE c_nationkey NOT IN (SELECT NULLIF(s_nationkey, 3)
+          |                             FROM supplier_q22)) AS with_null,
+          |  (SELECT count(*) FROM customer_q22
+          |   WHERE c_nationkey NOT IN (SELECT s_nationkey FROM supplier_q22
+          |                             WHERE s_nationkey <> 3)) AS without_null""".stripMargin)
+    }),
+
     // ──────────────────────────── aggregations ───────────────────────────
     // TPC-H Q1 shape (hash agg with map-side partials).
     "q30_groupby_agg" -> ((s, dir) => {
@@ -537,6 +556,14 @@ object Relational {
         |       round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
         |       round(covar_samp(l_quantity, l_discount), 6) AS cov_qd
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q22_not_in_nulls" ->
+      """SELECT
+        |  (SELECT count(*) FROM customer
+        |   WHERE c_nationkey NOT IN (SELECT NULLIF(s_nationkey, 3)
+        |                             FROM supplier)) AS with_null,
+        |  (SELECT count(*) FROM customer
+        |   WHERE c_nationkey NOT IN (SELECT s_nationkey FROM supplier
+        |                             WHERE s_nationkey <> 3)) AS without_null""".stripMargin,
     // the UNSALTED form: the salted two-stage plan must be result-identical
     "q55_salted_agg" ->
       """SELECT l_returnflag,

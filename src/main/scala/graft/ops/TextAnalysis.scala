@@ -86,6 +86,18 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // Corpus length histogram — the distribution telemetry every
+    // pipeline dashboard tracks: 500-char buckets per language. Integer
+    // bucket arithmetic with floor (not cast-truncate — §7.5 lesson),
+    // one map-side projection + hash agg.
+    "q67_length_histogram" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("lang"), floor(col("n_chars") / 500).cast("long").as("bucket"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("lang"), col("bucket"))
+    }),
+
     // Repetition detection — the degenerate-text filter: the share of a
     // document's 3-word shingle occurrences taken by its single most
     // repeated shingle (1.0 ⇒ the document is one phrase looping; natural
@@ -170,6 +182,10 @@ object TextAnalysis {
         |                  THEN round(CAST(n_uniq AS DOUBLE) / n_words, 4) ELSE 0.0 END
         |             * round(least(1.0, CAST(n_words AS DOUBLE) / 100), 4), 4) AS quality
         |FROM m ORDER BY doc_id""".stripMargin,
+    "q67_length_histogram" ->
+      """SELECT lang, CAST(floor(n_chars / 500.0) AS BIGINT) AS bucket,
+        |       count(*) AS cnt
+        |FROM documents GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
     "q77_repetition" ->
       """WITH sh AS (
         |  SELECT doc_id,
