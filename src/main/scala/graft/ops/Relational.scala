@@ -179,6 +179,23 @@ object Relational {
           |                             WHERE s_nationkey <> 3)) AS without_null""".stripMargin)
     }),
 
+    // LATERAL join — the correlated table subquery (each nation's two
+    // highest-balance customers via a per-row dependent subquery).
+    // Catalyst decorrelates the lateral into a ranked window join; the
+    // SQL surface is what a reference user migrating real queries
+    // brings, so it is exercised as SQL in both engines.
+    "q23_lateral_topn" -> ((s, dir) => {
+      Tables(s, dir, "nation").createOrReplaceTempView("nation_q23")
+      Tables(s, dir, "customer").createOrReplaceTempView("customer_q23")
+      s.sql(
+        """SELECT n.n_name, t.c_custkey, t.c_acctbal
+          |FROM nation_q23 n,
+          |LATERAL (SELECT c_custkey, c_acctbal FROM customer_q23 c
+          |         WHERE c.c_nationkey = n.n_nationkey
+          |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+          |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin)
+    }),
+
     // ──────────────────────────── aggregations ───────────────────────────
     // TPC-H Q1 shape (hash agg with map-side partials).
     "q30_groupby_agg" -> ((s, dir) => {
@@ -556,6 +573,13 @@ object Relational {
         |       round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
         |       round(covar_samp(l_quantity, l_discount), 6) AS cov_qd
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q23_lateral_topn" ->
+      """SELECT n.n_name, t.c_custkey, t.c_acctbal
+        |FROM nation n,
+        |LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin,
     "q22_not_in_nulls" ->
       """SELECT
         |  (SELECT count(*) FROM customer
