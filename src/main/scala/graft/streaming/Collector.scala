@@ -157,14 +157,26 @@ object Collector {
     * extract/validate transform, and appends to the partitioned sink.
     * Exactly-once across restarts comes from the checkpointed file-source
     * offsets + idempotent batch tracking.
+    *
+    * `dedupWithin`: optional SAMPLE-level idempotence — a flaky agent
+    * re-dropping the same `(series, ts)` sample in a NEW file is invisible
+    * to source offsets (that only covers re-read files); with a delay set,
+    * duplicates within the watermark are dropped with bounded state
+    * (dropDuplicatesWithinWatermark — the ingest discipline of
+    * [[StreamingDedup]] applied to the metric stream's natural key).
     */
   def startFromDropDir(spark: SparkSession, dropDir: String, sinkDir: String,
-                       checkpointDir: String): StreamingQuery = {
+                       checkpointDir: String,
+                       dedupWithin: Option[String] = None): StreamingQuery = {
     val raw = spark.readStream
       .schema(rawSchema)
       .option("maxFilesPerTrigger", 100)
       .json(dropDir)
-    transform(raw).writeStream
+    val cleaned = dedupWithin.foldLeft(transform(raw)) { (df, delay) =>
+      df.withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark("series", "ts")
+    }
+    cleaned.writeStream
       .trigger(Trigger.ProcessingTime("1 second"))
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -98,6 +98,32 @@ class CollectorSpec extends SparkSpec {
     assert(new java.io.File(s"$sinkDir/p_date=2024-01-01").exists())
   }
 
+  test("drop-dir ingest dedups re-delivered samples within the watermark") {
+    import spark.implicits._
+    val dropDir = java.nio.file.Files.createTempDirectory("drop_dd").toString
+    val sinkDir = java.nio.file.Files.createTempDirectory("sink_dd").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt_dd").toString
+    // a flaky agent re-drops the SAME (series, ts) sample in a NEW file —
+    // invisible to source offsets, caught only by sample-level dedup
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dropDir/a.json"),
+      """{"series":"cpu","ts":"2024-01-01T10:00:00.000Z","body":"{\"count\": 5}"}
+        |{"series":"cpu","ts":"2024-01-01T10:01:00.000Z","body":"{\"count\": 6}"}
+        |""".stripMargin)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dropDir/a_retry.json"),
+      """{"series":"cpu","ts":"2024-01-01T10:00:00.000Z","body":"{\"count\": 5}"}
+        |""".stripMargin)
+    val q = Collector.startFromDropDir(spark, dropDir, sinkDir, ckpt,
+      dedupWithin = Some("1 hour"))
+    try q.processAllAvailable() finally q.stop()
+    val vals = spark.read
+      .schema("series STRING, ts TIMESTAMP, value DOUBLE, p_date DATE")
+      .json(sinkDir)
+      .select(col("value")).as[Double].collect().sorted.toSeq
+    assert(vals == Seq(5.0, 6.0)) // the re-dropped sample ingested once
+  }
+
   test("sink batch replay is idempotent (exactly-once, not at-least-once)") {
     import spark.implicits._
     val sinkDir = java.nio.file.Files.createTempDirectory("sink_idem").toString
