@@ -51,7 +51,7 @@ case class MinHashAgg(
     val v = child.eval(input)
     if (v != null) {
       val sh = v.asInstanceOf[UTF8String].getBytes
-      val md = java.security.MessageDigest.getInstance("MD5")
+      val md = Md5.local.get() // per-task-thread reuse — see Md5
       var i = 0
       while (i < K) {
         md.update(MinHashAgg.seedPrefix(i))

@@ -47,9 +47,9 @@ case class TextShingles(child: Expression)
 
 /** Native character n-gram generator: `char_ngrams(text, n)` →
   * `array<string>` of every n-character window (n a foldable literal).
-  * Character counting is code-point-agnostic ASCII-equivalent: positions
-  * follow `String` UTF-16 units, identical to DuckDB `substr` semantics
-  * for ASCII and BMP text (the corpus contract). Same rationale as
+  * Characters are Unicode code points (sliced at UTF-8 boundaries via
+  * [[Utf8CodePoints]]), matching DuckDB `len`/`substr` semantics on ANY
+  * text, supplementary plane included. Same rationale as
   * [[TextShingles]]: the transform/substring HOF form runs interpreted.
   */
 case class CharNGrams(left: Expression, right: Expression)
@@ -80,13 +80,15 @@ case class CharNGrams(left: Expression, right: Expression)
 object CharNGrams {
   def ngrams(s: UTF8String, n: Int): ArrayData = {
     if (n <= 0) return new GenericArrayData(Array.empty[Any])
-    val str = s.toString
-    val len = str.length
-    if (len < n) return new GenericArrayData(Array.empty[Any])
-    val out = new Array[Any](len - n + 1)
+    val bytes = s.getBytes
+    val offs = Utf8CodePoints.offsets(bytes)
+    val cp = offs.length - 1
+    if (cp < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](cp - n + 1)
     var i = 0
-    while (i <= len - n) {
-      out(i) = UTF8String.fromString(str.substring(i, i + n))
+    while (i <= cp - n) {
+      // zero-decode slice of the original UTF-8 bytes
+      out(i) = UTF8String.fromBytes(bytes, offs(i), offs(i + n) - offs(i))
       i += 1
     }
     new GenericArrayData(out)
@@ -153,6 +155,43 @@ object ArrayPairs {
   }
 }
 
+/** Per-thread MD5 instance — getInstance is a JCA provider lookup +
+  * allocation; hot expressions hash once per gram, so the lookup must
+  * not be per-call. digest() resets the instance, making reuse safe.
+  */
+private[functions] object Md5 {
+  val local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+}
+
+/** UTF-8 code-point boundary offsets. DuckDB's `len()`/`substr()` count
+  * Unicode code points, so cross-engine gram generation must slice at
+  * code-point boundaries — slicing UTF-16 units (String.substring) forks
+  * the gram sets on any supplementary-plane character (emoji are common
+  * in web text). A UTF-8 byte starts a code point iff it is not a
+  * continuation byte (0b10xxxxxx), so boundaries come from one byte scan
+  * with no decode.
+  */
+private[functions] object Utf8CodePoints {
+  /** offs(i) = byte offset of code point i; offs(last) = bytes.length.
+    * Code point count = offs.length - 1.
+    */
+  def offsets(b: Array[Byte]): Array[Int] = {
+    var n = 0
+    var i = 0
+    while (i < b.length) { if ((b(i) & 0xc0) != 0x80) n += 1; i += 1 }
+    val offs = new Array[Int](n + 1)
+    var ci = 0
+    i = 0
+    while (i < b.length) {
+      if ((b(i) & 0xc0) != 0x80) { offs(ci) = i; ci += 1 }
+      i += 1
+    }
+    offs(n) = b.length
+    offs
+  }
+}
+
 /** Lowercase hex of raw digest bytes — load-bearing for cross-engine
   * comparability (must match Spark's and DuckDB's md5 output exactly);
   * shared by every fingerprint expression so the format can never fork.
@@ -216,17 +255,22 @@ case class WinnowFps(child: Expression, kExpr: Expression, wExpr: Expression)
 
 object WinnowFps {
   def winnow(s: UTF8String, k: Int, w: Int): ArrayData = {
-    val str = s.toString
-    val len = str.length
-    if (k <= 0 || w <= 0 || len < k)
+    if (k <= 0 || w <= 0)
       return new GenericArrayData(Array.empty[Any])
-    val nGrams = len - k + 1
-    val md = java.security.MessageDigest.getInstance("MD5")
+    // grams are k CODE POINTS (byte slices at UTF-8 boundaries) so the
+    // gram set matches the oracle's substr(text, i, k) on any text —
+    // UTF-16-unit slicing would fork on supplementary-plane characters
+    val bytes = s.getBytes
+    val offs = Utf8CodePoints.offsets(bytes)
+    val cp = offs.length - 1
+    if (cp < k) return new GenericArrayData(Array.empty[Any])
+    val nGrams = cp - k + 1
+    val md = Md5.local.get()
     val hashes = new Array[Array[Byte]](nGrams)
     var i = 0
     while (i < nGrams) {
-      hashes(i) = md.digest(str.substring(i, i + k)
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.update(bytes, offs(i), offs(i + k) - offs(i))
+      hashes(i) = md.digest()
       i += 1
     }
     // min per window on RAW digest bytes — unsigned byte order is exactly

@@ -41,6 +41,51 @@ object Extensions {
          |  CAST(0 AS DECIMAL(28,12)),
          |  (acc, v) -> CAST(acc + v AS DECIMAL(28,12)))""".stripMargin)
 
+  /** Shared DF-capped set-Jaccard pipeline behind q81 (word shingles) and
+    * q95 (char n-grams). Input: (doc_id, <gram>) rows, possibly with
+    * duplicates. Output: (doc_a, doc_b, inter, jac) pairs above minJac.
+    *
+    * Stage shape (each one chosen for the 100 TB case):
+    *  - DISTINCT (doc, gram): one shuffle, map-side combined.
+    *  - keep = groupBy(gram).count <= maxDf: map-side-combinable counts
+    *    (one row per distinct gram per mapper in the shuffle), never
+    *    buffers a hot gram's doc list. The distinct exchange is shared
+    *    with the semi-join probe side below via Spark's ReuseExchange.
+    *  - kept = sh LEFT SEMI keep on gram: both sides hash-partitioned on
+    *    the gram; the join output stays partitioned on gram, so the
+    *    pair-generation groupBy(gram) below needs NO further exchange.
+    *  - kept is persisted because it feeds two consumers (doc sizes +
+    *    pair-gen) and Spark has no automatic CTE reuse for DataFrame
+    *    plans. Callers (Bench/Verify/harnesses) own cache cleanup — see
+    *    the contract note on [[graft.SparkEntry.queries]].
+    *  - pair expansion: per-gram sorted doc list → all a<b pairs via the
+    *    native codegen'd array_pairs; group sizes are bounded by maxDf,
+    *    so the expansion is ≤ maxDf(maxDf-1)/2 per gram by construction.
+    */
+  private def capJaccardPairs(grams: DataFrame, gram: String,
+                              maxDf: Int, minJac: Double): DataFrame = {
+    val sh = grams.distinct()
+    val keep = sh.groupBy(gram).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(gram)
+    val kept = sh.join(keep, Seq(gram), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sz = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = kept.groupBy(gram)
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .select(explode(expr("array_pairs(ds)")).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val jac = col("inter").cast("double") /
+      (col("sa.n") + col("sb.n") - col("inter")).cast("double")
+    pairs
+      .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .filter(jac >= minJac)
+      .select(col("doc_a"), col("doc_b"), col("inter"), round(jac, 4).as("jac"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** One row per (doc, chunk): fixed 50-token windows at stride 40 over
     * the non-empty tokens — the SINGLE source of chunk geometry, consumed
     * by q97 (identity/stats) and q58 (packing). The q58-vs-q97
@@ -126,50 +171,26 @@ object Extensions {
     //     sorted doc list → pair expansion inside one codegen'd lambda:
     //     one shuffle on the shingle instead of a two-sided string join,
     //     and the cap bounds each group's expansion.
-    //  3. DF via a COUNT WINDOW over sh, not groupBy(sh).agg(collect_set):
-    //     the window spills per-partition state safely, while collecting a
-    //     hot shingle's full doc set into one agg buffer before the cap
-    //     could filter it is exactly the OOM the cap exists to prevent.
-    //     (The persist boundary makes the later groupBy(sh) re-exchange
-    //     the capped set — a second, much smaller shingle shuffle.)
+    //  3. DF via groupBy(sh).count() + LEFT SEMI back onto the shingle set
+    //     (see capJaccardPairs): the count is map-side combinable (partial
+    //     aggregation shrinks the shuffle to one row per distinct shingle
+    //     per mapper) and nothing ever buffers a hot shingle's doc list
+    //     before the cap filters it. The earlier count-window form sorted
+    //     every (doc, shingle) row inside WindowExec — a per-partition
+    //     sort the aggregate form simply doesn't have.
+    //
+    // text_shingles is the native codegen'd generator — the declarative
+    // transform/concat_ws HOF form is always interpreted and was the
+    // hottest interpreted path in the whole bench (docs with <3 words
+    // yield an empty array, exploding to nothing — same rows as the
+    // old size(ws)>=3 pre-filter).
     "q81_shingle_jaccard" -> ((s, dir) => {
       graft.functions.VectorExpressions.ensureRegistered(s)
-      val maxDf = 50 // stop-shingle bound; mirrored in the oracle HAVING
-      // text_shingles is the native codegen'd generator — the declarative
-      // transform/concat_ws HOF form is always interpreted and was the
-      // hottest interpreted path in the whole bench (docs with <3 words
-      // yield an empty array, exploding to nothing — same rows as the
-      // old size(ws)>=3 pre-filter)
       val sh = Tables(s, dir, "documents")
         .select(col("doc_id"),
           explode(expr("text_shingles(text)")).as("sh"))
-        .distinct()
-      // kept feeds two consumers (sizes + pair-gen) — Spark has no
-      // automatic CTE reuse for DataFrame plans, so materialize once.
-      // (At 100 TB this intermediate is written to storage; same shape.)
-      val kept = sh
-        .withColumn("df", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("sh")))
-        .filter(col("df") <= maxDf)
-        .drop("df")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sz = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      // each shingle's sorted doc list → all a<b pairs via the native
-      // codegen'd array_pairs (the nested-transform HOF form would run
-      // interpreted on this hot path), counted per pair
-      val pairs = kept.groupBy("sh")
-        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-        .select(explode(expr("array_pairs(ds)")).as("p"))
-        .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-        .agg(count(lit(1)).as("inter"))
-      val jac = col("inter").cast("double") /
-        (col("sa.n") + col("sb.n") - col("inter")).cast("double")
-      pairs
-        .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
-        .filter(jac >= 0.3)
-        .select(col("doc_a"), col("doc_b"), col("inter"), round(jac, 4).as("jac"))
-        .orderBy(col("doc_a"), col("doc_b"))
+      // maxDf = 50: stop-shingle bound, mirrored in the oracle HAVING
+      capJaccardPairs(sh, "sh", maxDf = 50, minJac = 0.3)
     }),
 
     // Character n-gram Jaccard near-dup (the n-gram variant of q81:
@@ -180,31 +201,10 @@ object Extensions {
     // this corpus' vocabulary is tiny (char-5-grams all exceed the cap).
     "q95_ngram_jaccard" -> ((s, dir) => {
       graft.functions.VectorExpressions.ensureRegistered(s)
-      val maxDf = 50 // stop-gram bound; mirrored in the oracle HAVING
       val sh = Tables(s, dir, "documents")
         .select(col("doc_id"),
           explode(expr("char_ngrams(text, 8)")).as("g"))
-        .distinct()
-      val kept = sh
-        .withColumn("df", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("g")))
-        .filter(col("df") <= maxDf)
-        .drop("df")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sz = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val pairs = kept.groupBy("g")
-        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-        .select(explode(expr("array_pairs(ds)")).as("p"))
-        .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-        .agg(count(lit(1)).as("inter"))
-      val jac = col("inter").cast("double") /
-        (col("sa.n") + col("sb.n") - col("inter")).cast("double")
-      pairs
-        .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
-        .filter(jac >= 0.5)
-        .select(col("doc_a"), col("doc_b"), col("inter"), round(jac, 4).as("jac"))
-        .orderBy(col("doc_a"), col("doc_b"))
+      capJaccardPairs(sh, "g", maxDf = 50, minJac = 0.5)
     }),
 
     // ─────────────────────── similarity search ───────────────────────────
