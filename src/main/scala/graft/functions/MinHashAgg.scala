@@ -51,7 +51,7 @@ case class MinHashAgg(
     val v = child.eval(input)
     if (v != null) {
       val sh = v.asInstanceOf[UTF8String].getBytes
-      val md = Md5.local.get() // per-task-thread reuse — see Md5
+      val md = Md5Pool.get() // per-task-thread reuse — see Md5Pool
       var i = 0
       while (i < K) {
         md.update(MinHashAgg.seedPrefix(i))

@@ -158,10 +158,22 @@ object ArrayPairs {
 /** Per-thread MD5 instance — getInstance is a JCA provider lookup +
   * allocation; hot expressions hash once per gram, so the lookup must
   * not be per-call. digest() resets the instance, making reuse safe.
+  * Named Md5Pool (not Md5) so a catalyst wildcard import in a caller
+  * can never shadow it with Spark's Md5 expression class.
   */
-private[functions] object Md5 {
-  val local: ThreadLocal[java.security.MessageDigest] =
+private[functions] object Md5Pool {
+  private val local: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** Reset at acquisition: if a prior evaluation on this executor thread
+    * was killed between update() and digest(), the instance would retain
+    * partial state and silently corrupt the next hash.
+    */
+  def get(): java.security.MessageDigest = {
+    val md = local.get()
+    md.reset()
+    md
+  }
 }
 
 /** UTF-8 code-point boundary offsets. DuckDB's `len()`/`substr()` count
@@ -265,7 +277,7 @@ object WinnowFps {
     val cp = offs.length - 1
     if (cp < k) return new GenericArrayData(Array.empty[Any])
     val nGrams = cp - k + 1
-    val md = Md5.local.get()
+    val md = Md5Pool.get()
     val hashes = new Array[Array[Byte]](nGrams)
     var i = 0
     while (i < nGrams) {
