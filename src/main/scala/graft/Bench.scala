@@ -44,8 +44,22 @@ object Bench {
     // land on single queries in a full sweep; see verify skill gotchas)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd name must fail loudly — silently dropping it would run an
+    // empty (or wrong) sweep that still exits 0 and reports a tiny total
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      if (unknown.nonEmpty) {
+        System.err.println(
+          s"[bench] unknown SPARK_GRAFT_ONLY names: ${unknown.toSeq.sorted.mkString(",")}")
+        sys.exit(2)
+      }
+    }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    if (selected.isEmpty) {
+      System.err.println("[bench] empty query selection")
+      sys.exit(2)
+    }
     val results = selected.map { case (name, fn) =>
       run(name, fn) // warmup (codegen/JIT); failure also logged by run()
       var ok = true

@@ -16,7 +16,16 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q30_groupby_agg")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2.2. */
+  /** One entry per implemented operator from SURVEY.md §2.2.
+    *
+    * CACHE CONTRACT: a few queries (q57, q81, q95) `persist()` a shared
+    * subplan because it feeds two consumers and Spark has no automatic
+    * CTE reuse for DataFrame plans. The returned DataFrame is lazy, so
+    * the query function cannot unpersist it itself — the CALLER owns
+    * cleanup: run the action, then `spark.catalog.clearCache()` (as
+    * Bench and Verify do after every query) or track and unpersist the
+    * cached plans via `spark.sharedState.cacheManager`.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Reference.queries ++ Relational.queries ++ Windows.queries ++
       Extensions.queries ++ Dedup.queries ++ TextAnalysis.queries ++

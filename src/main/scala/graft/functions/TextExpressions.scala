@@ -187,6 +187,12 @@ private[functions] object Md5Pool {
 private[functions] object Utf8CodePoints {
   /** offs(i) = byte offset of code point i; offs(last) = bytes.length.
     * Code point count = offs.length - 1.
+    *
+    * Assumes valid UTF-8 (inputs are Spark UTF8String, validated at
+    * ingest): on malformed input beginning with a continuation byte,
+    * offs(0) stays 0, i.e. the leading junk is folded into the first
+    * "code point" rather than detected — acceptable for gram hashing,
+    * where both engines see the same bytes.
     */
   def offsets(b: Array[Byte]): Array[Int] = {
     var n = 0

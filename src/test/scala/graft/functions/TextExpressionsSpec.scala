@@ -114,6 +114,74 @@ class TextExpressionsSpec extends SparkSpec {
     assert(fa.intersect(fb).nonEmpty)
   }
 
+  test("char_ngrams slices at code points on supplementary-plane text") {
+    VectorExpressions.ensureRegistered(spark)
+    import spark.implicits._
+    // emoji are supplementary-plane (2 UTF-16 units, 4 UTF-8 bytes): a
+    // UTF-16-unit slicer would split surrogate pairs and fork the gram
+    // set from DuckDB's substr(). Gram count must equal codepoints-n+1
+    // and every gram must hold exactly n code points.
+    val texts = Seq("😀😁😂🤣😃", "a😀b😁c", "héllo😀wörld", "🎉", "😀😀😀😀😀😀😀😀")
+    val out = texts.toDF("text")
+      .select(col("text"), expr("char_ngrams(text, 3)").as("grams")).collect()
+    out.foreach { r =>
+      val t = r.getString(0)
+      val cp = t.codePointCount(0, t.length)
+      val grams = r.getSeq[String](1)
+      assert(grams.length == math.max(0, cp - 3 + 1), s"count for '$t'")
+      grams.foreach { g =>
+        assert(g.codePointCount(0, g.length) == 3, s"gram '$g' of '$t'")
+      }
+    }
+    // sliding windows over the same text: adjacent grams overlap by n-1
+    // code points — only true if slicing happened at code-point bounds
+    val g0 = out.head.getSeq[String](1)
+    assert(g0 == Seq("😀😁😂", "😁😂🤣", "😂🤣😃"))
+  }
+
+  test("char_ngrams matches Spark's code-point substring HOF on emoji text") {
+    VectorExpressions.ensureRegistered(spark)
+    import spark.implicits._
+    // Spark's length()/substring() are code-point-based like DuckDB's
+    // len()/substr() — the HOF form is the cross-engine semantic spec
+    val hof = expr(
+      """CASE WHEN length(text) >= 4
+        |THEN transform(sequence(1, length(text) - 3), i -> substring(text, i, 4))
+        |ELSE array() END""".stripMargin)
+    val docs = Seq("😀😁😂🤣😃😄", "a😀b😁c🤣d", "ça va 😀 bien", "𝕳𝖊𝖑𝖑𝖔 𝖜𝖔𝖗𝖑𝖉")
+      .toDF("text")
+    docs.select(expr("char_ngrams(text, 4)").as("native"), hof.as("hof"))
+      .collect().foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"native=${r.getSeq[String](0)} hof=${r.getSeq[String](1)}")
+      }
+  }
+
+  test("winnow_fps matches the declarative form on supplementary-plane text") {
+    VectorExpressions.ensureRegistered(spark)
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "😀😁😂🤣😃😄😅😆😇😈😉😊 some ascii tail to winnow over"),
+      (2L, "mixed a😀b😁c🤣d ascii and emoji mixed through the text 😀😀"),
+      (3L, "𝕳𝖊𝖑𝖑𝖔 𝖜𝖔𝖗𝖑𝖉 mathematical alphanumerics are supplementary too")
+    ).toDF("doc_id", "text")
+    val declarative = docs
+      .select(col("doc_id"),
+        posexplode(expr("char_ngrams(text, 8)")).as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos"), md5(col("g")).as("h"))
+      .withColumn("fp", min(col("h")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, 3)))
+      .groupBy("doc_id").agg(sort_array(collect_set(col("fp"))).as("fps"))
+    val native = docs.select(col("doc_id"),
+      sort_array(expr("winnow_fps(text, 8, 4)")).as("fps"))
+    val nm = native.as[(Long, Seq[String])].collect().toMap
+    declarative.as[(Long, Seq[String])].collect().foreach { case (id, fps) =>
+      assert(nm(id) == fps, s"doc $id")
+    }
+  }
+
   test("codegen and interpreted paths agree") {
     VectorExpressions.ensureRegistered(spark)
     import spark.implicits._

@@ -22,11 +22,21 @@ java -cp "$CP" $ADDOPENS \
 PID=$!
 echo "$PID" > "$OUT/pid"
 # sampler: code cache usage + compiler queue + one jstack every 20s
-( while kill -0 "$PID" 2>/dev/null; do
+# (jstack count capped — an overnight hang must not fill the disk)
+MAX_JSTACKS="${MAX_JSTACKS:-90}"
+( N=0
+  while kill -0 "$PID" 2>/dev/null; do
     TS=$(date +%s)
     { echo "=== $TS ==="; jcmd "$PID" Compiler.codecache 2>/dev/null; jcmd "$PID" Compiler.queue 2>/dev/null | head -5; } >> "$OUT/codecache.log"
-    jstack "$PID" > "$OUT/jstack_$TS.txt" 2>/dev/null
+    if [ "$N" -lt "$MAX_JSTACKS" ]; then
+      jstack "$PID" > "$OUT/jstack_$TS.txt" 2>/dev/null
+      N=$((N + 1))
+    fi
     sleep 20
   done ) &
+SAMPLER=$!
+# interrupt must not orphan the bench JVM or the sampler subshell
+trap 'kill "$PID" "$SAMPLER" 2>/dev/null; exit 130' INT TERM
 wait "$PID"
 echo "bench exit: $?" >> "$OUT/codecache.log"
+kill "$SAMPLER" 2>/dev/null
