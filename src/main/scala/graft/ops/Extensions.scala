@@ -62,8 +62,8 @@ object Extensions {
     *    native codegen'd array_pairs; group sizes are bounded by maxDf,
     *    so the expansion is ≤ maxDf(maxDf-1)/2 per gram by construction.
     */
-  private def capJaccardPairs(grams: DataFrame, gram: String,
-                              maxDf: Int, minJac: Double): DataFrame = {
+  private[graft] def capJaccardPairs(grams: DataFrame, gram: String,
+                                     maxDf: Int, minJac: Double): DataFrame = {
     val sh = grams.distinct()
     val keep = sh.groupBy(gram).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)

@@ -162,6 +162,49 @@ class CollectorSpec extends SparkSpec {
     assert(vals == Seq(1.0, 2.0, 3.0))
   }
 
+  test("end-to-end chain: drop-dir ingest → metrics table → serving reads") {
+    import spark.implicits._
+    // the full reference dataflow in one test: agent drops samples →
+    // collector ingests/validates/partitions → the sink IS the metrics
+    // table → /search catalog + /query range scan + downsampled serve
+    // (the q01/q48 semantics through the serving layer)
+    val dropDir = java.nio.file.Files.createTempDirectory("drop_e2e").toString
+    val sinkDir = java.nio.file.Files.createTempDirectory("sink_e2e").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt_e2e").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dropDir/a.json"),
+      """{"series":"cpu","ts":"2024-01-01T10:00:00.000Z","body":"{\"count\": 1}"}
+        |{"series":"cpu","ts":"2024-01-01T10:05:00.000Z","body":"{\"count\": 3}"}
+        |{"series":"cpu","ts":"2024-01-01T11:00:00.000Z","body":"{\"count\": 9}"}
+        |{"series":"mem","ts":"2024-01-01T10:02:00.000Z","body":"{\"count\": 5}"}
+        |{"series":"cpu","ts":"2024-01-01T10:03:00.000Z","body":"broken"}
+        |""".stripMargin)
+    val q = Collector.startFromDropDir(spark, dropDir, sinkDir, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val metrics = spark.read
+      .schema("series STRING, ts TIMESTAMP, value DOUBLE, p_date DATE")
+      .json(sinkDir)
+    // /search: the catalog lists exactly the ingested series
+    assert(graft.serve.Grafana.search(metrics) == Seq("cpu", "mem"))
+    // /query (q01 shape): range-scan slice of cpu, value-first datapoints,
+    // epoch-ms time, in time order; the invalid sample never made it in
+    val body = graft.serve.Grafana.query(metrics,
+      graft.serve.Grafana.QueryRequest(
+        Seq(graft.serve.Grafana.Target("cpu", "timeseries")),
+        graft.serve.Grafana.TimeRange("2024-01-01T10:00:00", "2024-01-01T10:30:00"),
+        maxDataPoints = 100))
+    assert(body ==
+      """[{"target":"cpu","datapoints":[[1,1704103200000],[3,1704103500000]]}]""")
+    // downsampled /query (q48 shape): one 30-min bucket averaging the two
+    // cpu samples in range — (1+3)/2
+    val ds = graft.serve.Grafana.queryDownsampled(metrics,
+      graft.serve.Grafana.QueryRequest(
+        Seq(graft.serve.Grafana.Target("cpu", "timeseries")),
+        graft.serve.Grafana.TimeRange("2024-01-01T10:00:00", "2024-01-01T10:30:00"),
+        maxDataPoints = 1))
+    assert(ds == """[{"target":"cpu","datapoints":[[2,1704103200000]]}]""")
+  }
+
   test("watermarked aggregation drops late rows beyond 10 minutes (q74)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
