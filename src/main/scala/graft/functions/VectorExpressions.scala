@@ -88,6 +88,25 @@ object VectorExpressions {
   val ngramsFnName = "char_ngrams"
   val winnowFnName = "winnow_fps"
   val minhashFnName = "minhash_agg"
+  // Spark's runtime-filter bloom expressions surfaced as callable
+  // functions (they are not in the public FunctionRegistry):
+  // bloom_agg64(v, estItems, numBits) → binary sketch over xxhash64(v);
+  // bloom_contains64(sketch, v) → might-contain predicate. The sketch
+  // argument must be a constant (Literal/foldable) — Spark enforces this,
+  // matching the broadcast-bloom pattern: build once, prune map-side.
+  val bloomAggFnName = "bloom_agg64"
+  val bloomContainsFnName = "bloom_contains64"
+
+  private[functions] def bloomAggBuilder(children: Seq[Expression]): Expression = {
+    require(children.length == 3, s"$bloomAggFnName expects 3 arguments")
+    new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+      new XxHash64(Seq(children.head)), children(1), children(2))
+      .toAggregateExpression()
+  }
+  private[functions] def bloomContainsBuilder(children: Seq[Expression]): Expression = {
+    require(children.length == 2, s"$bloomContainsFnName expects 2 arguments")
+    BloomFilterMightContain(children.head, new XxHash64(Seq(children(1))))
+  }
 
   /** Idempotent runtime registration of ALL graft native expressions
     * (for sessions not built with
@@ -144,6 +163,17 @@ object VectorExpressions {
           require(children.length == 1, s"$minhashFnName expects 1 argument")
           MinHashAgg(children.head).toAggregateExpression()
         })
+    if (!reg.functionExists(FunctionIdentifier(bloomAggFnName)))
+      reg.registerFunction(FunctionIdentifier(bloomAggFnName),
+        new ExpressionInfo(
+          "org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate",
+          bloomAggFnName),
+        bloomAggBuilder _)
+    if (!reg.functionExists(FunctionIdentifier(bloomContainsFnName)))
+      reg.registerFunction(FunctionIdentifier(bloomContainsFnName),
+        new ExpressionInfo(classOf[BloomFilterMightContain].getName,
+          bloomContainsFnName),
+        bloomContainsBuilder _)
   }
 }
 
@@ -181,5 +211,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashAgg].getName,
         VectorExpressions.minhashFnName),
       exprs => MinHashAgg(exprs.head).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier(VectorExpressions.bloomAggFnName),
+      new ExpressionInfo(
+        "org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate",
+        VectorExpressions.bloomAggFnName),
+      exprs => VectorExpressions.bloomAggBuilder(exprs)))
+    ext.injectFunction((FunctionIdentifier(VectorExpressions.bloomContainsFnName),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName,
+        VectorExpressions.bloomContainsFnName),
+      exprs => VectorExpressions.bloomContainsBuilder(exprs)))
   }
 }

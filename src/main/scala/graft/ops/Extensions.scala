@@ -298,6 +298,54 @@ object Extensions {
     // bloom filter for a shuffle-free first pass (exact semi join only on
     // the bloom hits). Ratio ships UNROUNDED (identical integer operands
     // → identical IEEE division; rounding would introduce divergence).
+    // q76's exact semantics behind a broadcast BLOOM pre-pass — the
+    // 100 TB shape q76's scale note promises. The train gram set becomes
+    // ONE compact sketch (Spark's runtime-filter BloomFilterAggregate
+    // over xxhash64, map-side combinable, 4 MB here), collected once to
+    // the driver like any broadcast small side. Eval grams are pruned
+    // MAP-SIDE by bloom_contains64 before the shuffle, so the LEFT SEMI
+    // confirm join — which kills the bloom's false positives, keeping the
+    // result exact and oracle-matched — shuffles only the ~contaminated
+    // sliver of the eval grams instead of all of them. At 100 TB that is
+    // the difference between shuffling the whole eval corpus's gram set
+    // and shuffling ~fpp of it.
+    "q75_decontaminate_bloom" -> ((s, dir) => {
+      graft.functions.VectorExpressions.ensureRegistered(s)
+      val docs = Tables(s, dir, "documents")
+      // the distinct train gram set feeds BOTH the sketch build and the
+      // confirm join — persisted like the other diamond subplans
+      // (q57/q81/q95; callers own cache cleanup per SparkEntry.queries).
+      // Sketch sizing: est 1M items / 8M bits ≈ 0.6% fpp at capacity —
+      // sizing scales with the train corpus, correctness never depends
+      // on it (the confirm join kills false positives)
+      val train = docs.filter(col("doc_id") % 2 === 0)
+        .select(explode(expr("char_ngrams(text, 8)")).as("g"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bloom = train
+        .agg(call_function(graft.functions.VectorExpressions.bloomAggFnName,
+          col("g"), lit(1000000L), lit(8388608L)).as("b"))
+        .head.getAs[Array[Byte]](0)
+      val evalG = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), explode(expr("char_ngrams(text, 8)")).as("g"))
+        .distinct()
+      val tot = evalG.groupBy("doc_id").agg(count(lit(1)).as("total"))
+      // null sketch = empty train split (never on this data; total-safety)
+      val cand =
+        if (bloom == null) evalG
+        else evalG.filter(call_function(
+          graft.functions.VectorExpressions.bloomContainsFnName,
+          lit(bloom), col("g")))
+      val con = cand.join(train, Seq("g"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("contaminated"))
+      tot.join(con, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("total"),
+          coalesce(col("contaminated"), lit(0L)).as("contaminated"),
+          (coalesce(col("contaminated"), lit(0L)).cast("double") / col("total"))
+            .as("contam_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q76_decontaminate" -> ((s, dir) => {
       graft.functions.VectorExpressions.ensureRegistered(s)
       // train needs only the distinct gram SET — a per-doc distinct first
@@ -448,6 +496,27 @@ object Extensions {
         |       count(*) AS n_chunks, CAST(sum(n_tokens) AS BIGINT) AS tok_total,
         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM binned GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
+    // the bloom is an exact-result pre-filter (FPs killed by the confirm
+    // join), so the oracle is the same exact-semantics SQL as q76's
+    "q75_decontaminate_bloom" ->
+      """WITH tg AS (
+        |  SELECT DISTINCT g FROM (
+        |    SELECT unnest(list_transform(range(1, len(text) - 6),
+        |           i -> substr(text, i, 8))) AS g
+        |    FROM documents WHERE doc_id % 2 = 0 AND len(text) >= 8)),
+        |eg AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(text) - 6),
+        |           i -> substr(text, i, 8))) AS g
+        |    FROM documents WHERE doc_id % 2 = 1 AND len(text) >= 8)),
+        |tot AS (SELECT doc_id, count(*) AS total FROM eg GROUP BY doc_id),
+        |con AS (
+        |  SELECT doc_id, count(*) AS contaminated
+        |  FROM eg WHERE g IN (SELECT g FROM tg) GROUP BY doc_id)
+        |SELECT t.doc_id, t.total,
+        |       COALESCE(c.contaminated, 0) AS contaminated,
+        |       CAST(COALESCE(c.contaminated, 0) AS DOUBLE) / t.total AS contam_ratio
+        |FROM tot t LEFT JOIN con c USING (doc_id) ORDER BY t.doc_id""".stripMargin,
     "q76_decontaminate" ->
       """WITH tg AS (
         |  SELECT DISTINCT g FROM (
