@@ -24,6 +24,14 @@ object Dedup {
   private val K = 16 // signature width (4 bands × 4 rows)
   private val BANDS = 4
 
+  /** q78's near-dup threshold. With the 64-bit SimHash split into 4
+    * 16-bit bands, any pair within hamming distance 3 differs in at most
+    * 3 bands (pigeonhole), so it MUST collide exactly in at least one —
+    * the banded candidate generation has FULL recall for d <= 3 and the
+    * output is the complete near-dup pair set, not an approximation.
+    */
+  private val MAXHAM = 3
+
   /** distinct (doc_id, 3-word shingle) pairs; mirrors q81's generator
     * (the native codegen'd text_shingles — see graft.functions.TextShingles
     * for why the declarative HOF form is avoided on this hot path).
@@ -77,6 +85,42 @@ object Dedup {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // MinHash Jaccard ESTIMATE — the step between q85's candidates and an
+    // exact q81-style verify: est_jac = fraction of agreeing signature
+    // slots, the unbiased MinHash estimator of set Jaccard. At 100 TB the
+    // exact verify re-reads the documents; this estimator needs only the
+    // 16-slot signatures already shuffled for banding, so the candidate →
+    // keep/drop decision costs one 16-element compare per pair. /16.0 is
+    // a power-of-two division — binary-exact in both engines, no
+    // rounding rule needed.
+    "q79_minhash_jaccard_est" -> ((s, dir) => {
+      // signature feeds banding AND both sides of the estimate join —
+      // persisted diamond (callers own cleanup per SparkEntry.queries)
+      val sig = shingles(s, dir).groupBy(col("doc_id"))
+        .agg(expr("minhash_agg(sh)").as("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bands = sig.select(col("doc_id"), explode(array(
+        (0 until BANDS).map { b =>
+          struct(lit(b).as("band"),
+            md5(concat_ws("|",
+              (0 until 4).map(r => element_at(col("sig"), b * 4 + r + 1)): _*)).as("bh"))
+        }: _*)).as("e"))
+        .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+      val cand = bands.groupBy(col("band"), col("bh"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .select(explode(expr("array_pairs(ds)")).as("p"))
+        .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+        .agg(count(lit(1)).as("shared_bands"))
+      cand.join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"), col("shared_bands"),
+          (expr(
+            """aggregate(zip_with(sa.sig, sb.sig, (x, y) -> IF(x = y, 1, 0)),
+              |          0, (acc, v) -> acc + v)""".stripMargin)
+            .cast("double") / 16.0d).as("est_jac"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // SimHash: 64-bit fingerprint from the corpus's own md5 word hashes,
     // computed by the custom TypedImperativeAggregate simhash_agg
     // (graft.functions.SimHashAgg): each distinct word's hash folds into
@@ -93,6 +137,55 @@ object Dedup {
         .groupBy(col("doc_id"))
         .agg(expr("simhash_agg(md5(w))").as("simhash"))
         .orderBy(col("doc_id"))
+    }),
+
+    // SimHash near-duplicate PAIRS — the pairing step q86's fingerprints
+    // exist for: all doc pairs within hamming distance MAXHAM of each
+    // other. Banded exactly like q85 (4 bands of 4 hex chars = 16 bits);
+    // by pigeonhole the band join has full recall at d <= 3 (see MAXHAM),
+    // so unlike MinHash-LSH this output is exact, verified by the
+    // hamming filter. Scale: signatures are 16 bytes/doc, band buckets
+    // shard by hash (skew-free), the verify join touches only
+    // band-colliding pairs — never all pairs. Hamming itself is two
+    // codegen'd conv/xor/bit_count halves, no HOF on the hot path.
+    "q78_simhash_neardup" -> ((s, dir) => {
+      graft.functions.VectorExpressions.ensureRegistered(s)
+      // the (doc, simhash) table feeds the band explode AND both sides
+      // of the verify join — persisted like the other diamond subplans
+      // (callers own cache cleanup per SparkEntry.queries)
+      val sig = Tables(s, dir, "documents")
+        .filter(col("text") =!= "")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "").distinct()
+        .groupBy(col("doc_id"))
+        .agg(expr("simhash_agg(md5(w))").as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bands = sig.select(col("doc_id"), explode(array(
+        (0 until BANDS).map { b =>
+          struct(lit(b).as("band"), substring(col("sh"), b * 4 + 1, 4).as("bv"))
+        }: _*)).as("e"))
+        .select(col("doc_id"), col("e.band").as("band"), col("e.bv").as("bv"))
+      // candidate pairs via groupBy + compiled pair expansion (one
+      // shuffle on the bucket key, no self-join) — q85's shape; distinct
+      // because a pair may collide in several bands
+      val cand = bands.groupBy(col("band"), col("bv"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .select(explode(expr("array_pairs(ds)")).as("p"))
+        .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+        .distinct()
+      // 64-bit hamming = popcount(xor) over two 32-bit halves; conv of
+      // 8 hex chars maxes at 2^32-1 — always fits a signed long
+      def half(c: Column, off: Int): Column =
+        conv(substring(c, off, 8), 16, 10).cast("long")
+      val ham =
+        (bit_count(half(col("sa.sh"), 1).bitwiseXOR(half(col("sb.sh"), 1))) +
+          bit_count(half(col("sa.sh"), 9).bitwiseXOR(half(col("sb.sh"), 9))))
+          .cast("long")
+      cand.join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"), ham.as("hamming"))
+        .filter(col("hamming") <= MAXHAM)
+        .orderBy(col("doc_a"), col("doc_b"))
     }),
 
     // Winnowing (rolling-hash) fingerprints — the MOSS algorithm: hash
@@ -139,55 +232,105 @@ object Dedup {
       val parts = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || '|' || ")
       s"{'band': $b, 'bh': md5($parts)}"
     }.mkString(", ")
+    // the declarative simhash formulation (q86 + q78): distinct word md5s
+    // → per-hex-position nibble votes → sign → hex char per position
+    val simhashCtes =
+      """words AS (
+        |  SELECT DISTINCT doc_id, md5(w) AS h FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |    FROM documents WHERE text <> '')
+        |  WHERE w <> ''),
+        |per_pos AS (
+        |  SELECT doc_id, e.pos AS pos, e.v AS v
+        |  FROM (SELECT doc_id,
+        |               unnest(list_transform(range(1, 17), p ->
+        |                 {'pos': p, 'v': strpos('0123456789abcdef', substr(h, CAST(p AS INT), 1)) - 1})) AS e
+        |        FROM words)),
+        |votes AS (
+        |  SELECT doc_id, pos,
+        |         CAST(sum(2 * ((v // 8) % 2) - 1) AS BIGINT) AS s3,
+        |         CAST(sum(2 * ((v // 4) % 2) - 1) AS BIGINT) AS s2,
+        |         CAST(sum(2 * ((v // 2) % 2) - 1) AS BIGINT) AS s1,
+        |         CAST(sum(2 * (v % 2) - 1) AS BIGINT) AS s0
+        |  FROM per_pos GROUP BY doc_id, pos),
+        |nibs AS (
+        |  SELECT doc_id, pos,
+        |         substr('0123456789abcdef',
+        |                8 * CAST(s3 > 0 AS INT) + 4 * CAST(s2 > 0 AS INT)
+        |                + 2 * CAST(s1 > 0 AS INT) + CAST(s0 > 0 AS INT) + 1, 1) AS ch
+        |  FROM votes)""".stripMargin
+    // the shared MinHash CTE chain (q85 + q79): distinct 3-word shingles
+    // → 16-column signature → 4 band hashes
+    val minhashCtes =
+      s"""ws AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE text <> ''),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, sh FROM (
+         |    SELECT doc_id,
+         |           unnest(list_transform(range(1, len(ws) - 1),
+         |                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+         |    FROM ws WHERE len(ws) >= 3)),
+         |sig AS (
+         |  SELECT doc_id,
+         |         $sigCols
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, e.band AS band, e.bh AS bh
+         |  FROM (SELECT doc_id, unnest([$bandStructs]) AS e FROM sig))""".stripMargin
+    val estSum = (0 until K)
+      .map(i => s"CAST(sa.h$i = sb.h$i AS INT)").mkString(" + ")
     Map(
       "q85_minhash_lsh" ->
-        s"""WITH ws AS (
-           |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE text <> ''),
-           |sh AS (
-           |  SELECT DISTINCT doc_id, sh FROM (
-           |    SELECT doc_id,
-           |           unnest(list_transform(range(1, len(ws) - 1),
-           |                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
-           |    FROM ws WHERE len(ws) >= 3)),
-           |sig AS (
-           |  SELECT doc_id,
-           |         $sigCols
-           |  FROM sh GROUP BY doc_id),
-           |bands AS (
-           |  SELECT doc_id, e.band AS band, e.bh AS bh
-           |  FROM (SELECT doc_id, unnest([$bandStructs]) AS e FROM sig))
+        s"""WITH $minhashCtes
            |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_bands
            |FROM bands a JOIN bands b
            |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
            |GROUP BY a.doc_id, b.doc_id
            |ORDER BY doc_a, doc_b""".stripMargin,
+      // q79: q85's candidates + the signature-agreement Jaccard estimator
+      // (sum of 16 slot equalities / 16.0 — power-of-two exact division)
+      "q79_minhash_jaccard_est" ->
+        s"""WITH $minhashCtes,
+           |cand AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_bands
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+           |  GROUP BY a.doc_id, b.doc_id)
+           |SELECT doc_a, doc_b, shared_bands,
+           |       CAST($estSum AS DOUBLE) / 16.0 AS est_jac
+           |FROM cand JOIN sig sa ON cand.doc_a = sa.doc_id
+           |          JOIN sig sb ON cand.doc_b = sb.doc_id
+           |ORDER BY doc_a, doc_b""".stripMargin,
       "q86_simhash" ->
-        """WITH words AS (
-          |  SELECT DISTINCT doc_id, md5(w) AS h FROM (
-          |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
-          |    FROM documents WHERE text <> '')
-          |  WHERE w <> ''),
-          |per_pos AS (
-          |  SELECT doc_id, e.pos AS pos, e.v AS v
-          |  FROM (SELECT doc_id,
-          |               unnest(list_transform(range(1, 17), p ->
-          |                 {'pos': p, 'v': strpos('0123456789abcdef', substr(h, CAST(p AS INT), 1)) - 1})) AS e
-          |        FROM words)),
-          |votes AS (
-          |  SELECT doc_id, pos,
-          |         CAST(sum(2 * ((v // 8) % 2) - 1) AS BIGINT) AS s3,
-          |         CAST(sum(2 * ((v // 4) % 2) - 1) AS BIGINT) AS s2,
-          |         CAST(sum(2 * ((v // 2) % 2) - 1) AS BIGINT) AS s1,
-          |         CAST(sum(2 * (v % 2) - 1) AS BIGINT) AS s0
-          |  FROM per_pos GROUP BY doc_id, pos),
-          |nibs AS (
-          |  SELECT doc_id, pos,
-          |         substr('0123456789abcdef',
-          |                8 * CAST(s3 > 0 AS INT) + 4 * CAST(s2 > 0 AS INT)
-          |                + 2 * CAST(s1 > 0 AS INT) + CAST(s0 > 0 AS INT) + 1, 1) AS ch
-          |  FROM votes)
-          |SELECT doc_id, string_agg(ch, '' ORDER BY pos) AS simhash
-          |FROM nibs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        s"""WITH $simhashCtes
+           |SELECT doc_id, string_agg(ch, '' ORDER BY pos) AS simhash
+           |FROM nibs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      // q78: same simhash CTE chain as q86, then banded candidate pairs
+      // (4×4-hex bands) + exact hamming via per-nibble xor and a 16-entry
+      // popcount lookup table — integer-exact, engine-portable
+      "q78_simhash_neardup" ->
+        s"""WITH $simhashCtes,
+           |sig AS (
+           |  SELECT doc_id, string_agg(ch, '' ORDER BY pos) AS sh
+           |  FROM nibs GROUP BY doc_id),
+           |bands AS (
+           |  SELECT doc_id, b AS band, substr(sh, CAST(4*b + 1 AS INT), 4) AS bv
+           |  FROM sig, unnest([0,1,2,3]) AS t(b)),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+           |ham AS (
+           |  SELECT doc_a, doc_b,
+           |         CAST(list_sum(list_transform(range(1, 17), p ->
+           |           CAST(substr('0112122312232334',
+           |             xor(strpos('0123456789abcdef', substr(sa.sh, CAST(p AS INT), 1)) - 1,
+           |                 strpos('0123456789abcdef', substr(sb.sh, CAST(p AS INT), 1)) - 1) + 1, 1) AS INT))) AS BIGINT) AS hamming
+           |  FROM cand JOIN sig sa ON cand.doc_a = sa.doc_id
+           |            JOIN sig sb ON cand.doc_b = sb.doc_id)
+           |SELECT doc_a, doc_b, hamming FROM ham
+           |WHERE hamming <= $MAXHAM
+           |ORDER BY doc_a, doc_b""".stripMargin,
       "q59_winnowing_fp" ->
         """WITH g AS (
           |  SELECT doc_id, i AS pos, md5(substr(text, CAST(i AS INT), 8)) AS h

@@ -1,0 +1,81 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** q78's banded candidate generation claims FULL recall at hamming <= 3
+  * (4 bands × 16 bits: 3 differing bits leave >= 1 band identical by
+  * pigeonhole). Prove it against the brute-force all-pairs computation
+  * on the real corpus — if banding dropped any qualifying pair, the two
+  * result sets would differ.
+  */
+class DedupPairsSpec extends SparkSpec {
+
+  test("q78 banded near-dup pairs == brute-force all-pairs (sf0.001)") {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    val dir = sf()
+    val banded = graft.SparkEntry.queries("q78_simhash_neardup")(spark, dir)
+      .select("doc_a", "doc_b", "hamming")
+      .as[(Long, Long, Long)](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+      .collect().toSet
+
+    // brute force: same signature aggregation, full a<b cross join
+    val sig = graft.model.Tables(spark, dir, "documents")
+      .filter(col("text") =!= "")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").distinct()
+      .groupBy(col("doc_id"))
+      .agg(expr("simhash_agg(md5(w))").as("sh"))
+    def half(c: org.apache.spark.sql.Column, off: Int) =
+      conv(substring(c, off, 8), 16, 10).cast("long")
+    val ham =
+      (bit_count(half(col("sa.sh"), 1).bitwiseXOR(half(col("sb.sh"), 1))) +
+        bit_count(half(col("sa.sh"), 9).bitwiseXOR(half(col("sb.sh"), 9))))
+        .cast("long")
+    val brute = sig.as("sa").crossJoin(sig.as("sb"))
+      .filter(col("sa.doc_id") < col("sb.doc_id"))
+      .select(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b"),
+        ham.as("hamming"))
+      .filter(col("hamming") <= 3)
+      .as[(Long, Long, Long)](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+      .collect().toSet
+
+    assert(banded == brute)
+    assert(banded.nonEmpty) // the corpus has exact dups → hamming-0 pairs
+    spark.catalog.clearCache() // q78 persists its signature subplan
+  }
+
+  test("hamming halves formulation matches per-nibble popcount (property)") {
+    import spark.implicits._
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    // random-ish 16-hex pairs from md5 — compare the conv/xor/bit_count
+    // halves path (q78's) against a per-nibble lookup-table fold (the
+    // oracle's formulation)
+    val pairs = (1 to 64).map(i => (md5Hex(s"a$i").take(16), md5Hex(s"b$i").take(16)))
+      .toDF("ha", "hb")
+    val halves = pairs.withColumn("d", {
+      def half(c: String, off: Int) =
+        conv(substring(col(c), off, 8), 16, 10).cast("long")
+      (bit_count(half("ha", 1).bitwiseXOR(half("hb", 1))) +
+        bit_count(half("ha", 9).bitwiseXOR(half("hb", 9)))).cast("long")
+    })
+    val nibble = pairs.withColumn("d2", expr(
+      """CAST(aggregate(sequence(1, 16), 0, (acc, p) ->
+        |  acc + CAST(substr('0112122312232334',
+        |    ((instr('0123456789abcdef', substr(ha, p, 1)) - 1) ^
+        |     (instr('0123456789abcdef', substr(hb, p, 1)) - 1)) + 1, 1) AS INT)) AS BIGINT)""".stripMargin))
+    val diff = halves.join(nibble, Seq("ha", "hb"))
+      .filter(col("d") =!= col("d2")).count()
+    assert(diff == 0)
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+}
