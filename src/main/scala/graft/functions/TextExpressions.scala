@@ -155,6 +155,107 @@ object ArrayPairs {
   }
 }
 
+/** Fused near-dup pair verifier: `hamming_pairs(entries, maxham)` over a
+  * SORTED `array<struct<doc_id:bigint, sh:string>>` (16-hex SimHash per
+  * doc) → `array<struct<a:bigint, b:bigint, hamming:bigint>>` of the
+  * a<b pairs within hamming distance maxham.
+  *
+  * WHY fused (q78): LSH band buckets are skewed by construction — a
+  * mega-cluster of near-identical docs lands its whole membership in one
+  * bucket (observed sf0.1: one bucket of 1.6k docs = 1.3M of 2.4M raw
+  * candidate pairs). Expanding those pairs through a generator and
+  * verifying AFTER a shuffle (array_pairs → distinct → join signatures →
+  * filter) materializes and shuffles every candidate. Here the k(k-1)/2
+  * expansion, the nibble-xor/popcount hamming, and the threshold filter
+  * all run compiled inside ONE expression invocation: nibbles decode
+  * once per doc (not per pair), the inner loop early-exits past maxham,
+  * and only SURVIVING pairs are ever materialized — the downstream
+  * shuffle carries qualifying pairs instead of all candidates.
+  */
+case class HammingPairs(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StructType(Array(a, b)), _), IntegerType)
+      if a.dataType == LongType && b.dataType == StringType =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<struct<bigint,string>>, int), got ($l, $r)")
+  }
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("a", LongType, nullable = false),
+      StructField("b", LongType, nullable = false),
+      StructField("hamming", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "hamming_pairs"
+
+  override def nullSafeEval(arr: Any, mh: Any): Any =
+    HammingPairs.pairs(arr.asInstanceOf[ArrayData], mh.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, m) =>
+      s"${ev.value} = graft.functions.HammingPairs.pairs($a, $m);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HammingPairs =
+    copy(left = newLeft, right = newRight)
+}
+
+object HammingPairs {
+  // popcount of a nibble (0-15)
+  private val POP = Array(0, 1, 1, 2, 1, 2, 2, 3, 1, 2, 2, 3, 2, 3, 3, 4)
+
+  private def hexVal(b: Byte): Int =
+    if (b >= '0' && b <= '9') b - '0'
+    else if (b >= 'a' && b <= 'f') b - 'a' + 10
+    else if (b >= 'A' && b <= 'F') b - 'A' + 10
+    else 0 // inputs are md5-hex signatures; never hit
+
+  def pairs(xs: ArrayData, maxham: Int): ArrayData = {
+    val k = xs.numElements()
+    // quadratic in bucket size by definition; the early-exit keeps each
+    // comparison ~maxham nibble ops, but a pathological bucket must still
+    // fail actionably (pre-dedup exact duplicates — q80 — upstream)
+    if (k > 100000) throw new IllegalArgumentException(
+      s"hamming_pairs: bucket of $k elements — cap bucket size upstream " +
+        "(run exact dedup before near-dup pairing)")
+    // decode ids + signature nibbles ONCE per doc, not per pair
+    val ids = new Array[Long](k)
+    val nibs = new Array[Array[Byte]](k)
+    var i = 0
+    while (i < k) {
+      val row = xs.getStruct(i, 2)
+      ids(i) = row.getLong(0)
+      val s = row.getUTF8String(1).getBytes
+      val n = math.min(16, s.length)
+      val nb = new Array[Byte](16)
+      var p = 0
+      while (p < n) { nb(p) = hexVal(s(p)).toByte; p += 1 }
+      nibs(i) = nb
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    i = 0
+    while (i < k) {
+      val na = nibs(i)
+      var j = i + 1
+      while (j < k) {
+        val nb = nibs(j)
+        var d = 0
+        var p = 0
+        while (p < 16 && d <= maxham) {
+          d += POP(na(p) ^ nb(p))
+          p += 1
+        }
+        if (d <= maxham)
+          out += org.apache.spark.sql.catalyst.InternalRow(ids(i), ids(j), d.toLong)
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
 /** Per-thread MD5 instance — getInstance is a JCA provider lookup +
   * allocation; hot expressions hash once per gram, so the lookup must
   * not be per-call. digest() resets the instance, making reuse safe.

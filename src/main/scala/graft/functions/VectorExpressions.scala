@@ -96,6 +96,7 @@ object VectorExpressions {
   // matching the broadcast-bloom pattern: build once, prune map-side.
   val bloomAggFnName = "bloom_agg64"
   val bloomContainsFnName = "bloom_contains64"
+  val hammingPairsFnName = "hamming_pairs"
 
   private[functions] def bloomAggBuilder(children: Seq[Expression]): Expression = {
     require(children.length == 3, s"$bloomAggFnName expects 3 arguments")
@@ -163,6 +164,13 @@ object VectorExpressions {
           require(children.length == 1, s"$minhashFnName expects 1 argument")
           MinHashAgg(children.head).toAggregateExpression()
         })
+    if (!reg.functionExists(FunctionIdentifier(hammingPairsFnName)))
+      reg.registerFunction(FunctionIdentifier(hammingPairsFnName),
+        new ExpressionInfo(classOf[HammingPairs].getName, hammingPairsFnName),
+        { children =>
+          require(children.length == 2, s"$hammingPairsFnName expects 2 arguments")
+          HammingPairs(children.head, children(1))
+        })
     if (!reg.functionExists(FunctionIdentifier(bloomAggFnName)))
       reg.registerFunction(FunctionIdentifier(bloomAggFnName),
         new ExpressionInfo(
@@ -211,6 +219,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashAgg].getName,
         VectorExpressions.minhashFnName),
       exprs => MinHashAgg(exprs.head).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier(VectorExpressions.hammingPairsFnName),
+      new ExpressionInfo(classOf[HammingPairs].getName,
+        VectorExpressions.hammingPairsFnName),
+      exprs => HammingPairs(exprs.head, exprs(1))))
     ext.injectFunction((FunctionIdentifier(VectorExpressions.bloomAggFnName),
       new ExpressionInfo(
         "org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate",

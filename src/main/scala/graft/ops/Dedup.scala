@@ -143,48 +143,40 @@ object Dedup {
     // exist for: all doc pairs within hamming distance MAXHAM of each
     // other. Banded exactly like q85 (4 bands of 4 hex chars = 16 bits);
     // by pigeonhole the band join has full recall at d <= 3 (see MAXHAM),
-    // so unlike MinHash-LSH this output is exact, verified by the
-    // hamming filter. Scale: signatures are 16 bytes/doc, band buckets
-    // shard by hash (skew-free), the verify join touches only
-    // band-colliding pairs — never all pairs. Hamming itself is two
-    // codegen'd conv/xor/bit_count halves, no HOF on the hot path.
+    // so unlike MinHash-LSH this output is exact. The expansion + hamming
+    // + threshold run FUSED inside the native hamming_pairs expression:
+    // LSH buckets are skewed by construction (a near-dup mega-cluster is
+    // one bucket — observed 1.6k docs / 1.3M of 2.4M raw pairs at sf0.1),
+    // and the fused form never materializes non-qualifying candidates, so
+    // the only shuffle after the bucket groupBy carries SURVIVING pairs.
+    // The first formulation (array_pairs → distinct 2.4M pairs → join
+    // signatures both sides → filter) timed 4.1 s at sf0.1; this one
+    // carries the 16-byte signature into the bucket instead and drops
+    // the distinct-then-join tail entirely.
     "q78_simhash_neardup" -> ((s, dir) => {
       graft.functions.VectorExpressions.ensureRegistered(s)
-      // the (doc, simhash) table feeds the band explode AND both sides
-      // of the verify join — persisted like the other diamond subplans
-      // (callers own cache cleanup per SparkEntry.queries)
       val sig = Tables(s, dir, "documents")
         .filter(col("text") =!= "")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .filter(col("w") =!= "").distinct()
         .groupBy(col("doc_id"))
         .agg(expr("simhash_agg(md5(w))").as("sh"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val bands = sig.select(col("doc_id"), explode(array(
+      val bands = sig.select(explode(array(
         (0 until BANDS).map { b =>
-          struct(lit(b).as("band"), substring(col("sh"), b * 4 + 1, 4).as("bv"))
-        }: _*)).as("e"))
-        .select(col("doc_id"), col("e.band").as("band"), col("e.bv").as("bv"))
-      // candidate pairs via groupBy + compiled pair expansion (one
-      // shuffle on the bucket key, no self-join) — q85's shape; distinct
-      // because a pair may collide in several bands
-      val cand = bands.groupBy(col("band"), col("bv"))
-        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-        .select(explode(expr("array_pairs(ds)")).as("p"))
-        .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+          struct(lit(b).as("band"), substring(col("sh"), b * 4 + 1, 4).as("bv"),
+            struct(col("doc_id"), col("sh")).as("e"))
+        }: _*)).as("x"))
+        .select(col("x.band").as("band"), col("x.bv").as("bv"), col("x.e").as("e"))
+      // sort_array orders bucket members by doc_id (first struct field,
+      // unique) — hamming_pairs emits a<b pairs off that order; distinct
+      // collapses pairs colliding in several bands (hamming is pair-
+      // determined, so it never splits a pair)
+      bands.groupBy(col("band"), col("bv"))
+        .agg(sort_array(collect_list(col("e"))).as("ds"))
+        .select(explode(expr(s"hamming_pairs(ds, $MAXHAM)")).as("p"))
+        .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"),
+          col("p.hamming").as("hamming"))
         .distinct()
-      // 64-bit hamming = popcount(xor) over two 32-bit halves; conv of
-      // 8 hex chars maxes at 2^32-1 — always fits a signed long
-      def half(c: Column, off: Int): Column =
-        conv(substring(c, off, 8), 16, 10).cast("long")
-      val ham =
-        (bit_count(half(col("sa.sh"), 1).bitwiseXOR(half(col("sb.sh"), 1))) +
-          bit_count(half(col("sa.sh"), 9).bitwiseXOR(half(col("sb.sh"), 9))))
-          .cast("long")
-      cand.join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
-        .select(col("doc_a"), col("doc_b"), ham.as("hamming"))
-        .filter(col("hamming") <= MAXHAM)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 

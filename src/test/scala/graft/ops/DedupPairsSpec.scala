@@ -48,7 +48,6 @@ class DedupPairsSpec extends SparkSpec {
 
     assert(banded == brute)
     assert(banded.nonEmpty) // the corpus has exact dups → hamming-0 pairs
-    spark.catalog.clearCache() // q78 persists its signature subplan
   }
 
   test("hamming halves formulation matches per-nibble popcount (property)") {
@@ -73,6 +72,21 @@ class DedupPairsSpec extends SparkSpec {
     val diff = halves.join(nibble, Seq("ha", "hb"))
       .filter(col("d") =!= col("d2")).count()
     assert(diff == 0)
+  }
+
+  test("hamming_pairs emits exactly the qualifying a<b pairs") {
+    import spark.implicits._
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    val rows = Seq(Seq(
+      (1L, "0000000000000000"),
+      (2L, "0000000000000001"), // d(1,2)=1
+      (3L, "000000000000000f"), // d(1,3)=4, d(2,3)=3
+      (4L, "ffffffffffffffff"))) // d=64/63/60 vs the rest
+      .toDF("ds")
+    val got = rows.select(explode(expr("hamming_pairs(ds, 3)")).as("p"))
+      .select("p.a", "p.b", "p.hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 1L), (2L, 3L, 3L)))
   }
 
   private def md5Hex(s: String): String =
