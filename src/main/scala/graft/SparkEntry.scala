@@ -25,6 +25,12 @@ object SparkEntry {
     * cleanup: run the action, then `spark.catalog.clearCache()` (as
     * Bench and Verify do after every query) or track and unpersist the
     * cached plans via `spark.sharedState.cacheManager`.
+    *
+    * EAGERNESS EXCEPTION: q75's CONSTRUCTOR runs Spark jobs (it builds
+    * the train-gram bloom sketch and collects it driver-side — the
+    * broadcast-bloom pattern requires the sketch as a literal before the
+    * eval plan exists). Constructing it only to inspect the plan still
+    * scans the train split; all other queries are construction-lazy.
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Reference.queries ++ Relational.queries ++ Windows.queries ++

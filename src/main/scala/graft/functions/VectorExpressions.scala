@@ -108,6 +108,10 @@ object VectorExpressions {
     require(children.length == 2, s"$bloomContainsFnName expects 2 arguments")
     BloomFilterMightContain(children.head, new XxHash64(Seq(children(1))))
   }
+  private[functions] def hammingPairsBuilder(children: Seq[Expression]): Expression = {
+    require(children.length == 2, s"$hammingPairsFnName expects 2 arguments")
+    HammingPairs(children.head, children(1))
+  }
 
   /** Idempotent runtime registration of ALL graft native expressions
     * (for sessions not built with
@@ -167,10 +171,7 @@ object VectorExpressions {
     if (!reg.functionExists(FunctionIdentifier(hammingPairsFnName)))
       reg.registerFunction(FunctionIdentifier(hammingPairsFnName),
         new ExpressionInfo(classOf[HammingPairs].getName, hammingPairsFnName),
-        { children =>
-          require(children.length == 2, s"$hammingPairsFnName expects 2 arguments")
-          HammingPairs(children.head, children(1))
-        })
+        hammingPairsBuilder _)
     if (!reg.functionExists(FunctionIdentifier(bloomAggFnName)))
       reg.registerFunction(FunctionIdentifier(bloomAggFnName),
         new ExpressionInfo(
@@ -222,7 +223,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier(VectorExpressions.hammingPairsFnName),
       new ExpressionInfo(classOf[HammingPairs].getName,
         VectorExpressions.hammingPairsFnName),
-      exprs => HammingPairs(exprs.head, exprs(1))))
+      exprs => VectorExpressions.hammingPairsBuilder(exprs)))
     ext.injectFunction((FunctionIdentifier(VectorExpressions.bloomAggFnName),
       new ExpressionInfo(
         "org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate",

@@ -47,7 +47,13 @@ object Bucketing {
     */
   def writeBucketed(df: DataFrame, name: String, key: String,
                     numBuckets: Int, path: String): Unit =
-    df.write
+    // repartition on the bucket key first: bucketBy writes one file per
+    // bucket PER TASK, so a P-partition source would yield P files per
+    // bucket and FileSourceScanExec would stop reporting sorted output
+    // (the one-file-per-bucket precondition for SortMergeJoin dropping
+    // its Sort). One shuffle at write time, paid once.
+    df.repartition(numBuckets, df(key))
+      .write
       .mode(SaveMode.Overwrite)
       .option("path", path)
       .bucketBy(numBuckets, key)
@@ -60,12 +66,16 @@ object Bucketing {
     * 0 on a co-bucketed join/agg is the whole point of bucketing.
     */
   def numShuffles(df: DataFrame): Int = {
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // QueryStageExec: after AQE materializes a stage, the exchange hides
+    // inside a LEAF stage node — collect never reaches it via children,
+    // so descend explicitly or an executed plan reports zero shuffles
     def count(p: org.apache.spark.sql.execution.SparkPlan): Int =
       p.collect {
         case _: ShuffleExchangeLike => 1
         case a: AdaptiveSparkPlanExec => count(a.executedPlan)
+        case q: QueryStageExec => count(q.plan)
       }.sum
     count(df.queryExecution.executedPlan)
   }

@@ -301,7 +301,7 @@ object Extensions {
     // q76's exact semantics behind a broadcast BLOOM pre-pass — the
     // 100 TB shape q76's scale note promises. The train gram set becomes
     // ONE compact sketch (Spark's runtime-filter BloomFilterAggregate
-    // over xxhash64, map-side combinable, 4 MB here), collected once to
+    // over xxhash64, map-side combinable, 8M bits = 1 MB here), collected to
     // the driver like any broadcast small side. Eval grams are pruned
     // MAP-SIDE by bloom_contains64 before the shuffle, so the LEFT SEMI
     // confirm join — which kills the bloom's false positives, keeping the
