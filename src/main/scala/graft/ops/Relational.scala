@@ -439,6 +439,25 @@ object Relational {
         .groupBy(col("k"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("k").asc_nulls_first)
+    }),
+
+    // UNPIVOT (melt) — the inverse of q37's pivot: wide measure columns
+    // to (measure, value) rows via the relational unpivot operator (a
+    // generator, no shuffle), then one hash agg per measure. The
+    // wide-to-long reshape every metrics export needs; oracle = the
+    // engine-portable UNION ALL formulation of the same relation.
+    "q68_unpivot" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+            col("l_tax")),
+          "measure", "v")
+        .groupBy(col("measure"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("v")).as("total"))
+        .orderBy(col("measure"))
     })
   )
 
@@ -637,6 +656,15 @@ object Relational {
     "q63_json_fns" ->
       """SELECT k, count(*) AS cnt
         |FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
-        |GROUP BY k ORDER BY k NULLS FIRST""".stripMargin
+        |GROUP BY k ORDER BY k NULLS FIRST""".stripMargin,
+    "q68_unpivot" ->
+      """SELECT measure, count(*) AS cnt,
+        |       CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM (
+        |  SELECT 'l_quantity' AS measure, l_quantity AS v FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+        |GROUP BY measure ORDER BY measure""".stripMargin
   )
 }

@@ -116,6 +116,36 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // TF-IDF top terms — the keyword extractor every corpus-exploration
+    // pipeline runs: per doc, the 3 terms maximizing tf × ln(N/df).
+    // Plan: two hash aggs (term frequency per doc; document frequency =
+    // count over the already-distinct tf rows — no second corpus pass),
+    // broadcast 1-row N, per-doc ranking window on a UNIQUE key. Engine
+    // determinism: tf/df/N are integers, ln may differ in the last ulp
+    // between libms — rank on round(tfidf, 4) with a term tiebreak (the
+    // q82 pattern), so ordering never depends on sub-1e-4 float noise.
+    "q69_tfidf" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term").asc)
+      val words = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+      val tf = words.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("dfreq"))
+      val n = Tables(s, dir, "documents")
+        .agg(count_distinct(col("doc_id")).as("n"))
+      tf.join(dfreq, "term")
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf",
+          round(col("tf") * log(col("n").cast("double") / col("dfreq")), 4))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("tfidf"))
+        .orderBy(col("doc_id"), col("rk"))
+    }),
+
     // Token counting: whitespace tokens + a BPE-ish regex token count
     // ([a-z]+ runs / digit runs / other non-space) + the chars/4 rule of
     // thumb — the three estimators a data pipeline actually compares.
@@ -132,6 +162,26 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "q69_tfidf" ->
+      """WITH words AS (
+        |  SELECT doc_id, w AS term FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> ''),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM words GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY term),
+        |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |         round(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.dfreq), 4) AS tfidf
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, tf, tfidf,
+        |         row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY tfidf DESC, term ASC) AS rk
+        |  FROM scored)
+        |SELECT doc_id, rk, term, tf, tfidf FROM ranked
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     "q56_normalize_text" ->
       """WITH n AS (
         |  SELECT doc_id,
