@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Real IVF (inverted-file) ANN index — the production form of q57's
+  * coarse quantizer. q57's declared query stands in deterministic
+  * md5-sampled centroids so the DuckDB oracle can replay it; HERE the
+  * quantizer is actually TRAINED (MLlib KMeans, fixed seed) and the
+  * inverted lists are materialized cell-partitioned, which is the layout
+  * that makes ANN work at 100 TB:
+  *
+  *  - train on a sample (k-means over every vector is never needed — the
+  *    quantizer only has to shape cells, `trainFraction` bounds the cost);
+  *  - assign = one broadcast-model `transform` pass, embarrassingly
+  *    parallel, no shuffle beyond the partitioned write;
+  *  - store partitioned BY CELL: a probe reads `nprobe` cell directories
+  *    via partition pruning (SimilarityStoreSpec proves the pruning
+  *    mechanics; IvfIndexSpec proves them for this trained index) —
+  *    query cost scales with nprobe/k of the corpus, not the corpus;
+  *  - search = broadcast the k centroid vectors (k × dim floats), rank
+  *    cells per probe, exact `vec_cosine` top-k inside the probed cells
+  *    only. Recall is the standard IVF trade (raise nprobe); every
+  *    returned distance is exact.
+  */
+object IvfIndex {
+
+  /** Train the coarse quantizer and write cell-partitioned inverted
+    * lists. Returns the trained model (k centroid vectors live on the
+    * driver — broadcast-sized by construction).
+    */
+  def build(emb: DataFrame, k: Int, store: String,
+            trainFraction: Double = 1.0, seed: Long = 42L): KMeansModel = {
+    val feat = emb.withColumn("features", array_to_vector(col("embedding")))
+    val trainSet =
+      if (trainFraction >= 1.0) feat else feat.sample(trainFraction, seed)
+    val model = new KMeans()
+      .setK(k).setSeed(seed).setFeaturesCol("features")
+      .setPredictionCol("cell")
+      .fit(trainSet)
+    model.transform(feat)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(store)
+    model
+  }
+
+  /** Exact-cosine top-k search within the `nprobe` nearest cells of each
+    * probe vector. `probes`: (probe_id, embedding). Output: one row per
+    * (probe_id, rank) with the neighbor id and exact cosine.
+    */
+  def search(spark: SparkSession, store: String, model: KMeansModel,
+             probes: DataFrame, nprobe: Int, topK: Int): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    import spark.implicits._
+    // k centroid vectors → a broadcast-joined literal table; cells rank
+    // per probe by exact cosine on the centroid
+    val cents = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (v, i) => (i, v.toArray.map(_.toFloat)) }
+      .toDF("cell", "c_emb")
+    val wCell = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("csim").desc, col("cell"))
+    val probeCells = probes.crossJoin(broadcast(cents))
+      .select(col("probe_id"), col("embedding").as("p_emb"), col("cell"),
+        expr("vec_cosine(embedding, c_emb)").as("csim"))
+      .withColumn("crn", row_number().over(wCell))
+      .filter(col("crn") <= nprobe)
+      .select(col("probe_id"), col("p_emb"), col("cell"))
+    // the probe→cell list is small (|probes| × nprobe): broadcast it so
+    // the inverted-list scan joins map-side; cell equality reaches the
+    // parquet scan as a partition filter under dynamic pruning, or a
+    // caller with one probe set can pre-filter cells explicitly
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id"))
+    spark.read.parquet(store)
+      .join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        expr("vec_cosine(embedding, p_emb)").as("sim"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("probe_id"), col("rank"), col("vec_id"),
+        round(col("sim"), 4).as("sim"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+}

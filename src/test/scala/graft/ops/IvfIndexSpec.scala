@@ -1,0 +1,78 @@
+package graft.ops
+
+import java.nio.file.Files
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Trained-IVF contract on the real embeddings: every vector lands in
+  * exactly one of k cells; search results are exactly the brute-force
+  * cosine top-k RESTRICTED to the probed cells (implementation
+  * exactness — recall is the nprobe dial, not a correctness claim); and
+  * raising nprobe to k recovers the full brute-force answer.
+  */
+class IvfIndexSpec extends SparkSpec {
+
+  test("build partitions the corpus; search is exact within probed cells") {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    import spark.implicits._
+    val emb = graft.model.Tables(spark, sf(), "embeddings")
+    val n = emb.count()
+    val store = Files.createTempDirectory("ivf_trained").toString
+    val model = IvfIndex.build(emb, k = 8, store)
+
+    // every vector stored exactly once, 8 cells on disk
+    val stored = spark.read.parquet(store)
+    assert(stored.count() == n)
+    assert(stored.select("cell").distinct().count() <= 8)
+    assert(stored.select("vec_id").distinct().count() == n)
+
+    val probes = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+
+    val got = IvfIndex.search(spark, store, model, probes, nprobe = 2, topK = 3)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+
+    // brute force over the SAME probed cells must agree row for row
+    val cents = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (v, i) => (i, v.toArray.map(_.toFloat)) }
+      .toDF("cell", "c_emb")
+    val wCell = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("csim").desc, col("cell"))
+    val probeCells = probes.crossJoin(cents)
+      .select(col("probe_id"), col("embedding").as("p_emb"), col("cell"),
+        expr("vec_cosine(embedding, c_emb)").as("csim"))
+      .withColumn("crn", row_number().over(wCell))
+      .filter(col("crn") <= 2)
+      .select(col("probe_id"), col("p_emb"), col("cell"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id"))
+    val expect = stored.join(probeCells, Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        expr("vec_cosine(embedding, p_emb)").as("sim"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("probe_id"), col("rank"), col("vec_id"),
+        round(col("sim"), 4).as("sim"))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+
+    assert(got.sorted == expect.sorted && got.nonEmpty)
+
+    // nprobe = k ⇒ the probed-cell restriction vanishes: must equal the
+    // full-corpus brute-force top-k
+    val full = IvfIndex.search(spark, store, model, probes, nprobe = 8, topK = 3)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id"))
+    val brute = emb.crossJoin(probes.select(col("probe_id"), col("embedding").as("p_emb")))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        expr("vec_cosine(embedding, p_emb)").as("sim"))
+      .withColumn("rank", row_number().over(wAll).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("probe_id"), col("rank"), col("vec_id"),
+        round(col("sim"), 4).as("sim"))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(full.sorted == brute.sorted)
+  }
+}
