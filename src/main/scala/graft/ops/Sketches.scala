@@ -42,4 +42,24 @@ object Sketches {
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(accuracy)).as("p50"),
         percentile_approx(col("l_extendedprice"), lit(0.75), lit(accuracy)).as("p75"))
       .orderBy(col("l_returnflag"))
+
+  /** Count-Min frequency sketch over document words — the third classic
+    * summary next to HLL (distinct) and GK (quantiles): point-queryable
+    * approximate term frequencies in `width × depth` counters, mergeable
+    * (Spark's `stat.countMinSketch` aggregates partition sketches), with
+    * the one-sided CM guarantee: estimate ≥ true count always, and
+    * estimate ≤ true + eps·N with probability ≥ 1−δ (eps = e/width,
+    * δ = e^−depth). The 100 TB use is heavy-hitter discovery — e.g. the
+    * stop-gram caps in q81/q95 computed from a sketch pass instead of an
+    * exact groupBy of every gram. Returns the sketch; callers point-query
+    * term counts driver-side (the sketch is KB-sized — broadcast it, the
+    * corpus never reshuffles).
+    */
+  def wordFrequencySketch(s: SparkSession, dir: String,
+                          eps: Double = 0.001, confidence: Double = 0.99,
+                          seed: Int = 42): org.apache.spark.util.sketch.CountMinSketch =
+    Tables(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .stat.countMinSketch("w", eps, confidence, seed)
 }

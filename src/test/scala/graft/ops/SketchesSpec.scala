@@ -42,4 +42,26 @@ class SketchesSpec extends SparkSpec {
       }
     }
   }
+
+  test("Count-Min word frequencies: never under, over by at most eps*N") {
+    import spark.implicits._
+    val eps = 0.001
+    val cms = Sketches.wordFrequencySketch(spark, sf(), eps = eps)
+    val words = graft.model.Tables(spark, sf(), "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val n = words.count()
+    // exact counts of the top-50 heavy hitters + a tail sample
+    val exact = words.groupBy("w").count()
+      .orderBy(col("count").desc, col("w")).limit(50)
+      .as[(String, Long)].collect()
+    exact.foreach { case (w, ex) =>
+      val est = cms.estimateCount(w)
+      assert(est >= ex, s"'$w': CM under-estimated $est < $ex")
+      assert(est <= ex + (eps * n).toLong + 1,
+        s"'$w': CM over-estimated $est vs $ex + ${(eps * n).toLong}")
+    }
+    // a word never inserted estimates at most eps*N (one-sided bound)
+    assert(cms.estimateCount("zzz_never_in_corpus") <= (eps * n).toLong + 1)
+  }
 }
