@@ -89,6 +89,28 @@ class DedupPairsSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 1L), (2L, 3L, 3L)))
   }
 
+  test("hamming_pairs equals scala brute force on seeded random signatures") {
+    import spark.implicits._
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    val rnd = new scala.util.Random(7)
+    // two-nibble space: per-position hamming is Bernoulli(1/2), so
+    // ~4% of pairs land under threshold 4 — enough to exercise both
+    // branches without the expected set being empty
+    val docs = (1L to 300L).map(id =>
+      (id, (1 to 16).map(_ => "01".charAt(rnd.nextInt(2))).mkString))
+    val expected = (for {
+      (a, sa) <- docs; (b, sb) <- docs if a < b
+      d = sa.zip(sb).map { case (x, y) =>
+        Integer.bitCount(Character.digit(x, 16) ^ Character.digit(y, 16))
+      }.sum if d <= 4
+    } yield (a, b, d.toLong)).toSet
+    val got = Seq(docs).toDF("ds")
+      .select(explode(expr("hamming_pairs(ds, 4)")).as("p"))
+      .select("p.a", "p.b", "p.hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expected && expected.nonEmpty)
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
