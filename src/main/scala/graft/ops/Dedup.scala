@@ -59,6 +59,37 @@ object Dedup {
     sig.select(cols: _*)
   }
 
+  /** q78's banded SimHash near-dup pairing over any (doc_id, text)
+    * DataFrame — also the near-dup stage of [[TrainingPipeline]].
+    * Per-doc signature via the simhash_agg aggregate, 4×16-bit bands,
+    * then the fused hamming_pairs expression: sort_array orders bucket
+    * members by doc_id (first struct field, unique), pairs emit a<b off
+    * that order with expansion + hamming + threshold in one compiled
+    * call (skewed mega-buckets never materialize non-qualifying
+    * candidates); distinct collapses pairs colliding in several bands
+    * (hamming is pair-determined, so it never splits a pair).
+    */
+  private[ops] def nearDupPairs(docs: DataFrame, maxHam: Int): DataFrame = {
+    val sig = docs
+      .filter(col("text") =!= "")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").distinct()
+      .groupBy(col("doc_id"))
+      .agg(expr("simhash_agg(md5(w))").as("sh"))
+    val bands = sig.select(explode(array(
+      (0 until BANDS).map { b =>
+        struct(lit(b).as("band"), substring(col("sh"), b * 4 + 1, 4).as("bv"),
+          struct(col("doc_id"), col("sh")).as("e"))
+      }: _*)).as("x"))
+      .select(col("x.band").as("band"), col("x.bv").as("bv"), col("x.e").as("e"))
+    bands.groupBy(col("band"), col("bv"))
+      .agg(sort_array(collect_list(col("e"))).as("ds"))
+      .select(explode(expr(s"hamming_pairs(ds, $maxHam)")).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"),
+        col("p.hamming").as("hamming"))
+      .distinct()
+  }
+
   val queries: Map[String, Q] = Map(
 
     // MinHash/LSH candidate pairs: docs sharing at least one of 4 bands
@@ -155,28 +186,7 @@ object Dedup {
     // the distinct-then-join tail entirely.
     "q78_simhash_neardup" -> ((s, dir) => {
       graft.functions.VectorExpressions.ensureRegistered(s)
-      val sig = Tables(s, dir, "documents")
-        .filter(col("text") =!= "")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .filter(col("w") =!= "").distinct()
-        .groupBy(col("doc_id"))
-        .agg(expr("simhash_agg(md5(w))").as("sh"))
-      val bands = sig.select(explode(array(
-        (0 until BANDS).map { b =>
-          struct(lit(b).as("band"), substring(col("sh"), b * 4 + 1, 4).as("bv"),
-            struct(col("doc_id"), col("sh")).as("e"))
-        }: _*)).as("x"))
-        .select(col("x.band").as("band"), col("x.bv").as("bv"), col("x.e").as("e"))
-      // sort_array orders bucket members by doc_id (first struct field,
-      // unique) — hamming_pairs emits a<b pairs off that order; distinct
-      // collapses pairs colliding in several bands (hamming is pair-
-      // determined, so it never splits a pair)
-      bands.groupBy(col("band"), col("bv"))
-        .agg(sort_array(collect_list(col("e"))).as("ds"))
-        .select(explode(expr(s"hamming_pairs(ds, $MAXHAM)")).as("p"))
-        .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"),
-          col("p.hamming").as("hamming"))
-        .distinct()
+      nearDupPairs(Tables(s, dir, "documents"), MAXHAM)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 

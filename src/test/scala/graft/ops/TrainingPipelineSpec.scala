@@ -1,0 +1,64 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** End-to-end composition contract of the training-data flow on the real
+  * corpus: monotone audit counts, no exact-dup or near-dup pair among
+  * survivors, contamination bounded, and token conservation through
+  * chunk+pack.
+  */
+class TrainingPipelineSpec extends SparkSpec {
+
+  test("pipeline invariants hold on sf0.001 (parity eval split)") {
+    val docs = graft.model.Tables(spark, sf(), "documents")
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val eval_ = docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text")
+    val cfg = TrainingPipeline.Config()
+    val res = TrainingPipeline.prepare(train, eval_, cfg)
+    try {
+      // audit trail: every stage only drops rows, nothing is empty
+      val counts = res.audit.map(_._2)
+      assert(res.audit.map(_._1) ==
+        Seq("input", "quality", "exact_dedup", "near_dedup", "decontaminated"))
+      assert(counts.zip(counts.tail).forall { case (a, b) => b <= a })
+      assert(counts.last > 0)
+
+      val survivors = res.survivors.persist()
+      // no exact dups among survivors
+      assert(survivors.select("content_md5").distinct().count() == survivors.count())
+      // no near-dup pair among survivors (greedy drop-doc_b guarantee)
+      assert(Dedup.nearDupPairs(survivors, cfg.maxHam).isEmpty)
+      // no survivor over the contamination threshold vs the eval grams
+      val evalGrams = eval_
+        .select(explode(expr("char_ngrams(text, 8)")).as("g")).distinct()
+      val sGrams = survivors
+        .select(col("doc_id"), explode(expr("char_ngrams(text, 8)")).as("g"))
+        .distinct()
+      val over = sGrams.groupBy("doc_id").agg(count(lit(1)).as("total"))
+        .join(sGrams.join(evalGrams, Seq("g"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("hit")), Seq("doc_id"), "left")
+        .filter(coalesce(col("hit"), lit(0L)).cast("double") / col("total")
+          > cfg.maxContamRatio)
+      assert(over.isEmpty)
+
+      // token conservation: packed bins hold exactly the survivors'
+      // chunk tokens (q97 geometry: ceil(n/40) chunks, windows of <= 50)
+      val chunkTokens = survivors
+        .select(size(filter(split(col("text"), " "), w => w =!= "")).cast("long").as("n"))
+        .filter(col("n") > 0)
+        .select(sum(expr(
+          // Σ over chunks i of min(50, n - 40i) for i in 0..ceil(n/40)-1
+          """aggregate(sequence(0, CAST(ceil(n / 40.0) AS INT) - 1), 0L,
+            |  (acc, i) -> acc + least(50L, n - CAST(i AS BIGINT) * 40))""".stripMargin)))
+        .head.getLong(0)
+      val packedTokens = res.packed.agg(sum("tok_total")).head.getLong(0)
+      assert(packedTokens == chunkTokens,
+        s"packed $packedTokens != chunked $chunkTokens")
+      // no bin except possibly each shard's last exceeds... every bin is
+      // CLOSED at >= binTokens cumulative; bins may overshoot by one
+      // chunk (standard greedy packing) but never start beyond it
+      assert(res.packed.filter(col("tok_total") > cfg.binTokens + 50).isEmpty)
+    } finally spark.catalog.clearCache()
+  }
+}
