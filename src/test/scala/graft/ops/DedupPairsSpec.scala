@@ -111,6 +111,24 @@ class DedupPairsSpec extends SparkSpec {
     assert(got == expected && expected.nonEmpty)
   }
 
+  test("hamming_pairs fails actionably past the bucket-size cap") {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    import spark.implicits._
+    // constant-foldable input → may evaluate locally (bare
+    // IllegalArgumentException) or in a task (wrapped SparkException)
+    val e = intercept[Throwable] {
+      Seq(1).toDF("x").select(expr(
+        """hamming_pairs(transform(sequence(1, 100001),
+          |  i -> named_struct('doc_id', CAST(i AS BIGINT),
+          |                    'sh', '0000000000000000')), 3)""".stripMargin))
+        .collect()
+    }
+    // the root-cause message must tell the caller WHAT to do
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: chain(x.getCause))
+    assert(chain(e).exists(m => m != null && m.contains("cap bucket size upstream")))
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
