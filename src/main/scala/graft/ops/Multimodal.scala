@@ -112,6 +112,53 @@ object Multimodal {
       })
   }
 
+  /** Decoded-payload feature vector: byte length + a 16-bin histogram of
+    * the decompressed bytes (bin = high nibble). The structural stand-in
+    * for an image/audio embedding: real numbers computed from the real
+    * decoded stream, `array<float>` shaped exactly like the embeddings
+    * table, so everything downstream (vec_cosine, sign-bucket ANN, k-NN
+    * join) applies unchanged. Raw/corrupt payloads carry an empty vector.
+    */
+  final case class MediaFeatures(doc_id: Long, dec_len: Long,
+                                 features: Array[Float])
+
+  /** Decode + feature-extract fused in ONE partition-local pass — the
+    * histogram folds over the same 8 KB read buffer the length count
+    * uses, so feature extraction adds zero extra IO or buffering (and
+    * inherits decode's no-buffer bomb safety). A real image featurizer
+    * (decode → resize → pool) drops in at the same signature.
+    */
+  def features(s: SparkSession, dir: String): Dataset[MediaFeatures] = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, _, payload) =>
+        val len = payload.length
+        val isGzip = len > 18 &&
+          (payload(0) & 0xff) == 0x1f && (payload(1) & 0xff) == 0x8b
+        if (!isGzip) MediaFeatures(id, -1L, Array.empty)
+        else {
+          var in: GZIPInputStream = null
+          try {
+            in = new GZIPInputStream(new java.io.ByteArrayInputStream(payload))
+            val hist = new Array[Long](16)
+            val buf = new Array[Byte](8192)
+            var decLen = 0L
+            var n = in.read(buf)
+            while (n >= 0) {
+              var i = 0
+              while (i < n) { hist((buf(i) & 0xf0) >> 4) += 1; i += 1 }
+              decLen += n
+              n = in.read(buf)
+            }
+            MediaFeatures(id, decLen, hist.map(_.toFloat))
+          } catch {
+            case _: java.io.IOException => MediaFeatures(id, -1L, Array.empty)
+          } finally if (in != null) in.close()
+        }
+      })
+  }
+
   val queries: Map[String, Q] = Map(
     // Decode → per-lang compression stats; lang travels with the decode
     // tuple so the corpus is encoded exactly once per run.

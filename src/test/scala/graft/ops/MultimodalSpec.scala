@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.SparkSpec
 import graft.ops.Multimodal.GzipCodec
+import org.apache.spark.sql.functions._
 
 /** Multimodal decode path (q92): the codec is REAL gzip — assert genuine
   * header/trailer structure (magic bytes, RFC 1952 ISIZE), a full
@@ -59,5 +60,34 @@ class MultimodalSpec extends SparkSpec {
       .selectExpr("CAST(sum(octet_length(CAST(text AS BINARY))) AS BIGINT)")
       .head().getLong(0)
     assert(decTotal == expected)
+  }
+
+  test("feature histograms conserve counts and are deterministic across passes") {
+    import spark.implicits._
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    val sf = "/root/testdata/sf0.001"
+    val feats = Multimodal.features(spark, sf).toDF()
+    // histogram mass equals the decoded byte count, for every doc
+    val broken = feats.filter(col("dec_len") >= 0)
+      .filter(expr("CAST(aggregate(features, 0D, (a, x) -> a + x) AS BIGINT)")
+        =!= col("dec_len"))
+    assert(broken.isEmpty)
+
+    // two INDEPENDENT encode→decode→featurize passes must agree vector-
+    // for-vector (round-trip determinism — same content, same features),
+    // and the features column joins into vec_cosine exactly like the
+    // embeddings table: cosine of the matched pair is exactly 1.0
+    val feats2 = Multimodal.features(spark, sf).toDF()
+    val matched = feats.as("fa")
+      .join(feats2.as("fb"), col("fa.doc_id") === col("fb.doc_id"))
+      .filter(col("fa.dec_len") >= 0)
+    // determinism: bit-identical vectors across the two passes
+    assert(matched.filter(col("fa.features") =!= col("fb.features")).isEmpty)
+    // plumbing: the features column rides vec_cosine like the embeddings
+    // table (identical vectors land within float rounding of 1.0 —
+    // sqrt(n)² ≠ n exactly in IEEE, so exact 1.0 is NOT the contract)
+    val sims = matched
+      .select(expr("vec_cosine(fa.features, fb.features)").as("sim"))
+    assert(sims.filter(abs(col("sim") - 1.0) > 1e-9).isEmpty && !sims.isEmpty)
   }
 }
