@@ -92,8 +92,8 @@ object Extensions {
     * conservation invariant only means something because both read this
     * one definition.
     */
-  private def docChunks(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+  private[ops] def docChunks(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         expr("filter(split(text, ' '), w -> w <> '')").as("ws"))
       .filter(size(col("ws")) > 0)
@@ -104,6 +104,30 @@ object Extensions {
       .select(col("doc_id"),
         col("e.idx").cast("long").as("chunk_idx"),
         col("e.chunk").as("chunk"))
+
+  private def docChunks(s: SparkSession, dir: String): DataFrame =
+    docChunks(Tables(s, dir, "documents"))
+
+  /** q58's bin packing over any (doc_id, chunk_idx, n_tokens) chunk
+    * DataFrame — also the packing stage of [[TrainingPipeline]]. Bins
+    * fill by cumulative token count in (doc_id, chunk_idx) order WITHIN
+    * doc_id%shards shards (per-shard windows, embarrassingly parallel —
+    * no global single-task window).
+    */
+  private[ops] def packBins(chunks: DataFrame, binTokens: Int,
+                            shards: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("doc_id"), col("chunk_idx"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    chunks.withColumn("shard", pmod(col("doc_id"), lit(shards)))
+      .withColumn("cum0", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("cum0") / binTokens).cast("long"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_tokens")).as("tok_total"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
 
   val queries: Map[String, Q] = Map(
 
@@ -255,17 +279,7 @@ object Extensions {
       val chunks = docChunks(s, dir)
         .select(col("doc_id"), col("chunk_idx"),
           size(col("chunk")).cast("long").as("n_tokens"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("shard").orderBy(col("doc_id"), col("chunk_idx"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      chunks.withColumn("shard", pmod(col("doc_id"), lit(8)))
-        .withColumn("cum0", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-        .withColumn("bin", floor(col("cum0") / 512).cast("long"))
-        .groupBy(col("shard"), col("bin"))
-        .agg(count(lit(1)).as("n_chunks"),
-          sum(col("n_tokens")).as("tok_total"),
-          min(col("doc_id")).as("first_doc"),
-          max(col("doc_id")).as("last_doc"))
+      packBins(chunks, binTokens = 512, shards = 8)
         .orderBy(col("shard"), col("bin"))
     }),
 

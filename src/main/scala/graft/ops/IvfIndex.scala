@@ -39,6 +39,12 @@ object IvfIndex {
     val model = new KMeans()
       .setK(k).setSeed(seed).setFeaturesCol("features")
       .setPredictionCol("cell")
+      // cosine BOTH here and in search's cell ranking: assigning cells by
+      // Euclidean but probing by cosine would systematically exclude the
+      // cell holding a probe's cosine-nearest neighbors (small-norm
+      // vectors of all directions cluster Euclidean-near the origin),
+      // degrading recall beyond the nprobe trade
+      .setDistanceMeasure("cosine")
       .fit(trainSet)
     model.transform(feat)
       .select(col("vec_id"), col("embedding"), col("cell"))

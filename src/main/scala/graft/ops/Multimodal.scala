@@ -41,14 +41,22 @@ object Multimodal {
       bos.toByteArray
     }
 
-    /** Real decode: magic check, full decompression, ISIZE-trailer parse
+    /** Real decode as a streaming FOLD: magic check, full decompression
+      * with every buffer segment handed to `onChunk`, ISIZE-trailer parse
       * and verification (RFC 1952 §2.3.1: last 4 bytes, little-endian,
-      * uncompressed size mod 2^32). A payload that passes the magic check
-      * but fails to decompress (truncated/bit-flipped — inevitable in a
-      * 100 TB media corpus) is surfaced as a `format="corrupt"` record
-      * rather than an exception that would kill the whole task.
+      * uncompressed size mod 2^32). The stream is COUNTED, never
+      * buffered: buffering would die with an uncatchable OutOfMemoryError
+      * (not IOException) on an oversized/bomb payload — the exact
+      * task-kill the corrupt classification exists to prevent. A payload
+      * that passes the magic check but fails to decompress
+      * (truncated/bit-flipped — inevitable in a 100 TB media corpus) is
+      * surfaced as a `format="corrupt"` record rather than an exception
+      * that would kill the whole task. ONE decode loop serves both
+      * [[decode]] (metadata only) and [[Multimodal.features]] (histogram
+      * fold) — a decode-path fix lands in both by construction.
       */
-    def decode(docId: Long, payload: Array[Byte]): MediaMeta = {
+    def fold(docId: Long, payload: Array[Byte])
+            (onChunk: (Array[Byte], Int) => Unit): MediaMeta = {
       val len = payload.length
       val isGzip = len > 18 &&
         (payload(0) & 0xff) == 0x1f && (payload(1) & 0xff) == 0x8b
@@ -59,14 +67,13 @@ object Multimodal {
           // the constructor already parses the full header and can throw
           in = new GZIPInputStream(new java.io.ByteArrayInputStream(payload))
           val buf = new Array[Byte](8192)
-          // COUNT the decompressed stream, never buffer it: only the
-          // length is needed, and buffering would die with an
-          // uncatchable OutOfMemoryError (not IOException) on an
-          // oversized/bomb payload — the exact task-kill the corrupt
-          // classification exists to prevent
           var decLen = 0L
           var n = in.read(buf)
-          while (n >= 0) { decLen += n; n = in.read(buf) }
+          while (n >= 0) {
+            if (n > 0) onChunk(buf, n)
+            decLen += n
+            n = in.read(buf)
+          }
           val isize = (payload(len - 4) & 0xffL) |
             ((payload(len - 3) & 0xffL) << 8) |
             ((payload(len - 2) & 0xffL) << 16) |
@@ -79,6 +86,10 @@ object Multimodal {
         } finally if (in != null) in.close()
       }
     }
+
+    /** Metadata-only decode (the q92 path). */
+    def decode(docId: Long, payload: Array[Byte]): MediaMeta =
+      fold(docId, payload)((_, _) => ())
   }
 
   /** documents.text carried as a REAL gzip-compressed binary payload
@@ -123,39 +134,30 @@ object Multimodal {
                                  features: Array[Float])
 
   /** Decode + feature-extract fused in ONE partition-local pass — the
-    * histogram folds over the same 8 KB read buffer the length count
-    * uses, so feature extraction adds zero extra IO or buffering (and
-    * inherits decode's no-buffer bomb safety). A real image featurizer
-    * (decode → resize → pool) drops in at the same signature.
+    * histogram folds over the same 8 KB read buffer the GzipCodec decode
+    * loop uses, so feature extraction adds zero extra IO or buffering
+    * (and inherits decode's no-buffer bomb safety + corrupt
+    * classification). A real image featurizer (decode → resize → pool)
+    * drops in at the same signature. Precision note: counts accumulate
+    * in Long and emit as Float for vec_cosine compatibility — exact up
+    * to 2^24 bytes PER BIN (~268 MB payloads at uniform spread); beyond
+    * that, bins round to the nearest representable float, which shifts
+    * cosine by < 1e-7 and is irrelevant to similarity use. The
+    * MultimodalSpec mass-conservation assert is therefore a testdata
+    * invariant, not a production claim past that bound.
     */
   def features(s: SparkSession, dir: String): Dataset[MediaFeatures] = {
     import s.implicits._
     mediaTable(s, dir)
       .as[(Long, String, Array[Byte])]
       .mapPartitions(_.map { case (id, _, payload) =>
-        val len = payload.length
-        val isGzip = len > 18 &&
-          (payload(0) & 0xff) == 0x1f && (payload(1) & 0xff) == 0x8b
-        if (!isGzip) MediaFeatures(id, -1L, Array.empty)
-        else {
-          var in: GZIPInputStream = null
-          try {
-            in = new GZIPInputStream(new java.io.ByteArrayInputStream(payload))
-            val hist = new Array[Long](16)
-            val buf = new Array[Byte](8192)
-            var decLen = 0L
-            var n = in.read(buf)
-            while (n >= 0) {
-              var i = 0
-              while (i < n) { hist((buf(i) & 0xf0) >> 4) += 1; i += 1 }
-              decLen += n
-              n = in.read(buf)
-            }
-            MediaFeatures(id, decLen, hist.map(_.toFloat))
-          } catch {
-            case _: java.io.IOException => MediaFeatures(id, -1L, Array.empty)
-          } finally if (in != null) in.close()
+        val hist = new Array[Long](16)
+        val meta = GzipCodec.fold(id, payload) { (buf, n) =>
+          var i = 0
+          while (i < n) { hist((buf(i) & 0xf0) >> 4) += 1; i += 1 }
         }
+        if (meta.format == "gzip") MediaFeatures(id, meta.dec_len, hist.map(_.toFloat))
+        else MediaFeatures(id, -1L, Array.empty)
       })
   }
 

@@ -48,8 +48,12 @@ object Sketches {
     * approximate term frequencies in `width × depth` counters, mergeable
     * (Spark's `stat.countMinSketch` aggregates partition sketches), with
     * the one-sided CM guarantee: estimate ≥ true count always, and
-    * estimate ≤ true + eps·N with probability ≥ 1−δ (eps = e/width,
-    * δ = e^−depth). The 100 TB use is heavy-hitter discovery — e.g. the
+    * estimate ≤ true + eps·N with probability ≥ confidence. NOTE Spark's
+    * parametrization differs from the Cormode–Muthukrishnan paper
+    * constants: width = ceil(2/eps) and depth = ceil(ln(1−confidence) /
+    * ln(0.5)) — size from eps/confidence, don't derive bounds from
+    * width/depth via the e/width paper formulas. The 100 TB use is
+    * heavy-hitter discovery — e.g. the
     * stop-gram caps in q81/q95 computed from a sketch pass instead of an
     * exact groupBy of every gram. Returns the sketch; callers point-query
     * term counts driver-side (the sketch is KB-sized — broadcast it, the

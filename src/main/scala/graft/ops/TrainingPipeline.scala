@@ -69,13 +69,14 @@ object TrainingPipeline {
     val audit = Seq.newBuilder[(String, Long)]
     audit += ("input" -> docs.count())
 
-    // 1. quality: q88's composite (uniq_ratio × capped length score)
+    // 1. quality: q88's composite — including its final round(·, 4), so
+    // threshold-boundary docs classify exactly as the declared score does
     val scored = docs
       .withColumn("ws", words(col("text")))
       .filter(size(col("ws")) > 0)
-      .withColumn("q",
+      .withColumn("q", round(
         round(size(array_distinct(col("ws"))).cast("double") / size(col("ws")), 4) *
-          round(least(lit(1.0), size(col("ws")).cast("double") / 100), 4))
+          round(least(lit(1.0), size(col("ws")).cast("double") / 100), 4), 4))
       .filter(col("q") >= cfg.minQuality)
       .drop("ws", "q")
     audit += ("quality" -> scored.count())
@@ -90,21 +91,27 @@ object TrainingPipeline {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     audit += ("exact_dedup" -> exact.count())
 
-    // 3. near-dup removal: q78's banded pairs, then greedily drop every
-    // doc_b — survivors are pairwise non-near-dup by construction
+    // 3. near-dup removal: q78's banded pairs (the shared
+    // Dedup.nearDupPairs), then greedily drop every doc_b — survivors
+    // are pairwise non-near-dup by construction. Persisted: feeds the
+    // gram explode AND the final anti-join.
     val dropIds = Dedup.nearDupPairs(exact, cfg.maxHam)
       .select(col("doc_b").as("doc_id")).distinct()
     val nearDeduped = exact.join(dropIds, Seq("doc_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     audit += ("near_dedup" -> nearDeduped.count())
 
     // 4. decontamination, q76's gram machinery with roles swapped: drop
     // TRAIN docs whose distinct 8-grams are mostly present in the eval
-    // set (a leaked benchmark doc scores ~1.0; organic overlap stays low)
+    // set (a leaked benchmark doc scores ~1.0; organic overlap stays
+    // low). trainGrams persisted: the per-doc totals and the semi-join
+    // probe both read it.
     val evalGrams = evalDocs
       .select(explode(expr("char_ngrams(text, 8)")).as("g")).distinct()
     val trainGrams = nearDeduped
       .select(col("doc_id"), explode(expr("char_ngrams(text, 8)")).as("g"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val contam = trainGrams.groupBy("doc_id").agg(count(lit(1)).as("total"))
       .join(trainGrams.join(evalGrams, Seq("g"), "left_semi")
         .groupBy("doc_id").agg(count(lit(1)).as("hit")), Seq("doc_id"), "left")
@@ -114,28 +121,20 @@ object TrainingPipeline {
     val clean = nearDeduped.join(contam, Seq("doc_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     audit += ("decontaminated" -> clean.count())
+    // clean is materialized: the upstream caches served their consumers
+    // and can release now. `clean` itself stays cached — the caller owns
+    // it (same contract as SparkEntry.queries' persisted subplans).
+    exact.unpersist()
+    nearDeduped.unpersist()
+    trainGrams.unpersist()
 
-    // 5+6. chunk (q97 geometry: 50-token windows, stride 40) and pack
-    // (q58: cumulative fill of binTokens bins inside doc_id%shards
-    // shards — per-shard windows, embarrassingly parallel)
-    val chunks = clean
-      .select(col("doc_id"), words(col("text")).as("ws"))
-      .filter(size(col("ws")) > 0)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(0, CAST(ceil(size(ws) / 40.0) AS INT) - 1),
-          |  i -> named_struct('idx', i, 'chunk', slice(ws, i * 40 + 1, 50)))""".stripMargin))
-        .as("e"))
-      .select(col("doc_id"), col("e.idx").cast("long").as("chunk_idx"),
-        size(col("e.chunk")).cast("long").as("n_tokens"))
-    val wPack = Window.partitionBy("shard")
-      .orderBy(col("doc_id"), col("chunk_idx"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val packed = chunks
-      .withColumn("shard", pmod(col("doc_id"), lit(cfg.shards)))
-      .withColumn("cum0", coalesce(sum(col("n_tokens")).over(wPack), lit(0L)))
-      .withColumn("bin", floor(col("cum0") / cfg.binTokens).cast("long"))
-      .groupBy(col("shard"), col("bin"))
-      .agg(count(lit(1)).as("n_chunks"), sum(col("n_tokens")).as("tok_total"))
+    // 5+6. chunk + pack: the SAME q97 geometry / q58 packing helpers the
+    // oracle-checked queries run (Extensions.docChunks / packBins)
+    val chunks = Extensions.docChunks(clean)
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_tokens"))
+    val packed = Extensions.packBins(chunks, cfg.binTokens, cfg.shards)
+      .select("shard", "bin", "n_chunks", "tok_total")
 
     Result(clean, packed, audit.result())
   }

@@ -108,9 +108,15 @@ object StreamingNearDup {
                    stateCap: Int = 64): Dataset[NearDupFlag] = {
     import docs.sparkSession.implicits._
     val banded = docs.flatMap { case (id, text) =>
-      val sig = simhash64(text)
-      (0 until 4).map(b =>
-        BandDoc(b, ((sig >>> (48 - 16 * b)) & 0xffffL).toInt, id, sig))
+      // no-word docs are EXCLUDED, matching batch q78 (Dedup.nearDupPairs
+      // filters them out): their vote vector is empty, so they'd all get
+      // sig 0 and flag each other as hamming-0 dups of content-free rows
+      if (!text.split(" ").exists(_.nonEmpty)) Seq.empty
+      else {
+        val sig = simhash64(text)
+        (0 until 4).map(b =>
+          BandDoc(b, ((sig >>> (48 - 16 * b)) & 0xffffL).toInt, id, sig))
+      }
     }
     banded.groupByKey(d => (d.band, d.bucket))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(

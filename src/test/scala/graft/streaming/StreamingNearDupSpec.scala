@@ -46,6 +46,17 @@ class StreamingNearDupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("no-word docs are excluded, matching batch q78 semantics") {
+    import spark.implicits._
+    // without the exclusion every empty doc would get sig 0 and flag the
+    // others as hamming-0 dups; batch nearDupPairs filters them, so the
+    // streaming flagger must too
+    val flags = StreamingNearDup
+      .flagNearDups(Seq((1L, ""), (2L, "   "), (3L, "")).toDS())
+      .collect()
+    assert(flags.isEmpty)
+  }
+
   test("bucket state transition: flag vs admit, FIFO cap eviction, doc order") {
     import StreamingNearDup.{BandDoc, processBucket}
     def bd(id: Long, sig: Long) = BandDoc(0, 0, id, sig)
