@@ -157,6 +157,32 @@ class QueryPropertiesSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("results are partitioning-independent (§7.5 determinism rule)") {
+    // the core determinism claim behind the oracle gate: the SAME rows
+    // in the SAME order no matter how exchanges shard. Re-run a sample
+    // of shuffle-heavy queries (aggs, windows, LSH pairing, estimator
+    // ratios, salted agg, distributed ntile) under a different
+    // shuffle-partition count and compare collected output exactly.
+    val sample = Seq("q30_groupby_agg", "q38_percentiles", "q45_ntile_first_last",
+      "q55_salted_agg", "q69_tfidf", "q78_simhash_neardup",
+      "q79_minhash_jaccard_est", "q90_fingerprint")
+    val conf = spark.conf
+    val saved = conf.get("spark.sql.shuffle.partitions")
+    def run(name: String): Seq[String] = {
+      val out = q(name).collect().map(_.toString).toSeq
+      spark.catalog.clearCache() // q79 persists its signature subplan
+      out
+    }
+    sample.foreach { name =>
+      val a = run(name)
+      try {
+        conf.set("spark.sql.shuffle.partitions", "13")
+        val b = run(name)
+        assert(a == b, s"$name diverges across partitionings")
+      } finally conf.set("spark.sql.shuffle.partitions", saved)
+    }
+  }
+
   test("no declared query outputs array/map/struct columns (harness rule)") {
     // the driver's correctness harness sorts and hashes every output
     // cell with pandas, which cannot handle nested cells — the round-1
