@@ -46,6 +46,25 @@ class StreamingNearDupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flags are a subset of batch q78 pairs on the real corpus") {
+    import spark.implicits._
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    // batch-mode flagNearDups with an uncapped-ish state: every flag
+    // (doc, dup_of) means dup_of was admitted earlier (lower doc_id) at
+    // hamming <= 3 in a shared band — exactly a q78 pair (dup_of, doc).
+    // The converse need not hold (a doc flagged once never enters state,
+    // so later members of its cluster flag against the cluster root).
+    val docs = graft.model.Tables(spark, sf(), "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val flags = StreamingNearDup.flagNearDups(docs, stateCap = 100000)
+      .collect()
+    val pairs = graft.SparkEntry.queries("q78_simhash_neardup")(spark, sf())
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(flags.nonEmpty)
+    val orphans = flags.filterNot(f => pairs.contains((f.dup_of, f.doc_id)))
+    assert(orphans.isEmpty, s"flags without a batch pair: ${orphans.take(5).toSeq}")
+  }
+
   test("no-word docs are excluded, matching batch q78 semantics") {
     import spark.implicits._
     // without the exclusion every empty doc would get sig 0 and flag the
