@@ -1,0 +1,83 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Rollup maintenance: merges accumulate exactly, untouched days are
+  * preserved, and a replayed batch id is recognized and skipped (the
+  * exactly-once contract).
+  */
+class RollupSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("merge accumulates, preserves untouched days, and skips replays") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("rollup").toString + "/table"
+
+    // batch 0: two series on day 1, one on day 2
+    val b0 = Seq(
+      ("cpu", ts("2024-01-01 10:00:00"), 1.0),
+      ("cpu", ts("2024-01-01 11:00:00"), 3.0),
+      ("mem", ts("2024-01-01 10:30:00"), 5.0),
+      ("cpu", ts("2024-01-02 09:00:00"), 7.0)
+    ).toDF("series", "ts", "value")
+    assert(Rollup.mergeBatch(spark, b0, 0L, dir))
+    val r0 = spark.read.parquet(dir)
+    assert(r0.count() == 3)
+    val cpuDay1 = r0.filter(col("series") === "cpu" &&
+      col("p_date") === lit("2024-01-01").cast("date")).head()
+    assert(cpuDay1.getAs[Long]("cnt") == 2 && cpuDay1.getAs[Double]("total") == 4.0)
+
+    // batch 1 touches ONLY day 1: cpu accumulates, day 2 must be intact
+    val b1 = Seq(("cpu", ts("2024-01-01 12:00:00"), 10.0))
+      .toDF("series", "ts", "value")
+    assert(Rollup.mergeBatch(spark, b1, 1L, dir))
+    val r1 = spark.read.parquet(dir)
+    val cpu1 = r1.filter(col("series") === "cpu" &&
+      col("p_date") === lit("2024-01-01").cast("date")).head()
+    assert(cpu1.getAs[Long]("cnt") == 3 && cpu1.getAs[Double]("total") == 14.0 &&
+      cpu1.getAs[Double]("vmax") == 10.0)
+    val day2 = r1.filter(col("p_date") === lit("2024-01-02").cast("date")).head()
+    assert(day2.getAs[Long]("cnt") == 1 && day2.getAs[Double]("total") == 7.0)
+
+    // replaying batch 1 must be skipped: same id, unchanged table
+    assert(!Rollup.mergeBatch(spark, b1, 1L, dir))
+    val r2 = spark.read.parquet(dir)
+    assert(r2.filter(col("series") === "cpu" &&
+      col("p_date") === lit("2024-01-01").cast("date"))
+      .head().getAs[Long]("cnt") == 3)
+
+    // rollup answers match a raw aggregation of everything ingested
+    val raw = b0.unionByName(b1)
+      .withColumn("p_date", to_date(col("ts")))
+      .groupBy("series", "p_date")
+      .agg(count(lit(1)).as("cnt"), sum("value").as("total"))
+    val diff = r2.select("series", "p_date", "cnt", "total")
+      .exceptAll(raw.select("series", "p_date", "cnt", "total"))
+    assert(diff.isEmpty)
+  }
+
+  test("streaming wiring maintains the table across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("rollup_stream").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Timestamp, Double)]
+    val q = Rollup.start(spark,
+      input.toDS().toDF("series", "ts", "value"),
+      s"$base/table", s"$base/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    try {
+      input.addData(("cpu", ts("2024-02-01 10:00:00"), 2.0),
+        ("cpu", ts("2024-02-01 11:00:00"), 4.0))
+      q.processAllAvailable()
+      val r = spark.read.parquet(s"$base/table")
+      assert(r.count() == 1)
+      assert(r.head().getAs[Long]("cnt") == 2 &&
+        r.head().getAs[Double]("total") == 6.0)
+    } finally q.stop()
+  }
+}
