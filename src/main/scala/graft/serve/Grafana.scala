@@ -107,6 +107,32 @@ object Grafana {
     parts.mkString("[", ",", "]")
   }
 
+  /** Rollup-backed `/query` for day-granularity ranges: serves per-day
+    * averages (total/cnt) straight from [[graft.streaming.Rollup]]'s
+    * maintained table instead of scanning raw points — the read path
+    * whose cost is days × series regardless of raw corpus size (the
+    * 100 TB dashboard answer). Datapoint time = day-start epoch-ms,
+    * value = day mean; same JSON shape as [[query]].
+    */
+  def queryDaily(rollup: DataFrame, req: QueryRequest): String = {
+    val parts = req.targets.filter(_.targetType != "table").map { t =>
+      val rows = rollup
+        .filter(col("series") === t.target &&
+          col("p_date").between(
+            to_date(to_timestamp(lit(req.range.fromIso))),
+            to_date(to_timestamp(lit(req.range.toIso)))))
+        .select((col("total") / col("cnt")).as("v"),
+          unix_millis(col("p_date").cast("timestamp")).as("t_ms"))
+        .orderBy(col("t_ms"))
+        .limit(req.maxDataPoints)
+        .collect()
+      val dps = rows.map(r => s"[${jsNum(r.getDouble(0))},${r.getLong(1)}]")
+        .mkString("[", ",", "]")
+      s"""{"target":${jsStr(t.target)},"datapoints":$dps}"""
+    }
+    parts.mkString("[", ",", "]")
+  }
+
   /** `/annotations`, `/tag-keys`, `/tag-values` — empty per the reference
     * stubs (index.js:159-181).
     */

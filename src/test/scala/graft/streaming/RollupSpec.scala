@@ -60,6 +60,26 @@ class RollupSpec extends SparkSpec {
     assert(diff.isEmpty)
   }
 
+  test("rollup table serves the Grafana daily read path") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("rollup_serve").toString + "/table"
+    val b = Seq(
+      ("cpu", ts("2024-03-01 10:00:00"), 2.0),
+      ("cpu", ts("2024-03-01 14:00:00"), 4.0),
+      ("cpu", ts("2024-03-02 09:00:00"), 9.0)
+    ).toDF("series", "ts", "value")
+    assert(Rollup.mergeBatch(spark, b, 0L, dir))
+    val json = graft.serve.Grafana.queryDaily(
+      spark.read.parquet(dir),
+      graft.serve.Grafana.QueryRequest(
+        Seq(graft.serve.Grafana.Target("cpu", "timeseries")),
+        graft.serve.Grafana.TimeRange("2024-03-01 00:00:00", "2024-03-02 23:59:59"),
+        maxDataPoints = 100))
+    // day means: (2+4)/2 = 3 on day 1, 9 on day 2; value-first datapoints
+    assert(json.contains("\"target\":\"cpu\""))
+    assert(json.contains("[3,") && json.contains("[9,"))
+  }
+
   test("streaming wiring maintains the table across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
