@@ -56,9 +56,7 @@ object Grafana {
       (t, rows)
     }
     val ts = parts.filter(_._1.targetType != "table").map { case (t, rows) =>
-      val dps = rows.map(r => s"[${jsNum(r.getDouble(0))},${r.getLong(1)}]")
-        .mkString("[", ",", "]")
-      s"""{"target":${jsStr(t.target)},"datapoints":$dps}"""
+      targetJson(t.target, rows.map(r => (r.getDouble(0), r.getLong(1))))
     }
     val tableTargets = parts.filter(_._1.targetType == "table")
     val table = if (tableTargets.isEmpty) Seq.empty else {
@@ -100,9 +98,7 @@ object Grafana {
         .select((col("bucket") * bucketMs + fromMs).as("t_ms"), col("v"))
         .orderBy(col("t_ms"))
         .collect()
-      val dps = rows.map(r => s"[${jsNum(r.getDouble(1))},${r.getLong(0)}]")
-        .mkString("[", ",", "]")
-      s"""{"target":${jsStr(t.target)},"datapoints":$dps}"""
+      targetJson(t.target, rows.map(r => (r.getDouble(1), r.getLong(0))))
     }
     parts.mkString("[", ",", "]")
   }
@@ -121,16 +117,27 @@ object Grafana {
           col("p_date").between(
             to_date(to_timestamp(lit(req.range.fromIso))),
             to_date(to_timestamp(lit(req.range.toIso)))))
+        // Rollup filters null values at merge, but a foreign/hand-built
+        // table may not — same getDouble-must-not-NPE guard as slice()
+        .filter(col("cnt") > 0 && col("total").isNotNull)
         .select((col("total") / col("cnt")).as("v"),
           unix_millis(col("p_date").cast("timestamp")).as("t_ms"))
         .orderBy(col("t_ms"))
         .limit(req.maxDataPoints)
         .collect()
-      val dps = rows.map(r => s"[${jsNum(r.getDouble(0))},${r.getLong(1)}]")
-        .mkString("[", ",", "]")
-      s"""{"target":${jsStr(t.target)},"datapoints":$dps}"""
+      targetJson(t.target, rows.map(r => (r.getDouble(0), r.getLong(1))))
     }
     parts.mkString("[", ",", "]")
+  }
+
+  /** Shared timeseries-target assembly: value-FIRST datapoint pairs
+    * (reference index.js:121-129) — one definition so the wire format
+    * cannot diverge between the raw, downsampled, and rollup read paths.
+    */
+  private def targetJson(target: String, dps: Seq[(Double, Long)]): String = {
+    val arr = dps.map { case (v, tMs) => s"[${jsNum(v)},$tMs]" }
+      .mkString("[", ",", "]")
+    s"""{"target":${jsStr(target)},"datapoints":$arr}"""
   }
 
   /** `/annotations`, `/tag-keys`, `/tag-values` — empty per the reference

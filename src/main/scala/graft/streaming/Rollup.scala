@@ -17,62 +17,92 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * batch's partials, re-aggregate (count/sum/min/max are associative),
   * rewrite those partitions. Untouched days are never read or written.
   *
-  * Replay safety: a micro-batch replayed after a failure between sink
-  * write and checkpoint commit must not double-merge. Every rollup row
-  * carries `last_batch` = the highest batch id merged into its
-  * partition; a replay (batchId <= stored last_batch for every touched
-  * partition) is skipped wholesale. This is the same
-  * offsets-plus-idempotent-sink contract the collector's
-  * `batch_id=<id>` subpartitions implement, adapted to merged state.
+  * Replay safety is PER PARTITION: every rollup row carries
+  * `last_batch` = the batch id that last rewrote its partition. Dynamic
+  * partition overwrite is not atomic ACROSS partitions, so a crash
+  * mid-commit can leave some touched partitions already carrying this
+  * batch and others not — on replay, partitions whose `last_batch`
+  * equals the replayed id are excluded from both the merge and the
+  * rewrite (their data is in), and only the rest are merged. A stored
+  * `last_batch` GREATER than the incoming id means the checkpoint was
+  * reset against an existing table — that is refused loudly rather than
+  * silently skipping data.
   */
 object Rollup {
 
   /** One merge step — factored out of the stream so replay semantics are
-    * directly testable. Returns true if the merge ran, false if it was
-    * recognized as a replay and skipped.
+    * directly testable. Returns true if any partition merged, false if
+    * the batch was empty or fully recognized as a replay.
     */
   private[streaming] def mergeBatch(spark: SparkSession, batch: DataFrame,
                                     batchId: Long, rollupDir: String): Boolean = {
+    // null ts has no partition; null value would poison total (NULL) and
+    // the Grafana read's getDouble — same validity discipline as
+    // Collector.transform and Grafana.slice
     val partial = batch
+      .filter(col("ts").isNotNull && col("value").isNotNull)
       .withColumn("p_date", to_date(col("ts")))
       .groupBy(col("series"), col("p_date"))
       .agg(count(lit(1)).as("cnt"), sum(col("value")).as("total"),
         min(col("value")).as("vmin"), max(col("value")).as("vmax"))
-    if (partial.isEmpty) return false
-    val touched = partial.select("p_date").distinct()
+      .persist()
+    try {
+      val touched = partial.select("p_date").distinct()
+        .collect().map(_.getDate(0)).toSeq
+      if (touched.isEmpty) return false
 
-    // explicit existence probe (not exception matching — the missing-path
-    // error type varies between the driver read and schema inference)
-    val path = new org.apache.hadoop.fs.Path(rollupDir)
-    val hasExisting = path.getFileSystem(
-      spark.sessionState.newHadoopConf()).exists(path)
-    val existing =
-      if (hasExisting)
-        spark.read.parquet(rollupDir)
-          .join(broadcast(touched), Seq("p_date"), "left_semi")
-      else spark.emptyDataFrame
+      // committed data present? bare path existence is not enough — a
+      // crash before any commit can leave staging dirs only, and
+      // read.parquet over them would wedge every subsequent batch
+      val dirPath = new org.apache.hadoop.fs.Path(rollupDir)
+      val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
+      val hasData = fs.exists(dirPath) && {
+        val it = fs.listFiles(dirPath, true)
+        var found = false
+        while (!found && it.hasNext)
+          found = it.next().getPath.getName.endsWith(".parquet")
+        found
+      }
 
-    if (hasExisting && !existing.isEmpty) {
-      // replay detection: every touched partition already merged this id
-      val maxMerged = existing.agg(min(col("last_batch"))).head.getLong(0)
-      if (maxMerged >= batchId) return false
-    }
+      val todo: Seq[java.sql.Date] =
+        if (!hasData) touched
+        else {
+          val lastByDate = spark.read.parquet(rollupDir)
+            .filter(col("p_date").isin(touched: _*))
+            .groupBy("p_date").agg(max("last_batch").as("lb"))
+            .collect().map(r => r.getDate(0) -> r.getLong(1)).toMap
+          val ahead = lastByDate.filter(_._2 > batchId)
+          if (ahead.nonEmpty) throw new IllegalStateException(
+            s"rollup at $rollupDir is ahead of batch $batchId for partitions " +
+              s"${ahead.keys.toSeq.sorted.mkString(",")} — the stream's " +
+              "checkpoint was reset against an existing table; refusing to " +
+              "merge (data would be silently dropped). Point the stream at a " +
+              "fresh rollupDir or restore the matching checkpoint.")
+          // == batchId: that partition's data is already in (crash landed
+          // between its commit and the checkpoint's) — skip just it
+          touched.filterNot(d => lastByDate.get(d).contains(batchId))
+        }
+      if (todo.isEmpty) return false
 
-    val merged0 =
-      if (hasExisting)
-        existing.select("series", "p_date", "cnt", "total", "vmin", "vmax")
-          .unionByName(partial)
-      else partial
-    merged0
-      .groupBy(col("series"), col("p_date"))
-      .agg(sum(col("cnt")).as("cnt"), sum(col("total")).as("total"),
-        min(col("vmin")).as("vmin"), max(col("vmax")).as("vmax"))
-      .withColumn("last_batch", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("p_date")
-      .parquet(rollupDir)
-    true
+      val partialTodo = partial.filter(col("p_date").isin(todo: _*))
+      val merged0 =
+        if (hasData)
+          spark.read.parquet(rollupDir)
+            .filter(col("p_date").isin(todo: _*))
+            .select("series", "p_date", "cnt", "total", "vmin", "vmax")
+            .unionByName(partialTodo)
+        else partialTodo
+      merged0
+        .groupBy(col("series"), col("p_date"))
+        .agg(sum(col("cnt")).as("cnt"), sum(col("total")).as("total"),
+          min(col("vmin")).as("vmin"), max(col("vmax")).as("vmax"))
+        .withColumn("last_batch", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("p_date")
+        .parquet(rollupDir)
+      true
+    } finally partial.unpersist()
   }
 
   /** Maintain the rollup from a streaming points DataFrame

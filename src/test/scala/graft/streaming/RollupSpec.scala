@@ -50,14 +50,74 @@ class RollupSpec extends SparkSpec {
       col("p_date") === lit("2024-01-01").cast("date"))
       .head().getAs[Long]("cnt") == 3)
 
-    // rollup answers match a raw aggregation of everything ingested
+    // rollup answers match a raw aggregation of everything ingested —
+    // BOTH directions (one-sided exceptAll would miss dropped rows)
     val raw = b0.unionByName(b1)
       .withColumn("p_date", to_date(col("ts")))
       .groupBy("series", "p_date")
       .agg(count(lit(1)).as("cnt"), sum("value").as("total"))
-    val diff = r2.select("series", "p_date", "cnt", "total")
-      .exceptAll(raw.select("series", "p_date", "cnt", "total"))
-    assert(diff.isEmpty)
+    val left = r2.select("series", "p_date", "cnt", "total")
+    val right = raw.select("series", "p_date", "cnt", "total")
+    assert(left.exceptAll(right).isEmpty && right.exceptAll(left).isEmpty)
+  }
+
+  test("null ts and null value rows are excluded from the merge") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("rollup_nulls").toString + "/table"
+    val b = Seq(
+      ("cpu", ts("2024-01-01 10:00:00"), Some(2.0)),
+      ("cpu", ts("2024-01-01 11:00:00"), None), // null value
+      ("cpu", null.asInstanceOf[Timestamp], Some(9.0)) // null ts
+    ).toDF("series", "ts", "value")
+    assert(Rollup.mergeBatch(spark, b, 0L, dir))
+    val r = spark.read.parquet(dir).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("cnt") == 1 && r.head.getAs[Double]("total") == 2.0)
+    // an all-null batch merges nothing
+    val bNull = Seq[(String, Timestamp, Option[Double])](
+      ("cpu", ts("2024-01-01 12:00:00"), None))
+      .toDF("series", "ts", "value")
+    assert(!Rollup.mergeBatch(spark, bNull, 1L, dir))
+  }
+
+  test("partial-commit replay merges ONLY the partitions that missed") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("rollup_partial").toString + "/table"
+    // batch 0 establishes days A and B
+    val b0 = Seq(("cpu", ts("2024-01-01 10:00:00"), 1.0),
+      ("cpu", ts("2024-01-02 10:00:00"), 2.0)).toDF("series", "ts", "value")
+    assert(Rollup.mergeBatch(spark, b0, 0L, dir))
+    // simulate batch 1's commit landing on day A only (crash before B):
+    // merge a day-A-only slice of batch 1 under id 1
+    val b1A = Seq(("cpu", ts("2024-01-01 11:00:00"), 10.0))
+      .toDF("series", "ts", "value")
+    assert(Rollup.mergeBatch(spark, b1A, 1L, dir))
+    // replay of the FULL batch 1 (days A and B): A already carries id 1
+    // and must stay untouched; B must merge now
+    val b1Full = Seq(("cpu", ts("2024-01-01 11:00:00"), 10.0),
+      ("cpu", ts("2024-01-02 11:00:00"), 20.0)).toDF("series", "ts", "value")
+    assert(Rollup.mergeBatch(spark, b1Full, 1L, dir))
+    val r = spark.read.parquet(dir)
+    val dayA = r.filter(col("p_date") === lit("2024-01-01").cast("date")).head()
+    assert(dayA.getAs[Long]("cnt") == 2 && dayA.getAs[Double]("total") == 11.0,
+      "day A double-merged on replay")
+    val dayB = r.filter(col("p_date") === lit("2024-01-02").cast("date")).head()
+    assert(dayB.getAs[Long]("cnt") == 2 && dayB.getAs[Double]("total") == 22.0,
+      "day B lost on replay")
+    // full replay once more: everything already merged → no-op
+    assert(!Rollup.mergeBatch(spark, b1Full, 1L, dir))
+  }
+
+  test("a checkpoint reset against an existing table is refused loudly") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("rollup_reset").toString + "/table"
+    val b = Seq(("cpu", ts("2024-01-01 10:00:00"), 1.0))
+      .toDF("series", "ts", "value")
+    assert(Rollup.mergeBatch(spark, b, 5L, dir))
+    val e = intercept[IllegalStateException] {
+      Rollup.mergeBatch(spark, b, 0L, dir) // ids restarted below stored 5
+    }
+    assert(e.getMessage.contains("checkpoint was reset"))
   }
 
   test("rollup table serves the Grafana daily read path") {
