@@ -339,7 +339,7 @@ object Extensions {
       val bloom = train
         .agg(call_function(graft.functions.VectorExpressions.bloomAggFnName,
           col("g"), lit(1000000L), lit(8388608L)).as("b"))
-        .head.getAs[Array[Byte]](0)
+        .head().getAs[Array[Byte]](0)
       val evalG = docs.filter(col("doc_id") % 2 === 1)
         .select(col("doc_id"), explode(expr("char_ngrams(text, 8)")).as("g"))
         .distinct()

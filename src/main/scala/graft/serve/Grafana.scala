@@ -56,7 +56,7 @@ object Grafana {
       (t, rows)
     }
     val ts = parts.filter(_._1.targetType != "table").map { case (t, rows) =>
-      targetJson(t.target, rows.map(r => (r.getDouble(0), r.getLong(1))))
+      targetJson(t.target, rows.toIndexedSeq.map(r => (r.getDouble(0), r.getLong(1))))
     }
     val tableTargets = parts.filter(_._1.targetType == "table")
     val table = if (tableTargets.isEmpty) Seq.empty else {
@@ -98,7 +98,7 @@ object Grafana {
         .select((col("bucket") * bucketMs + fromMs).as("t_ms"), col("v"))
         .orderBy(col("t_ms"))
         .collect()
-      targetJson(t.target, rows.map(r => (r.getDouble(1), r.getLong(0))))
+      targetJson(t.target, rows.toIndexedSeq.map(r => (r.getDouble(1), r.getLong(0))))
     }
     parts.mkString("[", ",", "]")
   }
@@ -125,7 +125,7 @@ object Grafana {
         .orderBy(col("t_ms"))
         .limit(req.maxDataPoints)
         .collect()
-      targetJson(t.target, rows.map(r => (r.getDouble(0), r.getLong(1))))
+      targetJson(t.target, rows.toIndexedSeq.map(r => (r.getDouble(0), r.getLong(1))))
     }
     parts.mkString("[", ",", "]")
   }
