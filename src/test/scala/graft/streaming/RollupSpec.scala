@@ -140,6 +140,26 @@ class RollupSpec extends SparkSpec {
     assert(json.contains("[3,") && json.contains("[9,"))
   }
 
+  test("rollup partitions expire through the shared Retention machinery") {
+    import spark.implicits._
+    // the rollup shares the p_date= layout, and day-granular rows mean a
+    // MIDNIGHT cutoff never triggers the ts edge-rewrite branch — whole
+    // lifecycle (maintain + expire) composes from existing pieces
+    val dir = Files.createTempDirectory("rollup_exp").toString + "/table"
+    val b = Seq(
+      ("cpu", ts("2024-01-01 10:00:00"), 1.0),
+      ("cpu", ts("2024-01-02 10:00:00"), 2.0),
+      ("cpu", ts("2024-01-03 10:00:00"), 3.0)
+    ).toDF("series", "ts", "value")
+    assert(Rollup.mergeBatch(spark, b, 0L, dir))
+    val (dropped, rewritten) =
+      Retention.enforce(spark, dir, ts("2024-01-02 00:00:00"))
+    assert(dropped == 1 && rewritten == 0)
+    val r = spark.read.parquet(dir)
+    assert(r.count() == 2)
+    assert(r.agg(min("p_date")).head.getDate(0).toString == "2024-01-02")
+  }
+
   test("streaming wiring maintains the table across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
