@@ -1,0 +1,39 @@
+#!/bin/bash
+# The end-of-round verification stack as ONE command (VERDICT r4 #3: a
+# round must never ship unverified again). Runs compile, the full spec
+# suite, Verify + DuckDB oracle compare at all three scales, and the
+# full bench sweep. Exits non-zero on the FIRST failure.
+#
+#   tools/verify_all.sh [--quick]     # --quick: sf0.001 oracle only, no bench
+#
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== compile =="
+sbt -batch compile 2>&1 | tail -1 | grep -q '\[success\]'
+
+echo "== test suite =="
+sbt -batch test 2>&1 | tail -5 | grep -q 'All tests passed'
+echo "all tests passed"
+
+SCALES="0.001 0.01 0.1"
+[ "${1:-}" = "--quick" ] && SCALES="0.001"
+for s in $SCALES; do
+  echo "== verify sf$s =="
+  out="/tmp/verify_all_sf$s"
+  SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-16} \
+    sbt -batch "runMain graft.Verify /root/testdata/sf$s $out" \
+    > "/tmp/verify_all_sf$s.log" 2>&1
+  result=$(python3 tools/check_oracle.py "/root/testdata/sf$s" "$out" | tail -1)
+  echo "sf$s: $result"
+  echo "$result" | grep -q ' 0 fail'
+done
+
+if [ "${1:-}" != "--quick" ]; then
+  echo "== bench sf0.1 =="
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
+    sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"' | tail -1 \
+    | tee /tmp/verify_all_bench.json | grep -q '"n_failed":0'
+fi
+
+echo "== ALL GREEN =="
