@@ -256,6 +256,102 @@ object HammingPairs {
   }
 }
 
+/** Fused MinHash pair estimator: `minhash_pairs(entries)` over a SORTED
+  * `array<struct<doc_id:bigint, sig:array<string>>>` (16-slot MinHash
+  * signature per doc) → `array<struct<a:bigint, b:bigint, agree:int>>`
+  * of ALL a<b pairs with agree = the number of equal signature slots —
+  * the numerator of the unbiased MinHash Jaccard estimator (agree/K).
+  *
+  * WHY fused (q79): the estimator's only inputs are the signatures that
+  * were ALREADY shuffled to build the band buckets. Computing it after a
+  * pair-candidate shuffle (array_pairs → groupBy → join signatures on
+  * doc_a → join again on doc_b) re-exchanges the signature table twice
+  * for data the bucket row already held. Carrying the signature INTO the
+  * bucket struct (exactly as q78 carries the SimHash) and counting slot
+  * agreement inside the pair expansion leaves NO join after the bucket
+  * groupBy — the q78 move applied to MinHash. Unlike hamming_pairs there
+  * is no threshold: q79's contract is the estimate for every candidate
+  * pair, so all pairs emit (LSH buckets are near-dup clusters — small by
+  * construction; the quadratic guard still fails actionably).
+  */
+case class MinHashAgreePairs(child: Expression)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StructType(Array(a, b)), _)
+      if a.dataType == LongType && (b.dataType match {
+        case ArrayType(StringType, _) => true
+        case _ => false
+      }) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<struct<bigint,array<string>>>, got $t")
+  }
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("a", LongType, nullable = false),
+      StructField("b", LongType, nullable = false),
+      StructField("agree", IntegerType, nullable = false))), containsNull = false)
+  override def prettyName: String = "minhash_pairs"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashAgreePairs.pairs(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashAgreePairs.pairs($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashAgreePairs =
+    copy(child = newChild)
+}
+
+object MinHashAgreePairs {
+  def pairs(xs: ArrayData): ArrayData = {
+    val k = xs.numElements()
+    // same Long-arithmetic overflow guard as array_pairs: a pathological
+    // bucket must fail with the actionable message, not a negative size
+    val np = k.toLong * (k - 1) / 2
+    if (np > Int.MaxValue - 8) throw new IllegalArgumentException(
+      s"minhash_pairs: bucket of $k elements expands to $np pairs — too " +
+        "large for pair expansion; cap bucket size upstream")
+    // decode ids + slot digests ONCE per doc, not per pair
+    val ids = new Array[Long](k)
+    val sigs = new Array[Array[Array[Byte]]](k)
+    var i = 0
+    while (i < k) {
+      val row = xs.getStruct(i, 2)
+      ids(i) = row.getLong(0)
+      val arr = row.getArray(1)
+      val n = arr.numElements()
+      val slots = new Array[Array[Byte]](n)
+      var p = 0
+      while (p < n) { slots(p) = arr.getUTF8String(p).getBytes; p += 1 }
+      sigs(i) = slots
+      i += 1
+    }
+    val out = new Array[Any](np.toInt)
+    var idx = 0
+    i = 0
+    while (i < k) {
+      val sa = sigs(i)
+      var j = i + 1
+      while (j < k) {
+        val sb = sigs(j)
+        val n = math.min(sa.length, sb.length)
+        var agree = 0
+        var p = 0
+        while (p < n) {
+          if (java.util.Arrays.equals(sa(p), sb(p))) agree += 1
+          p += 1
+        }
+        out(idx) = org.apache.spark.sql.catalyst.InternalRow(ids(i), ids(j), agree)
+        idx += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Per-thread MD5 instance — getInstance is a JCA provider lookup +
   * allocation; hot expressions hash once per gram, so the lookup must
   * not be per-call. digest() resets the instance, making reuse safe.

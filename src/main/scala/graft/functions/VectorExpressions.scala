@@ -97,6 +97,7 @@ object VectorExpressions {
   val bloomAggFnName = "bloom_agg64"
   val bloomContainsFnName = "bloom_contains64"
   val hammingPairsFnName = "hamming_pairs"
+  val minhashPairsFnName = "minhash_pairs"
 
   private[functions] def bloomAggBuilder(children: Seq[Expression]): Expression = {
     require(children.length == 3, s"$bloomAggFnName expects 3 arguments")
@@ -111,6 +112,10 @@ object VectorExpressions {
   private[functions] def hammingPairsBuilder(children: Seq[Expression]): Expression = {
     require(children.length == 2, s"$hammingPairsFnName expects 2 arguments")
     HammingPairs(children.head, children(1))
+  }
+  private[functions] def minhashPairsBuilder(children: Seq[Expression]): Expression = {
+    require(children.length == 1, s"$minhashPairsFnName expects 1 argument")
+    MinHashAgreePairs(children.head)
   }
 
   /** Idempotent runtime registration of ALL graft native expressions
@@ -172,6 +177,10 @@ object VectorExpressions {
       reg.registerFunction(FunctionIdentifier(hammingPairsFnName),
         new ExpressionInfo(classOf[HammingPairs].getName, hammingPairsFnName),
         hammingPairsBuilder _)
+    if (!reg.functionExists(FunctionIdentifier(minhashPairsFnName)))
+      reg.registerFunction(FunctionIdentifier(minhashPairsFnName),
+        new ExpressionInfo(classOf[MinHashAgreePairs].getName, minhashPairsFnName),
+        minhashPairsBuilder _)
     if (!reg.functionExists(FunctionIdentifier(bloomAggFnName)))
       reg.registerFunction(FunctionIdentifier(bloomAggFnName),
         new ExpressionInfo(
@@ -224,6 +233,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HammingPairs].getName,
         VectorExpressions.hammingPairsFnName),
       exprs => VectorExpressions.hammingPairsBuilder(exprs)))
+    ext.injectFunction((FunctionIdentifier(VectorExpressions.minhashPairsFnName),
+      new ExpressionInfo(classOf[MinHashAgreePairs].getName,
+        VectorExpressions.minhashPairsFnName),
+      exprs => VectorExpressions.minhashPairsBuilder(exprs)))
     ext.injectFunction((FunctionIdentifier(VectorExpressions.bloomAggFnName),
       new ExpressionInfo(
         "org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate",

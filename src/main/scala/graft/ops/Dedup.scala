@@ -120,35 +120,34 @@ object Dedup {
     // exact q81-style verify: est_jac = fraction of agreeing signature
     // slots, the unbiased MinHash estimator of set Jaccard. At 100 TB the
     // exact verify re-reads the documents; this estimator needs only the
-    // 16-slot signatures already shuffled for banding, so the candidate →
-    // keep/drop decision costs one 16-element compare per pair. /16.0 is
-    // a power-of-two division — binary-exact in both engines, no
-    // rounding rule needed.
+    // 16-slot signatures already shuffled for banding — so the signature
+    // rides INTO the band bucket (q78's move, struct(doc_id, sig)) and
+    // the fused minhash_pairs expression counts slot agreement during
+    // pair expansion: NO join happens after the bucket groupBy (the
+    // earlier form joined the signature table back onto the candidates
+    // twice — two avoidable exchanges of data the bucket already held).
+    // agree is pair-determined (a function of the two signatures alone),
+    // so max() over a pair's band collisions is exact, not a tiebreak.
+    // /16.0 is a power-of-two division — binary-exact in both engines,
+    // no rounding rule needed.
     "q79_minhash_jaccard_est" -> ((s, dir) => {
-      // signature feeds banding AND both sides of the estimate join —
-      // persisted diamond (callers own cleanup per SparkEntry.queries)
       val sig = shingles(s, dir).groupBy(col("doc_id"))
         .agg(expr("minhash_agg(sh)").as("sig"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val bands = sig.select(col("doc_id"), explode(array(
+      val bands = sig.select(explode(array(
         (0 until BANDS).map { b =>
           struct(lit(b).as("band"),
             md5(concat_ws("|",
-              (0 until 4).map(r => element_at(col("sig"), b * 4 + r + 1)): _*)).as("bh"))
-        }: _*)).as("e"))
-        .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
-      val cand = bands.groupBy(col("band"), col("bh"))
-        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-        .select(explode(expr("array_pairs(ds)")).as("p"))
+              (0 until 4).map(r => element_at(col("sig"), b * 4 + r + 1)): _*)).as("bh"),
+            struct(col("doc_id"), col("sig")).as("e"))
+        }: _*)).as("x"))
+        .select(col("x.band").as("band"), col("x.bh").as("bh"), col("x.e").as("e"))
+      bands.groupBy(col("band"), col("bh"))
+        .agg(sort_array(collect_list(col("e"))).as("ds"))
+        .select(explode(expr("minhash_pairs(ds)")).as("p"))
         .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-        .agg(count(lit(1)).as("shared_bands"))
-      cand.join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .agg(count(lit(1)).as("shared_bands"), max(col("p.agree")).as("ag"))
         .select(col("doc_a"), col("doc_b"), col("shared_bands"),
-          (expr(
-            """aggregate(zip_with(sa.sig, sb.sig, (x, y) -> IF(x = y, 1, 0)),
-              |          0, (acc, v) -> acc + v)""".stripMargin)
-            .cast("double") / 16.0d).as("est_jac"))
+          (col("ag").cast("double") / 16.0d).as("est_jac"))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 

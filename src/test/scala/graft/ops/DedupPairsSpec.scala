@@ -111,6 +111,85 @@ class DedupPairsSpec extends SparkSpec {
     assert(got == expected && expected.nonEmpty)
   }
 
+  test("minhash_pairs agree counts equal scala brute force on seeded signatures") {
+    import spark.implicits._
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    val rnd = new scala.util.Random(11)
+    // 4-symbol slot alphabet → slot agreement ~1/4: exercises every
+    // agree value without degenerate all-equal/all-distinct inputs
+    val docs = (1L to 40L).map(id =>
+      (id, (1 to 16).map(_ => md5Hex("s" + rnd.nextInt(4)))))
+    val expected = (for {
+      (a, sa) <- docs; (b, sb) <- docs if a < b
+    } yield (a, b, sa.zip(sb).count { case (x, y) => x == y })).toSet
+    val got = Seq(docs.map { case (id, sig) => (id, sig) }).toDF("ds")
+      .select(explode(expr("minhash_pairs(ds)")).as("p"))
+      .select("p.a", "p.b", "p.agree")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == expected && expected.nonEmpty)
+  }
+
+  test("q79 fused estimator == signature-join formulation, and its plan is join-free") {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    val dir = sf()
+    val fused = graft.SparkEntry.queries("q79_minhash_jaccard_est")(spark, dir)
+    // the whole point of the fusion: NO join survives after the bucket
+    // groupBy — in fact no join exists anywhere in the plan
+    val joins = fused.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.isEmpty, s"q79 plan still contains ${joins.size} join(s)")
+
+    // reference formulation: candidates re-joined to the signature table
+    // on both sides (the pre-fusion shape), estimator via zip_with
+    val sig = graft.model.Tables(spark, dir, "documents")
+      .filter(col("text") =!= "")
+      .select(col("doc_id"), explode(expr("text_shingles(text)")).as("sh"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(expr("minhash_agg(sh)").as("sig"))
+      .persist()
+    val bands = sig.select(col("doc_id"), explode(array(
+      (0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          md5(concat_ws("|",
+            (0 until 4).map(r => element_at(col("sig"), b * 4 + r + 1)): _*)).as("bh"))
+      }: _*)).as("e"))
+      .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+    val cand = bands.groupBy(col("band"), col("bh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .select(explode(expr("array_pairs(ds)")).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .agg(count(lit(1)).as("shared_bands"))
+    val joined = cand.join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("shared_bands"),
+        (expr("""aggregate(zip_with(sa.sig, sb.sig, (x, y) -> IF(x = y, 1, 0)),
+                |          0, (acc, v) -> acc + v)""".stripMargin)
+          .cast("double") / 16.0d).as("est_jac"))
+    val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaDouble)
+    val a = fused.select("doc_a", "doc_b", "shared_bands", "est_jac").as[(Long, Long, Long, Double)](enc).collect().toSet
+    val b = joined.as[(Long, Long, Long, Double)](enc).collect().toSet
+    sig.unpersist()
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("minhash_pairs fails actionably past the pair-expansion cap") {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    import spark.implicits._
+    val e = intercept[Throwable] {
+      Seq(1).toDF("x").select(expr(
+        """minhash_pairs(transform(sequence(1, 70000),
+          |  i -> named_struct('doc_id', CAST(i AS BIGINT),
+          |                    'sig', array('aa'))))""".stripMargin))
+        .collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: chain(x.getCause))
+    assert(chain(e).exists(m => m != null && m.contains("cap bucket size upstream")))
+  }
+
   test("hamming_pairs fails actionably past the bucket-size cap") {
     graft.functions.VectorExpressions.ensureRegistered(spark)
     import spark.implicits._
