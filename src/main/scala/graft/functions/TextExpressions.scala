@@ -392,18 +392,19 @@ private[functions] object Utf8CodePoints {
     * where both engines see the same bytes.
     */
   def offsets(b: Array[Byte]): Array[Int] = {
+    // ONE scan of the bytes (this sits on the per-row path of every gram
+    // expression): fill a worst-case-sized array, trim only if multi-byte
+    // sequences made it short. ASCII-only text — the common case — takes
+    // the no-copy exit; the trim itself is an int memcpy, not a re-scan.
+    val tmp = new Array[Int](b.length + 1)
     var n = 0
     var i = 0
-    while (i < b.length) { if ((b(i) & 0xc0) != 0x80) n += 1; i += 1 }
-    val offs = new Array[Int](n + 1)
-    var ci = 0
-    i = 0
     while (i < b.length) {
-      if ((b(i) & 0xc0) != 0x80) { offs(ci) = i; ci += 1 }
+      if ((b(i) & 0xc0) != 0x80) { tmp(n) = i; n += 1 }
       i += 1
     }
-    offs(n) = b.length
-    offs
+    tmp(n) = b.length
+    if (n == b.length) tmp else java.util.Arrays.copyOf(tmp, n + 1)
   }
 }
 

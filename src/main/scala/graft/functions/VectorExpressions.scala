@@ -98,6 +98,7 @@ object VectorExpressions {
   val bloomContainsFnName = "bloom_contains64"
   val hammingPairsFnName = "hamming_pairs"
   val minhashPairsFnName = "minhash_pairs"
+  val topkMinFnName = "topk_min_agg"
 
   private[functions] def bloomAggBuilder(children: Seq[Expression]): Expression = {
     require(children.length == 3, s"$bloomAggFnName expects 3 arguments")
@@ -116,6 +117,10 @@ object VectorExpressions {
   private[functions] def minhashPairsBuilder(children: Seq[Expression]): Expression = {
     require(children.length == 1, s"$minhashPairsFnName expects 1 argument")
     MinHashAgreePairs(children.head)
+  }
+  private[functions] def topkMinBuilder(children: Seq[Expression]): Expression = {
+    require(children.length == 3, s"$topkMinFnName expects 3 arguments")
+    TopKMinAgg(children.head, children(1), children(2)).toAggregateExpression()
   }
 
   /** Idempotent runtime registration of ALL graft native expressions
@@ -181,6 +186,10 @@ object VectorExpressions {
       reg.registerFunction(FunctionIdentifier(minhashPairsFnName),
         new ExpressionInfo(classOf[MinHashAgreePairs].getName, minhashPairsFnName),
         minhashPairsBuilder _)
+    if (!reg.functionExists(FunctionIdentifier(topkMinFnName)))
+      reg.registerFunction(FunctionIdentifier(topkMinFnName),
+        new ExpressionInfo(classOf[TopKMinAgg].getName, topkMinFnName),
+        topkMinBuilder _)
     if (!reg.functionExists(FunctionIdentifier(bloomAggFnName)))
       reg.registerFunction(FunctionIdentifier(bloomAggFnName),
         new ExpressionInfo(
@@ -237,6 +246,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashAgreePairs].getName,
         VectorExpressions.minhashPairsFnName),
       exprs => VectorExpressions.minhashPairsBuilder(exprs)))
+    ext.injectFunction((FunctionIdentifier(VectorExpressions.topkMinFnName),
+      new ExpressionInfo(classOf[TopKMinAgg].getName,
+        VectorExpressions.topkMinFnName),
+      exprs => VectorExpressions.topkMinBuilder(exprs)))
     ext.injectFunction((FunctionIdentifier(VectorExpressions.bloomAggFnName),
       new ExpressionInfo(
         "org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate",

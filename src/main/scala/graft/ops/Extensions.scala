@@ -286,19 +286,24 @@ object Extensions {
     // Deterministic stratified sampling — top-20 docs per language under
     // a content-independent md5 order: the reproducible-training-mix
     // sampler (same sample on any cluster, any partitioning, any day).
-    // Scale note: at 100 TB a per-lang window sort is unnecessary — the
-    // md5 order is uniform, so pre-filter rows whose hash prefix exceeds
-    // ~k/N_lang (a generous bound), then rank only the survivors; same
-    // result, no full per-group sort.
+    // Scale shape: NOT a per-lang window (row_number sorts each
+    // language's full membership to keep 20 rows — at 100 TB that sorts
+    // the whole corpus for a sample). topk_min_agg is a bounded
+    // TypedImperativeAggregate: map-side partials hold ≤ 20 (rk, doc_id)
+    // entries per language per task, the shuffle carries those partials
+    // only, and merge is an ordered union trimmed to 20 — identical rows
+    // to the window form ((rk, doc_id) is a total order), corpus never
+    // sorted. posexplode of the ascending array reproduces rn.
     "q98_stratified_sample" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("lang").orderBy(col("rk"), col("doc_id"))
+      graft.functions.VectorExpressions.ensureRegistered(s)
       Tables(s, dir, "documents")
         .withColumn("rk",
           md5(concat(col("doc_id").cast("string"), lit("|"), col("lang"))))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= 20)
-        .select(col("lang"), col("doc_id"), col("rn"))
+        .groupBy(col("lang"))
+        .agg(expr("topk_min_agg(rk, doc_id, 20)").as("top"))
+        .select(col("lang"), posexplode(col("top")))
+        .select(col("lang"), col("col.id").as("doc_id"),
+          (col("pos") + 1).cast("long").as("rn"))
         .orderBy(col("lang"), col("rn"))
     }),
 

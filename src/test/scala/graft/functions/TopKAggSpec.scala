@@ -1,0 +1,79 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** topk_min_agg claims: identical rows to the row_number-window top-k
+  * under the (rk, id) total order, with a buffer that never exceeds k —
+  * so the q98 rewrite is a pure plan change, not a semantics change.
+  */
+class TopKAggSpec extends SparkSpec {
+
+  private val enc = org.apache.spark.sql.Encoders.tuple(
+    org.apache.spark.sql.Encoders.STRING,
+    org.apache.spark.sql.Encoders.scalaLong,
+    org.apache.spark.sql.Encoders.scalaLong)
+
+  test("q98 aggregate form == window form on the corpus, plan has no Window") {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    val dir = sf()
+    val agg = graft.SparkEntry.queries("q98_stratified_sample")(spark, dir)
+    val windows = agg.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty, "q98 must not sort full groups in a window")
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("rk"), col("doc_id"))
+    val windowed = graft.model.Tables(spark, dir, "documents")
+      .withColumn("rk",
+        md5(concat(col("doc_id").cast("string"), lit("|"), col("lang"))))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 20)
+      .select(col("lang"), col("doc_id"), col("rn"))
+    assert(agg.as[(String, Long, Long)](enc).collect().toSet ==
+      windowed.as[(String, Long, Long)](enc).collect().toSet)
+    assert(agg.count() > 0)
+  }
+
+  test("topk_min_agg equals scala per-group sort-take under shuffled partitions (property)") {
+    import spark.implicits._
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    val rnd = new scala.util.Random(13)
+    // groups of size 0<n<40 around k=5: exercises under-full buffers,
+    // exact-k, overflow, and cross-partition merge in one dataset
+    val rows = (1 to 8).flatMap { g =>
+      (1 to rnd.nextInt(40) + 1).map(i =>
+        (s"g$g", f"${rnd.nextInt(1000)}%04d", rnd.nextLong().abs % 100000))
+    }
+    val expected = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      rs.map(r => (r._2, r._3)).distinct.sorted.take(5)
+        .zipWithIndex.map { case ((rk, id), i) => (g, rk, id, i + 1L) }
+    }.toSet
+    val got = rows.toDF("g", "rk", "id").repartition(7)
+      .groupBy("g").agg(expr("topk_min_agg(rk, id, 5)").as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), col("col.rk"), col("col.id"), (col("pos") + 1).cast("long"))
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("topk_min_agg survives partial-buffer serialization round trips") {
+    import spark.implicits._
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    // many partitions of one group force serialize/deserialize/merge of
+    // partial buffers through the exchange
+    val got = (1L to 500L).map(i => ("g", f"${(i * 37) % 500}%03d", i))
+      .toDF("g", "rk", "id").repartition(16)
+      .groupBy("g").agg(expr("topk_min_agg(rk, id, 3)").as("top"))
+      .select(explode(col("top")).as("e"))
+      .select("e.rk", "e.id")
+      .as[(String, Long)](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong))
+      .collect().toSeq
+    val expected = (1L to 500L).map(i => (f"${(i * 37) % 500}%03d", i))
+      .sorted.take(3)
+    assert(got == expected)
+  }
+}
