@@ -99,6 +99,7 @@ object VectorExpressions {
   val hammingPairsFnName = "hamming_pairs"
   val minhashPairsFnName = "minhash_pairs"
   val topkMinFnName = "topk_min_agg"
+  val cmsEstimateFnName = "cms_estimate"
 
   private[functions] def bloomAggBuilder(children: Seq[Expression]): Expression = {
     require(children.length == 3, s"$bloomAggFnName expects 3 arguments")
@@ -121,6 +122,10 @@ object VectorExpressions {
   private[functions] def topkMinBuilder(children: Seq[Expression]): Expression = {
     require(children.length == 3, s"$topkMinFnName expects 3 arguments")
     TopKMinAgg(children.head, children(1), children(2)).toAggregateExpression()
+  }
+  private[functions] def cmsEstimateBuilder(children: Seq[Expression]): Expression = {
+    require(children.length == 2, s"$cmsEstimateFnName expects 2 arguments")
+    CmsEstimate(children.head, children(1))
   }
 
   /** Idempotent runtime registration of ALL graft native expressions
@@ -190,6 +195,10 @@ object VectorExpressions {
       reg.registerFunction(FunctionIdentifier(topkMinFnName),
         new ExpressionInfo(classOf[TopKMinAgg].getName, topkMinFnName),
         topkMinBuilder _)
+    if (!reg.functionExists(FunctionIdentifier(cmsEstimateFnName)))
+      reg.registerFunction(FunctionIdentifier(cmsEstimateFnName),
+        new ExpressionInfo(classOf[CmsEstimate].getName, cmsEstimateFnName),
+        cmsEstimateBuilder _)
     if (!reg.functionExists(FunctionIdentifier(bloomAggFnName)))
       reg.registerFunction(FunctionIdentifier(bloomAggFnName),
         new ExpressionInfo(
@@ -250,6 +259,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TopKMinAgg].getName,
         VectorExpressions.topkMinFnName),
       exprs => VectorExpressions.topkMinBuilder(exprs)))
+    ext.injectFunction((FunctionIdentifier(VectorExpressions.cmsEstimateFnName),
+      new ExpressionInfo(classOf[CmsEstimate].getName,
+        VectorExpressions.cmsEstimateFnName),
+      exprs => VectorExpressions.cmsEstimateBuilder(exprs)))
     ext.injectFunction((FunctionIdentifier(VectorExpressions.bloomAggFnName),
       new ExpressionInfo(
         "org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate",

@@ -69,6 +69,56 @@ object Extensions {
       .filter(col("df") <= maxDf)
       .select(gram)
     val kept = sh.join(keep, Seq(gram), "left_semi")
+    jaccardFromKept(kept, gram, minJac)
+  }
+
+  /** The CM-sketch form of [[capJaccardPairs]]' stop-gram cap — the
+    * 100 TB path the exact variant's scale note promises: instead of an
+    * exact groupBy of EVERY distinct gram (a gram-domain-sized aggregate
+    * plus a semi-join exchange back onto the gram set), the document
+    * frequencies come from one Count-Min pass (KB-sized mergeable
+    * sketch, narrow shuffle of sketch partials only) collected
+    * driver-side like a broadcast dim, and the cap filter runs MAP-SIDE
+    * via `cms_estimate(sketch, g) <= maxDf`.
+    *
+    * Semantics trade (one-sided by the CM bound, property-tested in
+    * CapSketchSpec): estimates never undercount, so NO truly-hot gram
+    * survives the cap — the pair-expansion bound (≤ maxDf(maxDf-1)/2
+    * per gram) holds exactly as in the exact path. Grams whose true df
+    * is ≤ maxDf but whose estimate exceeds it (≤ eps·N of mass, with
+    * probability ≥ confidence) are over-dropped: the kept-gram set is a
+    * SUBSET of the exact path's, costing a sliver of recall, never a
+    * blow-up. Declared q81/q95 stay on the exact path (oracle-matched);
+    * this is the library path for corpora where the gram domain itself
+    * is the bottleneck.
+    */
+  private[graft] def capJaccardPairsSketch(
+      grams: DataFrame, gram: String, maxDf: Int, minJac: Double,
+      eps: Double = 1e-4, confidence: Double = 0.999,
+      seed: Int = 42): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(grams.sparkSession)
+    // the distinct (doc, gram) set feeds the sketch build AND the capped
+    // tail — persisted diamond (callers own cleanup, the usual contract)
+    val sh = grams.distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cms = Sketches.gramFrequencySketch(sh, gram, eps, confidence, seed)
+    val bos = new java.io.ByteArrayOutputStream()
+    cms.writeTo(bos)
+    val kept = sh.filter(call_function(
+      graft.functions.VectorExpressions.cmsEstimateFnName,
+      lit(bos.toByteArray), col(gram)) <= maxDf)
+    jaccardFromKept(kept, gram, minJac)
+  }
+
+  /** Shared tail of the capped-Jaccard variants: per-doc kept-gram
+    * counts, bounded pair expansion, Jaccard threshold. `kept` feeds two
+    * consumers (sizes + pair-gen) — persisted here so both paths get the
+    * diamond treatment; callers own cache cleanup (see the contract note
+    * on [[graft.SparkEntry.queries]]).
+    */
+  private def jaccardFromKept(kept0: DataFrame, gram: String,
+                              minJac: Double): DataFrame = {
+    val kept = kept0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sz = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = kept.groupBy(gram)

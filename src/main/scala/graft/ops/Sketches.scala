@@ -53,17 +53,31 @@ object Sketches {
     * constants: width = ceil(2/eps) and depth = ceil(ln(1−confidence) /
     * ln(0.5)) — size from eps/confidence, don't derive bounds from
     * width/depth via the e/width paper formulas. The 100 TB use is
-    * heavy-hitter discovery — e.g. the
-    * stop-gram caps in q81/q95 computed from a sketch pass instead of an
-    * exact groupBy of every gram. Returns the sketch; callers point-query
-    * term counts driver-side (the sketch is KB-sized — broadcast it, the
-    * corpus never reshuffles).
+    * heavy-hitter discovery — the stop-gram caps in q81/q95 computed
+    * from a sketch pass instead of an exact groupBy of every gram, WIRED
+    * as [[graft.ops.Extensions.capJaccardPairsSketch]] (which builds its
+    * sketch via [[gramFrequencySketch]] and cap-filters map-side through
+    * the `cms_estimate` expression). Returns the sketch; callers
+    * point-query term counts driver-side or embed the serialized sketch
+    * as a `cms_estimate` constant (the sketch is KB-sized — broadcast
+    * it, the corpus never reshuffles).
     */
   def wordFrequencySketch(s: SparkSession, dir: String,
                           eps: Double = 0.001, confidence: Double = 0.99,
                           seed: Int = 42): org.apache.spark.util.sketch.CountMinSketch =
-    Tables(s, dir, "documents")
-      .select(explode(split(col("text"), " ")).as("w"))
-      .filter(col("w") =!= "")
-      .stat.countMinSketch("w", eps, confidence, seed)
+    gramFrequencySketch(
+      Tables(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= ""),
+      "w", eps, confidence, seed)
+
+  /** [[wordFrequencySketch]] generalized to ANY gram/token DataFrame —
+    * the build half of the sketch-capped Jaccard path
+    * ([[graft.ops.Extensions.capJaccardPairsSketch]]). One pass over the
+    * rows, mergeable partials, narrow shuffle of sketch bytes.
+    */
+  def gramFrequencySketch(grams: DataFrame, column: String,
+                          eps: Double = 0.001, confidence: Double = 0.99,
+                          seed: Int = 42): org.apache.spark.util.sketch.CountMinSketch =
+    grams.stat.countMinSketch(column, eps, confidence, seed)
 }
