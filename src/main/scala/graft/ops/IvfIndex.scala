@@ -27,9 +27,25 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
+  /** Outcome of one incremental [[append]]: how the new batch fits the
+    * EXISTING quantizer. `meanAssignCosine` is the batch's mean exact
+    * cosine to its assigned centroids; `baselineMeanCosine` is the same
+    * statistic at build time (from the store's `_ivf_meta.json`).
+    * `retrainRecommended` fires when the batch sits more than
+    * `driftTolerance` below the baseline — cells no longer shaped like
+    * the data, so nprobe recall quietly degrades until a rebuild.
+    */
+  final case class AppendReport(appended: Long, meanAssignCosine: Double,
+                                baselineMeanCosine: Double,
+                                retrainRecommended: Boolean)
+
+  private val MetaFile = "_ivf_meta.json" // '_' prefix: invisible to parquet listing
+
   /** Train the coarse quantizer and write cell-partitioned inverted
     * lists. Returns the trained model (k centroid vectors live on the
-    * driver — broadcast-sized by construction).
+    * driver — broadcast-sized by construction). Also records the
+    * training-time mean assigned cosine in `<store>/_ivf_meta.json` —
+    * the drift baseline [[append]] compares against.
     */
   def build(emb: DataFrame, k: Int, store: String,
             trainFraction: Double = 1.0, seed: Long = 42L): KMeansModel = {
@@ -46,10 +62,86 @@ object IvfIndex {
       // degrading recall beyond the nprobe trade
       .setDistanceMeasure("cosine")
       .fit(trainSet)
-    model.transform(feat)
+    val assigned = model.transform(feat)
       .select(col("vec_id"), col("embedding"), col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(store)
+      .persist()
+    try {
+      assigned.write.mode("overwrite").partitionBy("cell").parquet(store)
+      writeMeta(assigned.sparkSession, store,
+        meanAssignedCosine(assigned, model))
+    } finally assigned.unpersist()
     model
+  }
+
+  /** Incremental maintenance: assign a new batch with the EXISTING model
+    * and append it into the cell partitions — no retrain, no rewrite of
+    * existing files (the 100 TB growth path: corpus grows daily, the
+    * quantizer retrains on drift, not on every arrival). The returned
+    * report carries the drift check; on `retrainRecommended`, [[build]]
+    * is the remedy (full re-layout — the cell assignment of OLD vectors
+    * changes with the centroids, so there is no cheaper re-shard).
+    */
+  def append(emb: DataFrame, model: KMeansModel, store: String,
+             driftTolerance: Double = 0.05): AppendReport = {
+    val spark = emb.sparkSession
+    val assigned = model.transform(
+        emb.withColumn("features", array_to_vector(col("embedding"))))
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .persist()
+    try {
+      val n = assigned.count()
+      val meanCos = meanAssignedCosine(assigned, model)
+      assigned.write.mode("append").partitionBy("cell").parquet(store)
+      val baseline = readMeta(spark, store)
+      AppendReport(n, meanCos, baseline,
+        retrainRecommended = meanCos < baseline - driftTolerance)
+    } finally assigned.unpersist()
+  }
+
+  /** Mean exact cosine between vectors and their assigned centroids —
+    * the cell-fit statistic behind the drift check. One broadcast join
+    * against the k centroids, one avg; never shuffles the vectors.
+    */
+  private[ops] def meanAssignedCosine(assigned: DataFrame,
+                                      model: KMeansModel): Double = {
+    val spark = assigned.sparkSession
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    import spark.implicits._
+    val cents = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (v, i) => (i, v.toArray.map(_.toFloat)) }
+      .toDF("cell", "c_emb")
+    assigned.join(broadcast(cents), Seq("cell"))
+      .agg(avg(expr("vec_cosine(embedding, c_emb)")))
+      .head().getDouble(0)
+  }
+
+  private def metaPath(store: String) =
+    new org.apache.hadoop.fs.Path(store, MetaFile)
+
+  private def writeMeta(spark: SparkSession, store: String,
+                        meanCos: Double): Unit = {
+    val p = metaPath(store)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(
+      s"""{"mean_assign_cosine": $meanCos}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private[ops] def readMeta(spark: SparkSession, store: String): Double = {
+    val p = metaPath(store)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) throw new IllegalStateException(
+      s"no $MetaFile under $store — the store was not written by " +
+        "IvfIndex.build (or the meta was deleted); rebuild to restore " +
+        "the drift baseline")
+    val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+    val in = fs.open(p)
+    try in.readFully(0, buf) finally in.close()
+    val json = new String(buf, "UTF-8")
+    // single-field file written by writeMeta — a trailing-number parse
+    // keeps this free of a JSON library dependency
+    json.split(":")(1).stripSuffix("}").trim.toDouble
   }
 
   /** Exact-cosine top-k search within the `nprobe` nearest cells of each

@@ -75,4 +75,41 @@ class IvfIndexSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(full.sorted == brute.sorted)
   }
+
+  test("append adds vectors into existing cells; search finds them; drift check fires on shifted data") {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    import spark.implicits._
+    val emb = graft.model.Tables(spark, sf(), "embeddings")
+    val n = emb.count()
+    val store = Files.createTempDirectory("ivf_append").toString
+    val model = IvfIndex.build(emb, k = 8, store)
+
+    // in-distribution batch: clones of existing vectors under fresh ids —
+    // same distribution by construction, so no retrain recommendation
+    val clones = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val rep = IvfIndex.append(clones, model, store)
+    assert(rep.appended == 10)
+    assert(spark.read.parquet(store).count() == n + 10)
+    assert(!rep.retrainRecommended,
+      s"clone batch flagged as drift: batch=${rep.meanAssignCosine} baseline=${rep.baselineMeanCosine}")
+
+    // a clone is its original's exact cosine-1 twin: probing with the
+    // original must surface the appended clone at rank 1
+    val probe = emb.filter(col("vec_id") === 3)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    val top = IvfIndex.search(spark, store, model, probe, nprobe = 2, topK = 1)
+      .select("vec_id").as[Long].collect()
+    assert(top.sameElements(Array(100003L)),
+      s"expected the appended clone at rank 1, got ${top.mkString(",")}")
+
+    // drifted batch: negated vectors — cos(-x, c) = -cos(x, c), so the
+    // best-cell cosine flips to -min over centroids: far below baseline
+    val negated = emb.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 200000L).as("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"))
+    val drifted = IvfIndex.append(negated, model, store)
+    assert(drifted.meanAssignCosine < drifted.baselineMeanCosine - 0.05)
+    assert(drifted.retrainRecommended)
+  }
 }
