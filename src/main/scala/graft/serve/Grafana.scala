@@ -1,6 +1,6 @@
 package graft.serve
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Grafana SimpleJSON/JSON-datasource protocol shaping — the read path of
@@ -58,14 +58,10 @@ object Grafana {
     val ts = parts.filter(_._1.targetType != "table").map { case (t, rows) =>
       targetJson(t.target, rows.toIndexedSeq.map(r => (r.getDouble(0), r.getLong(1))))
     }
-    val tableTargets = parts.filter(_._1.targetType == "table")
-    val table = if (tableTargets.isEmpty) Seq.empty else {
-      val rows = tableTargets.flatMap { case (t, rs) =>
-        rs.map(r => s"""[${jsStr(t.target)},${jsNum(r.getDouble(0))},${r.getLong(1)}]""")
-      }.mkString("[", ",", "]")
-      Seq(
-        s"""{"columns":[{"text":"Target","type":"string"},{"text":"Value","type":"number"},{"text":"Time","type":"time"}],"rows":$rows,"type":"table"}""")
-    }
+    val table = tableJson(parts.filter(_._1.targetType == "table")
+      .map { case (t, rs) =>
+        (t.target, rs.toIndexedSeq.map(r => (r.getDouble(0), r.getLong(1))))
+      })
     (ts ++ table).mkString("[", ",", "]")
   }
 
@@ -108,26 +104,54 @@ object Grafana {
     * maintained table instead of scanning raw points — the read path
     * whose cost is days × series regardless of raw corpus size (the
     * 100 TB dashboard answer). Datapoint time = day-start epoch-ms,
-    * value = day mean; same JSON shape as [[query]].
+    * value = day mean; BOTH reference response shapes (timeseries and
+    * table targets), same JSON layout as [[query]].
     */
-  def queryDaily(rollup: DataFrame, req: QueryRequest): String = {
-    val parts = req.targets.filter(_.targetType != "table").map { t =>
+  def queryDaily(rollup: DataFrame, req: QueryRequest): String =
+    queryRollup(rollup, req, "p_date",
+      iso => to_date(to_timestamp(lit(iso))),
+      c => unix_millis(c.cast("timestamp")))
+
+  /** [[queryDaily]] over the hour-granularity rollup table
+    * (`p_hour` timestamp partitions, [[graft.streaming.Rollup]]'s
+    * "hour" granularity): per-hour means, hour-start epoch-ms times.
+    * An hour bucket qualifies iff its start lies in the (inclusive)
+    * range — the same bucket-start convention as the day path.
+    */
+  def queryHourly(rollup: DataFrame, req: QueryRequest): String =
+    queryRollup(rollup, req, "p_hour",
+      iso => date_trunc("hour", to_timestamp(lit(iso))),
+      c => unix_millis(c))
+
+  /** Shared rollup read: filter the target's partitions in range (the
+    * partition column is the scan's pruning key), project mean + bucket
+    * start, assemble timeseries and table target shapes exactly like
+    * [[query]].
+    */
+  private def queryRollup(rollup: DataFrame, req: QueryRequest,
+                          partCol: String,
+                          bound: String => Column,
+                          toMs: Column => Column): String = {
+    val parts = req.targets.map { t =>
       val rows = rollup
         .filter(col("series") === t.target &&
-          col("p_date").between(
-            to_date(to_timestamp(lit(req.range.fromIso))),
-            to_date(to_timestamp(lit(req.range.toIso)))))
+          col(partCol).between(bound(req.range.fromIso), bound(req.range.toIso)))
         // Rollup filters null values at merge, but a foreign/hand-built
         // table may not — same getDouble-must-not-NPE guard as slice()
         .filter(col("cnt") > 0 && col("total").isNotNull)
         .select((col("total") / col("cnt")).as("v"),
-          unix_millis(col("p_date").cast("timestamp")).as("t_ms"))
+          toMs(col(partCol)).as("t_ms"))
         .orderBy(col("t_ms"))
         .limit(req.maxDataPoints)
         .collect()
-      targetJson(t.target, rows.toIndexedSeq.map(r => (r.getDouble(0), r.getLong(1))))
+      (t, rows.toIndexedSeq.map(r => (r.getDouble(0), r.getLong(1))))
     }
-    parts.mkString("[", ",", "]")
+    val ts = parts.filter(_._1.targetType != "table").map { case (t, dps) =>
+      targetJson(t.target, dps)
+    }
+    val table = tableJson(parts.filter(_._1.targetType == "table")
+      .map { case (t, dps) => (t.target, dps) })
+    (ts ++ table).mkString("[", ",", "]")
   }
 
   /** Shared timeseries-target assembly: value-FIRST datapoint pairs
@@ -139,6 +163,23 @@ object Grafana {
       .mkString("[", ",", "]")
     s"""{"target":${jsStr(target)},"datapoints":$arr}"""
   }
+
+  /** Shared table-target assembly: all table targets concatenate into
+    * ONE fixed-schema (Target, Value, Time) table (reference
+    * index.js:131-148, with §1.4.3's concatenation fix) — one definition
+    * across the raw and rollup read paths. Emitted whenever table
+    * TARGETS exist (zero matching rows still produce the empty table,
+    * the reference's own shape); absent only when none were requested.
+    */
+  private def tableJson(parts: Seq[(String, Seq[(Double, Long)])]): Seq[String] =
+    if (parts.isEmpty) Seq.empty
+    else {
+      val body = parts.flatMap { case (tg, dps) =>
+        dps.map { case (v, tMs) => s"""[${jsStr(tg)},${jsNum(v)},$tMs]""" }
+      }.mkString("[", ",", "]")
+      Seq(
+        s"""{"columns":[{"text":"Target","type":"string"},{"text":"Value","type":"number"},{"text":"Time","type":"time"}],"rows":$body,"type":"table"}""")
+    }
 
   /** `/annotations`, `/tag-keys`, `/tag-values` — empty per the reference
     * stubs (index.js:159-181).

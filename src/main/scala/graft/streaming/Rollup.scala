@@ -1,14 +1,14 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** Incrementally-maintained rollup table — the serving-layer complement
-  * of the raw point sink: per (series, day) count/sum/min/max kept
-  * up-to-date per micro-batch, so dashboard reads (q48's downsample
-  * shape) hit a table whose size is days × series instead of scanning
-  * raw points. At 100 TB of points the rollup is the difference between
+  * of the raw point sink: per (series, day) — or (series, hour) —
+  * count/sum/min/max kept up-to-date per micro-batch, so dashboard
+  * reads (q48's downsample shape) hit a table whose size is buckets ×
+  * series instead of scanning raw points. At 100 TB of points the rollup is the difference between
   * a dashboard query reading megabytes and terabytes.
   *
   * Maintenance = read-merge-overwrite of ONLY the date partitions the
@@ -30,25 +30,48 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object Rollup {
 
-  /** One merge step — factored out of the stream so replay semantics are
-    * directly testable. Returns true if any partition merged, false if
-    * the batch was empty or fully recognized as a replay.
+  /** One merge step at day granularity (partition column `p_date`) —
+    * factored out of the stream so replay semantics are directly
+    * testable. Returns true if any partition merged, false if the batch
+    * was empty or fully recognized as a replay.
     */
   private[streaming] def mergeBatch(spark: SparkSession, batch: DataFrame,
-                                    batchId: Long, rollupDir: String): Boolean = {
+                                    batchId: Long, rollupDir: String): Boolean =
+    mergeBatchOn(spark, batch, batchId, rollupDir, "p_date", to_date(col("ts")))
+
+  /** [[mergeBatch]] at hour granularity: partition column `p_hour` =
+    * `date_trunc('hour', ts)` (a timestamp partition value). Same
+    * machinery, same per-partition replay discipline — a second rollup
+    * table for dashboards that zoom below a day; at 100 TB the table is
+    * still only hours × series.
+    */
+  private[streaming] def mergeBatchHourly(spark: SparkSession, batch: DataFrame,
+                                          batchId: Long, rollupDir: String): Boolean =
+    mergeBatchOn(spark, batch, batchId, rollupDir, "p_hour",
+      date_trunc("hour", col("ts")))
+
+  /** The granularity-generic merge core: `bucket` maps `ts` to the
+    * partition value stored under `partCol` (day: date, hour:
+    * timestamp). Partition values flow as opaque `Any` through the
+    * touched/replay bookkeeping — `isin` and map equality behave
+    * identically for java.sql.Date and Timestamp.
+    */
+  private def mergeBatchOn(spark: SparkSession, batch: DataFrame,
+                           batchId: Long, rollupDir: String,
+                           partCol: String, bucket: Column): Boolean = {
     // null ts has no partition; null value would poison total (NULL) and
     // the Grafana read's getDouble — same validity discipline as
     // Collector.transform and Grafana.slice
     val partial = batch
       .filter(col("ts").isNotNull && col("value").isNotNull)
-      .withColumn("p_date", to_date(col("ts")))
-      .groupBy(col("series"), col("p_date"))
+      .withColumn(partCol, bucket)
+      .groupBy(col("series"), col(partCol))
       .agg(count(lit(1)).as("cnt"), sum(col("value")).as("total"),
         min(col("value")).as("vmin"), max(col("value")).as("vmax"))
       .persist()
     try {
-      val touched = partial.select("p_date").distinct()
-        .collect().map(_.getDate(0)).toSeq
+      val touched = partial.select(partCol).distinct()
+        .collect().map(_.get(0)).toSeq
       if (touched.isEmpty) return false
 
       // committed data present? bare path existence is not enough — a
@@ -64,59 +87,68 @@ object Rollup {
         found
       }
 
-      val todo: Seq[java.sql.Date] =
+      val todo: Seq[Any] =
         if (!hasData) touched
         else {
-          val lastByDate = spark.read.parquet(rollupDir)
-            .filter(col("p_date").isin(touched: _*))
-            .groupBy("p_date").agg(max("last_batch").as("lb"))
-            .collect().map(r => r.getDate(0) -> r.getLong(1)).toMap
-          val ahead = lastByDate.filter(_._2 > batchId)
+          val lastByPart = spark.read.parquet(rollupDir)
+            .filter(col(partCol).isin(touched: _*))
+            .groupBy(partCol).agg(max("last_batch").as("lb"))
+            .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+          val ahead = lastByPart.filter(_._2 > batchId)
           if (ahead.nonEmpty) throw new IllegalStateException(
             s"rollup at $rollupDir is ahead of batch $batchId for partitions " +
-              s"${ahead.keys.toSeq.sorted.mkString(",")} — the stream's " +
+              s"${ahead.keys.map(_.toString).toSeq.sorted.mkString(",")} — the stream's " +
               "checkpoint was reset against an existing table; refusing to " +
               "merge (data would be silently dropped). Point the stream at a " +
               "fresh rollupDir or restore the matching checkpoint.")
           // == batchId: that partition's data is already in (crash landed
           // between its commit and the checkpoint's) — skip just it
-          touched.filterNot(d => lastByDate.get(d).contains(batchId))
+          touched.filterNot(d => lastByPart.get(d).contains(batchId))
         }
       if (todo.isEmpty) return false
 
-      val partialTodo = partial.filter(col("p_date").isin(todo: _*))
+      val partialTodo = partial.filter(col(partCol).isin(todo: _*))
       val merged0 =
         if (hasData)
           spark.read.parquet(rollupDir)
-            .filter(col("p_date").isin(todo: _*))
-            .select("series", "p_date", "cnt", "total", "vmin", "vmax")
+            .filter(col(partCol).isin(todo: _*))
+            .select("series", partCol, "cnt", "total", "vmin", "vmax")
             .unionByName(partialTodo)
         else partialTodo
       merged0
-        .groupBy(col("series"), col("p_date"))
+        .groupBy(col("series"), col(partCol))
         .agg(sum(col("cnt")).as("cnt"), sum(col("total")).as("total"),
           min(col("vmin")).as("vmin"), max(col("vmax")).as("vmax"))
         .withColumn("last_batch", lit(batchId))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("p_date")
+        .partitionBy(partCol)
         .parquet(rollupDir)
       true
     } finally partial.unpersist()
   }
 
   /** Maintain the rollup from a streaming points DataFrame
-    * (series, ts, value).
+    * (series, ts, value). `granularity`: "day" (partition `p_date`) or
+    * "hour" (partition `p_hour`) — run two streams for both tables.
     */
   def start(spark: SparkSession, points: DataFrame, rollupDir: String,
             checkpointDir: String,
-            trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
+            trigger: Trigger = Trigger.ProcessingTime("1 second"),
+            granularity: String = "day"): StreamingQuery = {
+    val merge: (DataFrame, Long) => Boolean = granularity match {
+      case "day" => mergeBatch(spark, _, _, rollupDir)
+      case "hour" => mergeBatchHourly(spark, _, _, rollupDir)
+      case g => throw new IllegalArgumentException(
+        s"granularity must be 'day' or 'hour', got '$g'")
+    }
     points.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        mergeBatch(spark, batch, batchId, rollupDir); ()
+        merge(batch, batchId); ()
       }
       .start()
+  }
 }

@@ -140,6 +140,116 @@ class RollupSpec extends SparkSpec {
     assert(json.contains("[3,") && json.contains("[9,"))
   }
 
+  test("hourly merge buckets per hour, accumulates, and skips replays") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("rollup_hourly").toString + "/table"
+    val b0 = Seq(
+      ("cpu", ts("2024-03-01 10:05:00"), 2.0),
+      ("cpu", ts("2024-03-01 10:35:00"), 4.0),
+      ("cpu", ts("2024-03-01 11:15:00"), 9.0)
+    ).toDF("series", "ts", "value")
+    assert(Rollup.mergeBatchHourly(spark, b0, 0L, dir))
+    val r0 = spark.read.parquet(dir)
+    assert(r0.count() == 2) // two hour buckets
+    val h10 = r0.filter(col("p_hour") === lit("2024-03-01 10:00:00").cast("timestamp")).head()
+    assert(h10.getAs[Long]("cnt") == 2 && h10.getAs[Double]("total") == 6.0)
+
+    // accumulate into hour 10 only; hour 11 untouched
+    val b1 = Seq(("cpu", ts("2024-03-01 10:55:00"), 6.0)).toDF("series", "ts", "value")
+    assert(Rollup.mergeBatchHourly(spark, b1, 1L, dir))
+    val r1 = spark.read.parquet(dir)
+    assert(r1.filter(col("p_hour") === lit("2024-03-01 10:00:00").cast("timestamp"))
+      .head().getAs[Double]("total") == 12.0)
+    assert(r1.filter(col("p_hour") === lit("2024-03-01 11:00:00").cast("timestamp"))
+      .head().getAs[Double]("total") == 9.0)
+    // replay recognized per partition
+    assert(!Rollup.mergeBatchHourly(spark, b1, 1L, dir))
+    // and a reset checkpoint still refuses loudly on the hourly table
+    val e = intercept[IllegalStateException] {
+      Rollup.mergeBatchHourly(spark, b1, 0L, dir)
+    }
+    assert(e.getMessage.contains("checkpoint was reset"))
+  }
+
+  test("rollup reads serve golden JSON for timeseries AND table shapes, daily and hourly") {
+    import spark.implicits._
+    def ms(iso: String) = java.time.Instant.parse(iso).toEpochMilli
+    val base = Files.createTempDirectory("rollup_golden").toString
+    val b = Seq(
+      ("cpu", ts("2024-03-01 10:05:00"), 2.0),
+      ("cpu", ts("2024-03-01 10:35:00"), 4.0),
+      ("cpu", ts("2024-03-02 11:15:00"), 9.0)
+    ).toDF("series", "ts", "value")
+    assert(Rollup.mergeBatch(spark, b, 0L, s"$base/daily"))
+    assert(Rollup.mergeBatchHourly(spark, b, 0L, s"$base/hourly"))
+    val range = graft.serve.Grafana.TimeRange(
+      "2024-03-01 00:00:00", "2024-03-02 23:59:59")
+
+    // daily, both target shapes in one request: day means 3 and 9
+    val daily = graft.serve.Grafana.queryDaily(
+      spark.read.parquet(s"$base/daily"),
+      graft.serve.Grafana.QueryRequest(
+        Seq(graft.serve.Grafana.Target("cpu", "timeseries"),
+          graft.serve.Grafana.Target("cpu", "table")), range, 100))
+    val d1 = ms("2024-03-01T00:00:00Z")
+    val d2 = ms("2024-03-02T00:00:00Z")
+    assert(daily ==
+      s"""[{"target":"cpu","datapoints":[[3,$d1],[9,$d2]]},""" +
+      s"""{"columns":[{"text":"Target","type":"string"},{"text":"Value","type":"number"},{"text":"Time","type":"time"}],""" +
+      s""""rows":[["cpu",3,$d1],["cpu",9,$d2]],"type":"table"}]""")
+
+    // hourly: hour means 3 (10:00 day1) and 9 (11:00 day2)
+    val hourly = graft.serve.Grafana.queryHourly(
+      spark.read.parquet(s"$base/hourly"),
+      graft.serve.Grafana.QueryRequest(
+        Seq(graft.serve.Grafana.Target("cpu", "timeseries"),
+          graft.serve.Grafana.Target("cpu", "table")), range, 100))
+    val h1 = ms("2024-03-01T10:00:00Z")
+    val h2 = ms("2024-03-02T11:00:00Z")
+    assert(hourly ==
+      s"""[{"target":"cpu","datapoints":[[3,$h1],[9,$h2]]},""" +
+      s"""{"columns":[{"text":"Target","type":"string"},{"text":"Value","type":"number"},{"text":"Time","type":"time"}],""" +
+      s""""rows":[["cpu",3,$h1],["cpu",9,$h2]],"type":"table"}]""")
+
+    // unknown target: empty datapoints, empty table rows — not a crash
+    val empty = graft.serve.Grafana.queryHourly(
+      spark.read.parquet(s"$base/hourly"),
+      graft.serve.Grafana.QueryRequest(
+        Seq(graft.serve.Grafana.Target("nope", "timeseries"),
+          graft.serve.Grafana.Target("nope", "table")), range, 100))
+    assert(empty ==
+      """[{"target":"nope","datapoints":[]},""" +
+      """{"columns":[{"text":"Target","type":"string"},{"text":"Value","type":"number"},{"text":"Time","type":"time"}],""" +
+      """"rows":[],"type":"table"}]""")
+  }
+
+  test("hourly streaming wiring maintains the table via the granularity switch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("rollup_stream_h").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Timestamp, Double)]
+    val q = Rollup.start(spark,
+      input.toDS().toDF("series", "ts", "value"),
+      s"$base/table", s"$base/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      granularity = "hour")
+    try {
+      input.addData(("cpu", ts("2024-02-01 10:10:00"), 2.0),
+        ("cpu", ts("2024-02-01 10:50:00"), 4.0),
+        ("cpu", ts("2024-02-01 12:00:00"), 8.0))
+      q.processAllAvailable()
+      val r = spark.read.parquet(s"$base/table")
+      assert(r.count() == 2)
+      assert(r.filter(col("p_hour") === lit("2024-02-01 10:00:00").cast("timestamp"))
+        .head().getAs[Double]("total") == 6.0)
+    } finally q.stop()
+    intercept[IllegalArgumentException] {
+      Rollup.start(spark, input.toDS().toDF("series", "ts", "value"),
+        s"$base/t2", s"$base/c2", granularity = "minute")
+    }
+  }
+
   test("rollup partitions expire through the shared Retention machinery") {
     import spark.implicits._
     // the rollup shares the p_date= layout, and day-granular rows mean a
