@@ -29,8 +29,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Output is one flag per (doc, colliding band) — a doc is a near-dup iff
   * ANY band flags it (the 4 band groups are independent state machines;
   * emit-once coordination would need a second stateful stage for no
-  * recall gain). Downstream dedups flags per doc, e.g. in the sink's
-  * `foreachBatch`: `flags.groupBy("doc_id").agg(min("dup_of"))`.
+  * recall gain). Downstream dedups flags per doc via [[dedupFlags]]
+  * (deterministic min-(dup_of, hamming, band) rule), typically in the
+  * sink's `foreachBatch`.
   */
 object StreamingNearDup {
 
@@ -99,6 +100,25 @@ object StreamingNearDup {
       }
     }
     (entries, out.result())
+  }
+
+  /** Sink-side per-doc flag dedup — the documented companion of
+    * [[flagNearDups]]'s one-flag-per-(doc, band) output: a doc colliding
+    * in several bands (an exact duplicate collides in all 4) reduces to
+    * ONE deterministic flag, the minimum under (dup_of, hamming, band) —
+    * earliest original first, then strongest evidence. Runs in the
+    * sink's `foreachBatch` (or on any batch of flags): one narrow
+    * shuffle of flag rows, whose volume is the dup rate, not the stream.
+    */
+  def dedupFlags(flags: Dataset[NearDupFlag]): Dataset[NearDupFlag] = {
+    import flags.sparkSession.implicits._
+    val ord = Ordering.Tuple3[Long, Int, Int]
+    flags.groupByKey(_.doc_id)
+      .reduceGroups { (a: NearDupFlag, b: NearDupFlag) =>
+        if (ord.lteq((a.dup_of, a.hamming, a.band),
+          (b.dup_of, b.hamming, b.band))) a else b
+      }
+      .map(_._2)
   }
 
   /** Flag near-duplicate arrivals on a stream (or batch Dataset — the

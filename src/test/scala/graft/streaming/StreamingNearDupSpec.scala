@@ -76,6 +76,26 @@ class StreamingNearDupSpec extends SparkSpec {
     assert(flags.isEmpty)
   }
 
+  test("dedupFlags collapses multi-band collisions to one deterministic flag per doc") {
+    import spark.implicits._
+    // doc 1 admits; docs 2 and 3 are exact re-deliveries of its text —
+    // each collides in ALL 4 bands (4 flags apiece, against doc 1: a
+    // flagged doc never enters state, so 3 cannot flag against 2)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "alpha beta gamma delta"),
+      (4L, "totally unrelated words here")).toDS()
+    val flags = StreamingNearDup.flagNearDups(docs)
+    val raw = flags.collect()
+    assert(raw.count(_.doc_id == 2L) == 4) // one per band pre-dedup
+    val deduped = StreamingNearDup.dedupFlags(flags).collect()
+      .sortBy(_.doc_id)
+    assert(deduped.map(_.doc_id).toSeq == Seq(2L, 3L))
+    // deterministic min rule: earliest original (doc 1), hamming 0, band 0
+    assert(deduped.forall(f => f.dup_of == 1L && f.hamming == 0 && f.band == 0))
+  }
+
   test("bucket state transition: flag vs admit, FIFO cap eviction, doc order") {
     import StreamingNearDup.{BandDoc, processBucket}
     def bd(id: Long, sig: Long) = BandDoc(0, 0, id, sig)
