@@ -42,12 +42,20 @@ object TrainingPipeline {
     * 0.90-1.0 with median 0.96 — so only ~1.0 separates "the eval doc
     * leaked" from "same vocabulary".
     */
+  /** `audit = false` skips the four eager per-stage counts (each one an
+    * action re-triggering upstream stages): a production run gets the
+    * identical survivors/bins lazily, with an EMPTY audit trail. In that
+    * mode the intermediate persists are left in place for the caller's
+    * first action to populate (diamond subplans still compute once) —
+    * cache cleanup is caller-owned, the usual contract.
+    */
   case class Config(
       minQuality: Double = 0.05,
       maxHam: Int = 3,
       maxContamRatio: Double = 0.99,
       binTokens: Int = 512,
-      shards: Int = 8)
+      shards: Int = 8,
+      audit: Boolean = true)
 
   /** Stage outputs: the surviving corpus and the packed bins, plus
     * per-stage survivor counts for the audit trail.
@@ -67,7 +75,7 @@ object TrainingPipeline {
     graft.functions.VectorExpressions.ensureRegistered(spark)
     import spark.implicits._
     val audit = Seq.newBuilder[(String, Long)]
-    audit += ("input" -> docs.count())
+    if (cfg.audit) audit += ("input" -> docs.count())
 
     // 1. quality: q88's composite — including its final round(·, 4), so
     // threshold-boundary docs classify exactly as the declared score does
@@ -79,7 +87,7 @@ object TrainingPipeline {
           round(least(lit(1.0), size(col("ws")).cast("double") / 100), 4), 4))
       .filter(col("q") >= cfg.minQuality)
       .drop("ws", "q")
-    audit += ("quality" -> scored.count())
+    if (cfg.audit) audit += ("quality" -> scored.count())
 
     // 2. exact dedup, keep-first by doc_id (q73's row_number discipline
     // on q80's md5 key — dropDuplicates would keep an arbitrary row)
@@ -89,7 +97,7 @@ object TrainingPipeline {
       .withColumn("rn", row_number().over(wMd5))
       .filter(col("rn") === 1).drop("rn")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    audit += ("exact_dedup" -> exact.count())
+    if (cfg.audit) audit += ("exact_dedup" -> exact.count())
 
     // 3. near-dup removal: q78's banded pairs (the shared
     // Dedup.nearDupPairs), then greedily drop every doc_b — survivors
@@ -99,7 +107,7 @@ object TrainingPipeline {
       .select(col("doc_b").as("doc_id")).distinct()
     val nearDeduped = exact.join(dropIds, Seq("doc_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    audit += ("near_dedup" -> nearDeduped.count())
+    if (cfg.audit) audit += ("near_dedup" -> nearDeduped.count())
 
     // 4. decontamination, q76's gram machinery with roles swapped: drop
     // TRAIN docs whose distinct 8-grams are mostly present in the eval
@@ -120,13 +128,18 @@ object TrainingPipeline {
       .select("doc_id")
     val clean = nearDeduped.join(contam, Seq("doc_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    audit += ("decontaminated" -> clean.count())
-    // clean is materialized: the upstream caches served their consumers
-    // and can release now. `clean` itself stays cached — the caller owns
-    // it (same contract as SparkEntry.queries' persisted subplans).
-    exact.unpersist()
-    nearDeduped.unpersist()
-    trainGrams.unpersist()
+    if (cfg.audit) {
+      audit += ("decontaminated" -> clean.count())
+      // clean is materialized: the upstream caches served their consumers
+      // and can release now. `clean` itself stays cached — the caller owns
+      // it (same contract as SparkEntry.queries' persisted subplans).
+      // Without audit nothing has materialized yet, so the upstream
+      // persists stay (the caller's first action populates them once and
+      // cleanup is caller-owned per the Config note).
+      exact.unpersist()
+      nearDeduped.unpersist()
+      trainGrams.unpersist()
+    }
 
     // 5+6. chunk + pack: the SAME q97 geometry / q58 packing helpers the
     // oracle-checked queries run (Extensions.docChunks / packBins)

@@ -61,4 +61,26 @@ class TrainingPipelineSpec extends SparkSpec {
       assert(res.packed.filter(col("tok_total") > cfg.binTokens + 50).isEmpty)
     } finally spark.catalog.clearCache()
   }
+
+  test("audit=false yields identical survivors and bins with an empty audit trail") {
+    val docs = graft.model.Tables(spark, sf(), "documents")
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val eval_ = docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text")
+    try {
+      val audited = TrainingPipeline.prepare(train, eval_,
+        TrainingPipeline.Config())
+      val silent = TrainingPipeline.prepare(train, eval_,
+        TrainingPipeline.Config(audit = false))
+      assert(silent.audit.isEmpty)
+      assert(audited.audit.nonEmpty)
+      // identical outputs, both directions
+      val aIds = audited.survivors.select("doc_id")
+      val sIds = silent.survivors.select("doc_id")
+      assert(aIds.exceptAll(sIds).isEmpty && sIds.exceptAll(aIds).isEmpty)
+      val aP = audited.packed.select("shard", "bin", "n_chunks", "tok_total")
+      val sP = silent.packed.select("shard", "bin", "n_chunks", "tok_total")
+      assert(aP.exceptAll(sP).isEmpty && sP.exceptAll(aP).isEmpty)
+      assert(silent.survivors.count() == audited.audit.last._2)
+    } finally spark.catalog.clearCache()
+  }
 }
