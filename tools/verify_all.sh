@@ -31,8 +31,11 @@ done
 
 if [ "${1:-}" != "--quick" ]; then
   echo "== bench sf0.1 =="
+  # first metric line = per-query detail (kept for the record), last =
+  # summary (the gate)
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
-    sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"' | tail -1 \
+    sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"' \
+    | tee /tmp/verify_all_bench_detail.json | tail -1 \
     | tee /tmp/verify_all_bench.json | grep -q '"n_failed":0'
 fi
 
