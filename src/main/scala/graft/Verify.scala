@@ -23,6 +23,12 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names =>
+      if (names.isEmpty) {
+        // a set-but-empty variable silently verifying nothing would read
+        // as success — same guard as Bench
+        System.err.println("[verify] empty query selection from SPARK_GRAFT_ONLY")
+        sys.exit(2)
+      }
       val unknown = names -- SparkEntry.queries.keySet
       if (unknown.nonEmpty) {
         System.err.println(s"[verify] unknown SPARK_GRAFT_ONLY names: ${unknown.mkString(",")}")

@@ -35,7 +35,12 @@ case class CmsEstimate(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (BinaryType, StringType) if left.foldable =>
-        TypeCheckResult.TypeCheckSuccess
+        // reject a null constant at ANALYSIS: codegen forces the lazy
+        // sketch (addReferenceObj), which would otherwise NPE inside an
+        // executor with no hint of the cause
+        if (left.eval() == null) TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a non-null constant sketch")
+        else TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires (constant binary sketch, string), got ($l, $r)")
     }

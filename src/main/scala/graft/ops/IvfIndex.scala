@@ -84,15 +84,23 @@ object IvfIndex {
   def append(emb: DataFrame, model: KMeansModel, store: String,
              driftTolerance: Double = 0.05): AppendReport = {
     val spark = emb.sparkSession
+    // baseline FIRST: a store without meta (not written by build, or
+    // meta deleted) must fail BEFORE the batch lands — failing after the
+    // write would leave the vectors in, and a retry post-repair would
+    // silently duplicate every one of them in search results
+    val baseline = readMeta(spark, store)
     val assigned = model.transform(
         emb.withColumn("features", array_to_vector(col("embedding"))))
       .select(col("vec_id"), col("embedding"), col("cell"))
       .persist()
     try {
       val n = assigned.count()
+      // empty batch: a valid daily-ingest outcome — no-op, no write, no
+      // drift signal (NaN mean; NaN < x is false, so no recommendation)
+      if (n == 0) return AppendReport(0L, Double.NaN, baseline,
+        retrainRecommended = false)
       val meanCos = meanAssignedCosine(assigned, model)
       assigned.write.mode("append").partitionBy("cell").parquet(store)
-      val baseline = readMeta(spark, store)
       AppendReport(n, meanCos, baseline,
         retrainRecommended = meanCos < baseline - driftTolerance)
     } finally assigned.unpersist()

@@ -58,6 +58,36 @@ class TopKAggSpec extends SparkSpec {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("topk_min_agg orders keys by UTF8 bytes (window parity past the BMP)") {
+    import spark.implicits._
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    // U+FFFF (EF BF BF) < U+1F600 (F0 9F 98 80) in UTF-8 bytes — the
+    // engine's string order; UTF-16 code units would invert it
+    // (0xFFFF > 0xD83D surrogate), keeping the wrong row
+    val rows = Seq(("g", "￿", 1L), ("g", "😀", 2L))
+    val agg = rows.toDF("g", "rk", "id")
+      .groupBy("g").agg(expr("topk_min_agg(rk, id, 1)").as("top"))
+      .select(explode(col("top")).as("e")).select("e.id")
+      .as[Long].collect().toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("rk"), col("id"))
+    val windowed = rows.toDF("g", "rk", "id")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 1)
+      .select("id").as[Long].collect().toSeq
+    assert(agg == windowed && agg == Seq(1L))
+  }
+
+  test("topk_min_agg ignores null keys (SQL aggregate convention)") {
+    import spark.implicits._
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    val got = Seq(("g", Option("b"), 1L), ("g", None, 2L), ("g", Option("a"), 3L))
+      .toDF("g", "rk", "id")
+      .groupBy("g").agg(expr("topk_min_agg(rk, id, 2)").as("top"))
+      .select(explode(col("top")).as("e")).select("e.rk", "e.id")
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a", 3L), ("b", 1L)))
+  }
+
   test("topk_min_agg survives partial-buffer serialization round trips") {
     import spark.implicits._
     graft.functions.VectorExpressions.ensureRegistered(spark)

@@ -33,6 +33,18 @@ class CapSketchSpec extends SparkSpec {
     }
   }
 
+  test("cms_estimate rejects a null constant sketch at analysis") {
+    import spark.implicits._
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    // codegen forces the sketch eagerly; without the analysis-time check
+    // this would NPE inside an executor with no hint of the cause
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq("w").toDF("w")
+        .select(expr("cms_estimate(CAST(NULL AS BINARY), w)")).collect()
+    }
+    assert(e.getMessage.contains("non-null constant sketch"))
+  }
+
   test("CM document-frequency estimates never undercount (one-sided, corpus)") {
     import spark.implicits._
     val sh = corpusShingles.distinct()

@@ -111,5 +111,24 @@ class IvfIndexSpec extends SparkSpec {
     val drifted = IvfIndex.append(negated, model, store)
     assert(drifted.meanAssignCosine < drifted.baselineMeanCosine - 0.05)
     assert(drifted.retrainRecommended)
+
+    // empty batch: valid no-op — nothing written, nothing recommended
+    val before = spark.read.parquet(store).count()
+    val empty = IvfIndex.append(emb.filter(col("vec_id") < 0)
+      .select(col("vec_id"), col("embedding")), model, store)
+    assert(empty.appended == 0 && !empty.retrainRecommended)
+    assert(spark.read.parquet(store).count() == before)
+
+    // a store without the drift baseline refuses BEFORE mutating: a
+    // post-failure retry must not duplicate the batch
+    val fs = new org.apache.hadoop.fs.Path(store, "_ivf_meta.json")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(store, "_ivf_meta.json"), false)
+    val e = intercept[IllegalStateException] {
+      IvfIndex.append(clones, model, store)
+    }
+    assert(e.getMessage.contains("rebuild"))
+    assert(spark.read.parquet(store).count() == before,
+      "failed append must not have written")
   }
 }
