@@ -90,6 +90,50 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components of an undirected (a, b) edge DataFrame by
+    * HashMin label propagation: each round, every node takes the min
+    * label among itself and its neighbors, converging to (doc_id,
+    * cluster = component-min id) in O(component diameter) rounds.
+    * Nodes appear iff they appear in an edge (singletons are not dup
+    * clusters). Each round's labels pass through an EAGER
+    * localCheckpoint — iterative DataFrames MUST truncate lineage per
+    * round (the plan otherwise triples per iteration: three branches
+    * each embedding the prior round's tree, OOMing the driver during
+    * analysis long before the data is large). The driver-side loop
+    * holds NO data — convergence is an isEmpty probe, the standard
+    * Pregel-on-DataFrames shape.
+    */
+  private[ops] def connectedComponents(edges0: DataFrame): DataFrame = {
+    val edges = edges0.localCheckpoint(true)
+    var labels = edges.select(col("a").as("node"))
+      .union(edges.select(col("b").as("node")))
+      .distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    while (!converged) {
+      rounds += 1
+      // needing this many rounds means the upstream pairing is broken
+      // (near-dup components are dense cliques with tiny diameters) —
+      // fail loudly instead of looping the cluster forever
+      require(rounds <= 50, "label propagation did not converge in 50 rounds")
+      val next = edges.join(labels, col("a") === col("node"))
+        .select(col("b").as("node"), col("label"))
+        .union(edges.join(labels, col("b") === col("node"))
+          .select(col("a").as("node"), col("label")))
+        .union(labels)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.label") < col("o.label"))
+        .isEmpty
+      labels = next
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster"))
+  }
+
   val queries: Map[String, Q] = Map(
 
     // MinHash/LSH candidate pairs: docs sharing at least one of 4 bands
@@ -209,6 +253,26 @@ object Dedup {
         .select(col("doc_id"),
           size(col("fps")).cast("long").as("n_fps"),
           md5(array_join(sort_array(col("fps")), "")).as("fp_sig"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Near-dup CLUSTER canonicalization — the step after q78's pairing:
+    // connected components of the near-dup graph, each doc labeled with
+    // its component's minimum doc_id (the canonical representative a
+    // dedup keep-one pass retains). Pairing alone can't answer "which
+    // doc do I keep" when dups chain (a~b, b~c but a!~c): components
+    // make the keep-set well-defined and deterministic.
+    //
+    // Scale shape: HashMin label propagation over the pair graph (see
+    // [[connectedComponents]] — two edge⋈label joins + a min groupBy
+    // per round, O(component diameter) rounds, lineage truncated per
+    // round). The oracle computes the same labels via recursive
+    // transitive closure.
+    "q100_dup_clusters" -> ((s, dir) => {
+      graft.functions.VectorExpressions.ensureRegistered(s)
+      connectedComponents(
+        nearDupPairs(Tables(s, dir, "documents"), MAXHAM)
+          .select(col("doc_a").as("a"), col("doc_b").as("b")))
         .orderBy(col("doc_id"))
     }),
 
@@ -332,6 +396,38 @@ object Dedup {
            |SELECT doc_a, doc_b, hamming FROM ham
            |WHERE hamming <= $MAXHAM
            |ORDER BY doc_a, doc_b""".stripMargin,
+      // q100: q78's qualifying pairs as an edge set, then connected
+      // components via recursive transitive closure (UNION dedup bounds
+      // the recursion); cluster = min reachable id (incl. self) — the
+      // same labels HashMin propagation converges to
+      "q100_dup_clusters" ->
+        s"""WITH RECURSIVE $simhashCtes,
+           |sig AS (
+           |  SELECT doc_id, string_agg(ch, '' ORDER BY pos) AS sh
+           |  FROM nibs GROUP BY doc_id),
+           |bands AS (
+           |  SELECT doc_id, b AS band, substr(sh, CAST(4*b + 1 AS INT), 4) AS bv
+           |  FROM sig, unnest([0,1,2,3]) AS t(b)),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+           |ham AS (
+           |  SELECT doc_a, doc_b,
+           |         CAST(list_sum(list_transform(range(1, 17), p ->
+           |           CAST(substr('0112122312232334',
+           |             xor(strpos('0123456789abcdef', substr(sa.sh, CAST(p AS INT), 1)) - 1,
+           |                 strpos('0123456789abcdef', substr(sb.sh, CAST(p AS INT), 1)) - 1) + 1, 1) AS INT))) AS BIGINT) AS hamming
+           |  FROM cand JOIN sig sa ON cand.doc_a = sa.doc_id
+           |            JOIN sig sb ON cand.doc_b = sb.doc_id),
+           |edges AS (SELECT doc_a AS a, doc_b AS b FROM ham WHERE hamming <= $MAXHAM),
+           |sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+           |reach(src, dst) AS (
+           |  SELECT a, b FROM sym
+           |  UNION
+           |  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a)
+           |SELECT src AS doc_id, least(src, min(dst)) AS cluster
+           |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
       "q59_winnowing_fp" ->
         """WITH g AS (
           |  SELECT doc_id, i AS pos, md5(substr(text, CAST(i AS INT), 8)) AS h

@@ -175,6 +175,33 @@ class DedupPairsSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("connectedComponents labels chained/path/disjoint graphs with component minima") {
+    import spark.implicits._
+    // chain 1-2-3 (transitive: 1!~3 directly), disjoint pair 7-8, and a
+    // long path 10..19 — the path's diameter forces multi-round
+    // convergence (HashMin moves a label one hop per round)
+    val chain = Seq((1L, 2L), (2L, 3L), (7L, 8L))
+    val path = (10L until 19L).map(i => (i, i + 1))
+    val edges = (chain ++ path).toDF("a", "b")
+    val got = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    val expected =
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L) ++
+        (10L to 19L).map(_ -> 10L).toMap
+    assert(got == expected)
+    // singleton nodes (in no edge) never appear
+    assert(!got.contains(4L))
+  }
+
+  test("connectedComponents is insensitive to edge orientation and duplication") {
+    import spark.implicits._
+    val e1 = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val e2 = Seq((2L, 1L), (3L, 2L), (1L, 2L), (2L, 3L)).toDF("a", "b")
+    val r1 = Dedup.connectedComponents(e1).as[(Long, Long)].collect().toSet
+    val r2 = Dedup.connectedComponents(e2).as[(Long, Long)].collect().toSet
+    assert(r1 == r2 && r1 == Set((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+
   test("minhash_pairs fails actionably past the pair-expansion cap") {
     graft.functions.VectorExpressions.ensureRegistered(spark)
     import spark.implicits._
