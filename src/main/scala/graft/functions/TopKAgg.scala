@@ -33,19 +33,22 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - rows with a null rk or id are IGNORED, the SQL aggregate
   *    convention — a raw ASC window would instead rank NULLs first;
   *    coalesce the key upstream if those rows must participate.
-  *  - ties are exact duplicates of the FULL (rk, id) pair, which a
-  *    row_number formulation would rank arbitrarily — callers key id on
-  *    a unique column (q98: doc_id), making the order total and the
-  *    result identical to the window form.
+  *  - exact duplicates of the FULL (rk, id) pair carry a multiplicity
+  *    count in the buffer, so a group containing duplicated input rows
+  *    still returns k entries — identical rows to the row_number form,
+  *    which ranks equal pairs arbitrarily but keeps the same multiset.
+  *    (The first formulation deduped ties in a set, silently returning
+  *    < k for duplicated inputs; q98 never hit it — doc_id is unique —
+  *    but the aggregate must not depend on that.)
   */
 case class TopKMinAgg(
     first: Expression, second: Expression, third: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[scala.collection.mutable.TreeSet[(UTF8String, Long)]]
+  extends TypedImperativeAggregate[TopKMinAgg.Buf]
   with TernaryLike[Expression] {
 
-  import TopKMinAgg.entryOrd
+  import TopKMinAgg.{Buf, entryOrd}
 
   override def checkInputDataTypes(): TypeCheckResult =
     (first.dataType, second.dataType, third.dataType) match {
@@ -64,64 +67,97 @@ case class TopKMinAgg(
   override def nullable: Boolean = false
   override def prettyName: String = "topk_min_agg"
 
-  override def createAggregationBuffer(): scala.collection.mutable.TreeSet[(UTF8String, Long)] =
-    scala.collection.mutable.TreeSet.empty[(UTF8String, Long)](entryOrd)
+  override def createAggregationBuffer(): Buf = new Buf()
 
-  override def update(buf: scala.collection.mutable.TreeSet[(UTF8String, Long)],
-                      input: InternalRow): scala.collection.mutable.TreeSet[(UTF8String, Long)] = {
+  /** Insert one occurrence of (u, id), keeping the buffer's total
+    * multiplicity ≤ k. `owned = false` marks an UnsafeRow-backed
+    * UTF8String — a view over a buffer the next row overwrites — which
+    * is cloned ONLY if it becomes a new map key (the reject path and
+    * the increment-existing path never allocate). TreeMap.put retains
+    * the original key object on value replacement, so incrementing an
+    * existing key's count never stores the view.
+    */
+  private def insert(buf: Buf, u: UTF8String, id: Long, owned: Boolean): Unit = {
+    val key = (u, id)
+    if (buf.total < k) {
+      bump(buf, key, u, id, owned)
+      buf.total += 1
+    } else if (entryOrd.lt(key, buf.m.lastKey())) {
+      bump(buf, key, u, id, owned)
+      // evict ONE occurrence of the current maximum (which may be the
+      // key just inserted's old last — never the inserted occurrence,
+      // since key < lastKey held before the bump)
+      val lk = buf.m.lastKey()
+      val c = buf.m.get(lk)
+      if (c == 1) buf.m.remove(lk) else buf.m.put(lk, c - 1)
+    }
+  }
+
+  private def bump(buf: Buf, key: (UTF8String, Long), u: UTF8String,
+                   id: Long, owned: Boolean): Unit = {
+    val existing = buf.m.get(key)
+    if (existing == null)
+      buf.m.put((if (owned) u else u.clone(), id), 1)
+    else buf.m.put(key, existing + 1)
+  }
+
+  override def update(buf: Buf, input: InternalRow): Buf = {
     val rk = first.eval(input)
     val id = second.eval(input)
-    if (rk != null && id != null) {
-      val u = rk.asInstanceOf[UTF8String]
-      val idv = id.asInstanceOf[Long]
-      // clone() only on insertion: an UnsafeRow-backed UTF8String is a
-      // view over a buffer the next row overwrites — stored keys must
-      // own their bytes. The reject path (full buffer, key ≥ max)
-      // compares against the view without allocating. add()'s boolean
-      // guards the evict: a duplicate entry must not shrink the set.
-      if (buf.size < k) buf.add((u.clone(), idv))
-      else if (entryOrd.lt((u, idv), buf.last) && buf.add((u.clone(), idv)))
-        buf.remove(buf.last)
-    }
+    if (rk != null && id != null)
+      insert(buf, rk.asInstanceOf[UTF8String], id.asInstanceOf[Long], owned = false)
     buf
   }
 
-  override def merge(a: scala.collection.mutable.TreeSet[(UTF8String, Long)],
-                     b: scala.collection.mutable.TreeSet[(UTF8String, Long)]): scala.collection.mutable.TreeSet[(UTF8String, Long)] = {
+  override def merge(a: Buf, b: Buf): Buf = {
     // entries in partials already own their bytes (cloned at update or
     // materialized by deserialize) — no re-copy here
-    b.foreach { e =>
-      if (a.size < k) a.add(e)
-      else if (entryOrd.lt(e, a.last) && a.add(e)) a.remove(a.last)
+    val it = b.m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      var c = e.getValue.intValue()
+      while (c > 0) {
+        insert(a, e.getKey._1, e.getKey._2, owned = true)
+        c -= 1
+      }
     }
     a
   }
 
-  override def eval(buf: scala.collection.mutable.TreeSet[(UTF8String, Long)]): Any = {
-    val out = new Array[Any](buf.size)
+  override def eval(buf: Buf): Any = {
+    val out = new Array[Any](buf.total)
     var i = 0
-    buf.foreach { case (rk, id) =>
-      out(i) = InternalRow(rk, id)
-      i += 1
+    val it = buf.m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      var c = e.getValue.intValue()
+      while (c > 0) {
+        out(i) = InternalRow(e.getKey._1, e.getKey._2)
+        i += 1
+        c -= 1
+      }
     }
     new GenericArrayData(out)
   }
 
-  override def serialize(buf: scala.collection.mutable.TreeSet[(UTF8String, Long)]): Array[Byte] = {
+  override def serialize(buf: Buf): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
-    out.writeInt(buf.size)
-    buf.foreach { case (rk, id) =>
-      val bytes = rk.getBytes
+    out.writeInt(buf.m.size)
+    val it = buf.m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val bytes = e.getKey._1.getBytes
       out.writeInt(bytes.length)
       out.write(bytes)
-      out.writeLong(id)
+      out.writeLong(e.getKey._2)
+      out.writeInt(e.getValue.intValue())
     }
     out.flush()
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): scala.collection.mutable.TreeSet[(UTF8String, Long)] = {
+  override def deserialize(bytes: Array[Byte]): Buf = {
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val buf = createAggregationBuffer()
     val n = in.readInt()
@@ -131,7 +167,9 @@ case class TopKMinAgg(
       val sb = new Array[Byte](len)
       in.readFully(sb)
       val id = in.readLong()
-      buf += ((UTF8String.fromBytes(sb), id))
+      val c = in.readInt()
+      buf.m.put((UTF8String.fromBytes(sb), id), c)
+      buf.total += c
       i += 1
     }
     buf
@@ -158,4 +196,18 @@ object TopKMinAgg {
         if (c != 0) c else java.lang.Long.compare(a._2, b._2)
       }
     }
+
+  /** Sorted (rk, id) → multiplicity map with the total count tracked
+    * alongside (`total` = Σ counts ≤ k). Multiplicities are what make
+    * duplicated input rows return exactly the window form's k rows
+    * instead of a deduped short set.
+    */
+  final class Buf {
+    val m = new java.util.TreeMap[(UTF8String, Long), Integer](
+      new java.util.Comparator[(UTF8String, Long)] {
+        override def compare(a: (UTF8String, Long), b: (UTF8String, Long)): Int =
+          entryOrd.compare(a, b)
+      })
+    var total: Int = 0
+  }
 }

@@ -76,10 +76,17 @@ object Extensions {
     * 100 TB path the exact variant's scale note promises: instead of an
     * exact groupBy of EVERY distinct gram (a gram-domain-sized aggregate
     * plus a semi-join exchange back onto the gram set), the document
-    * frequencies come from one Count-Min pass (KB-sized mergeable
+    * frequencies come from one Count-Min pass (a compact mergeable
     * sketch, narrow shuffle of sketch partials only) collected
     * driver-side like a broadcast dim, and the cap filter runs MAP-SIDE
     * via `cms_estimate(sketch, g) <= maxDf`.
+    *
+    * Sketch sizing: the serialized sketch is embedded in the plan as a
+    * literal and referenced from generated code, so its footprint —
+    * ~16/eps bytes (width 2/eps long counters × depth ln(1/(1-conf)))
+    * — rides in every task binary that uses it. The 1e-3 default is
+    * ~160 KB: small enough to ship, wide enough that a 50-dup cap
+    * over-drops only grams within ~eps·N of the bound.
     *
     * Semantics trade (one-sided by the CM bound, property-tested in
     * CapSketchSpec): estimates never undercount, so NO truly-hot gram
@@ -94,7 +101,7 @@ object Extensions {
     */
   private[graft] def capJaccardPairsSketch(
       grams: DataFrame, gram: String, maxDf: Int, minJac: Double,
-      eps: Double = 1e-4, confidence: Double = 0.999,
+      eps: Double = 1e-3, confidence: Double = 0.999,
       seed: Int = 42): DataFrame = {
     graft.functions.VectorExpressions.ensureRegistered(grams.sparkSession)
     // the distinct (doc, gram) set feeds the sketch build AND the capped

@@ -47,7 +47,9 @@ object TrainingPipeline {
     * identical survivors/bins lazily, with an EMPTY audit trail. In that
     * mode the intermediate persists are left in place for the caller's
     * first action to populate (diamond subplans still compute once) —
-    * cache cleanup is caller-owned, the usual contract.
+    * and `Result.cleanup()` releases them once the caller has
+    * materialized what it needs (in audit mode the upstream caches are
+    * already released eagerly; cleanup then frees only `survivors`).
     */
   case class Config(
       minQuality: Double = 0.05,
@@ -58,10 +60,15 @@ object TrainingPipeline {
       audit: Boolean = true)
 
   /** Stage outputs: the surviving corpus and the packed bins, plus
-    * per-stage survivor counts for the audit trail.
+    * per-stage survivor counts for the audit trail. `cleanup` unpersists
+    * every cache this prepare() call created (idempotent; safe after the
+    * caller's last action on `survivors`/`packed`) — the selective
+    * release the non-audit mode needs, without reaching for
+    * `spark.catalog.clearCache()` and dropping unrelated caches.
     */
   case class Result(survivors: DataFrame, packed: DataFrame,
-                    audit: Seq[(String, Long)])
+                    audit: Seq[(String, Long)],
+                    cleanup: () => Unit = () => ())
 
   private def words(c: Column): Column = filter(split(c, " "), w => w =!= "")
 
@@ -131,11 +138,11 @@ object TrainingPipeline {
     if (cfg.audit) {
       audit += ("decontaminated" -> clean.count())
       // clean is materialized: the upstream caches served their consumers
-      // and can release now. `clean` itself stays cached — the caller owns
-      // it (same contract as SparkEntry.queries' persisted subplans).
-      // Without audit nothing has materialized yet, so the upstream
-      // persists stay (the caller's first action populates them once and
-      // cleanup is caller-owned per the Config note).
+      // and can release now. `clean` itself stays cached until the
+      // caller's cleanup() (same contract as SparkEntry.queries'
+      // persisted subplans). Without audit nothing has materialized yet,
+      // so the upstream persists stay for the caller's first action to
+      // populate once — cleanup() releases them too.
       exact.unpersist()
       nearDeduped.unpersist()
       trainGrams.unpersist()
@@ -149,7 +156,11 @@ object TrainingPipeline {
     val packed = Extensions.packBins(chunks, cfg.binTokens, cfg.shards)
       .select("shard", "bin", "n_chunks", "tok_total")
 
-    Result(clean, packed, audit.result())
+    // unpersist is idempotent, so listing the already-released audit-mode
+    // caches here is harmless — one cleanup covers both modes
+    val cleanup = () => Seq(exact, nearDeduped, trainGrams, clean)
+      .foreach(_.unpersist())
+    Result(clean, packed, audit.result(), cleanup)
   }
 
 }

@@ -115,8 +115,11 @@ object Grafana {
   /** [[queryDaily]] over the hour-granularity rollup table
     * (`p_hour` timestamp partitions, [[graft.streaming.Rollup]]'s
     * "hour" granularity): per-hour means, hour-start epoch-ms times.
-    * An hour bucket qualifies iff its start lies in the (inclusive)
-    * range — the same bucket-start convention as the day path.
+    * Range bounds TRUNCATE DOWN to the hour before comparing (the same
+    * convention as the day path's `to_date`): a `from` of 10:30 still
+    * admits the 10:00 bucket — a bucket qualifies iff its start lies in
+    * the truncated (inclusive) range, so the bucket containing `from`
+    * is served rather than clipped.
     */
   def queryHourly(rollup: DataFrame, req: QueryRequest): String =
     queryRollup(rollup, req, "p_hour",
@@ -168,8 +171,11 @@ object Grafana {
     * ONE fixed-schema (Target, Value, Time) table (reference
     * index.js:131-148, with §1.4.3's concatenation fix) — one definition
     * across the raw and rollup read paths. Emitted whenever table
-    * TARGETS exist (zero matching rows still produce the empty table,
-    * the reference's own shape); absent only when none were requested.
+    * TARGETS exist — zero matching rows still produce an empty table.
+    * That is a deliberate DEVIATION from the reference (index.js only
+    * appends the table object when rows exist), like the §1.4.3
+    * concatenation fix: a requested target always answers with its
+    * shape, so a dashboard panel can tell "no data" from "no table".
     */
   private def tableJson(parts: Seq[(String, Seq[(Double, Long)])]): Seq[String] =
     if (parts.isEmpty) Seq.empty

@@ -46,8 +46,10 @@ class TopKAggSpec extends SparkSpec {
       (1 to rnd.nextInt(40) + 1).map(i =>
         (s"g$g", f"${rnd.nextInt(1000)}%04d", rnd.nextLong().abs % 100000))
     }
+    // NO distinct: duplicated (rk, id) rows each occupy a rank, exactly
+    // as row_number() would rank them
     val expected = rows.groupBy(_._1).flatMap { case (g, rs) =>
-      rs.map(r => (r._2, r._3)).distinct.sorted.take(5)
+      rs.map(r => (r._2, r._3)).sorted.take(5)
         .zipWithIndex.map { case ((rk, id), i) => (g, rk, id, i + 1L) }
     }.toSet
     val got = rows.toDF("g", "rk", "id").repartition(7)
@@ -86,6 +88,27 @@ class TopKAggSpec extends SparkSpec {
       .select(explode(col("top")).as("e")).select("e.rk", "e.id")
       .as[(String, Long)].collect().toSeq
     assert(got == Seq(("a", 3L), ("b", 1L)))
+  }
+
+  test("topk_min_agg returns k entries on duplicated (rk, id) rows (window parity)") {
+    import spark.implicits._
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    // the whole group is duplicate pairs: a dedup-ing buffer would
+    // return 2 entries; row_number returns k — the aggregate must too
+    val rows = Seq.fill(4)(("g", "a", 1L)) ++ Seq.fill(4)(("g", "b", 2L))
+    val got = rows.toDF("g", "rk", "id").repartition(5)
+      .groupBy("g").agg(expr("topk_min_agg(rk, id, 5)").as("top"))
+      .select(posexplode(col("top")))
+      .select(col("col.rk"), col("col.id"), (col("pos") + 1).cast("long"))
+      .as[(String, Long, Long)].collect().toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("rk"), col("id"))
+    val windowed = rows.toDF("g", "rk", "id")
+      .withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= 5)
+      .select("rk", "id", "rn").as[(String, Long, Long)].collect().toSeq
+    assert(got == windowed)
+    assert(got == Seq(("a", 1L, 1L), ("a", 1L, 2L), ("a", 1L, 3L),
+      ("a", 1L, 4L), ("b", 2L, 5L)))
   }
 
   test("topk_min_agg survives partial-buffer serialization round trips") {

@@ -83,4 +83,23 @@ class TrainingPipelineSpec extends SparkSpec {
       assert(silent.survivors.count() == audited.audit.last._2)
     } finally spark.catalog.clearCache()
   }
+
+  test("cleanup() releases the caches prepare() created, in non-audit mode too") {
+    val docs = graft.model.Tables(spark, sf(), "documents")
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val eval_ = docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text")
+    try {
+      val res = TrainingPipeline.prepare(train, eval_,
+        TrainingPipeline.Config(audit = false))
+      res.packed.count() // first action populates the lazy persists
+      assert(res.survivors.storageLevel !=
+        org.apache.spark.storage.StorageLevel.NONE,
+        "survivors should be cached after materialization")
+      res.cleanup()
+      assert(res.survivors.storageLevel ==
+        org.apache.spark.storage.StorageLevel.NONE,
+        "cleanup() must unpersist the survivors cache")
+      res.cleanup() // idempotent
+    } finally spark.catalog.clearCache()
+  }
 }
