@@ -59,6 +59,107 @@ object Dedup {
     sig.select(cols: _*)
   }
 
+  /** Degenerate-bucket guard for banded pair expansion (q78/q79/q85).
+    *
+    * The band paths aggregate each LSH bucket into ONE row
+    * (`sort_array(collect_list(e))`) and run the fused k(k-1)/2 pair
+    * expansion inside a single expression call — one task does O(k²)
+    * work with no bound on k. Real buckets are near-dup clusters and
+    * stay small, but a DEGENERATE band value (templated/boilerplate
+    * corpora collapsing one 16-bit band) grows with the corpus: the
+    * 1.6k-doc mega-bucket observed at sf0.1 becomes a 160k-doc
+    * single-task quadratic at 100×. This helper bounds that task
+    * WITHOUT changing the output:
+    *
+    * Triangle split on the MATERIALIZED bucket. The bucket aggregates
+    * exactly as before (one `sort_array(collect_list)` row — memory-
+    * bounded: even a 160k-member signature bucket is tens of MB), and
+    * m = ceil(k/target) derives from the array itself, so there is NO
+    * size pre-pass: no second scan of the signature pipeline, no
+    * broadcast size join (a prior draft did exactly that and re-ran
+    * the whole upstream — ReuseExchange cannot dedup the branches
+    * because join-key null filters break canonical subtree equality).
+    * The sorted array splits into m contiguous slices; sub-row (i,j)
+    * carries slice_i (i = j) or slice_i ++ slice_j (i < j), a
+    * repartition spreads the m(m+1)/2 sub-rows across tasks, and the
+    * fused pair expansion runs per sub-row — ≤ (2·target)²/2
+    * comparisons per task. Slices are contiguous ranges of the sorted
+    * array, so "pair (a,b) belongs to sub-row (i,j)" is the bounds
+    * check a ≤ last(slice_i) ∧ b ≥ first(slice_j) (trivially true for
+    * i = j): every qualifying pair of the original bucket is emitted
+    * EXACTLY once — the declared outputs cannot move.
+    *
+    * Scale shape: one extra linear, skew-free exchange (the sub-row
+    * repartition, every row ≤ 2·target members) replaces the
+    * unbounded single-task quadratic; unsplit buckets (m = 1) pass
+    * through it unchanged. Dial: spark.graft.bandBucketTarget
+    * (default 4096, ~4× the observed sf0.1 p99 bucket); specs force
+    * tiny targets to exercise real splitting.
+    *
+    * @param bands one row per (bucket key…, member)
+    * @param keys  bucket key column names
+    * @param idOf  extracts the long doc id from a member (identity
+    *              for plain-id members, `.doc_id` for signature-
+    *              carrying structs; ids are the sort order's first
+    *              field, so slices are id ranges)
+    * @param e     the member payload to collect
+    * @param pairs fused pair expansion over a sorted member array;
+    *              must emit struct rows with long fields `a` and `b`
+    *              (the two doc ids, a < b)
+    * @return one column `p` = the exploded qualifying pair structs
+    */
+  private[ops] def boundedPairs(bands: DataFrame, keys: Seq[String],
+      idOf: Column => Column, e: Column,
+      pairs: Column => Column): DataFrame = {
+    val kcols = keys.map(col)
+    triangleSubRows(bands.groupBy(kcols: _*)
+        .agg(sort_array(collect_list(e)).as("ds")), keys, idOf)
+      .repartition(kcols ++ Seq(col("_i"), col("_j")): _*)
+      .select(col("_i"), col("_j"), col("_lx"), col("_fy"),
+        explode(pairs(col("ds"))).as("p"))
+      .filter(col("_i") === col("_j") ||
+        (col("p.a") <= col("_lx") && col("p.b") >= col("_fy")))
+      .select(col("p"))
+  }
+
+  /** The slicing stage of [[boundedPairs]], separable for its spec:
+    * one (keys…, ds) bucket row → its m(m+1)/2 triangle sub-rows
+    * (_i, _j, ds = the ≤ 2·target-member sub-array, _lx/_fy = the
+    * slice-boundary ids for the exactly-once pair filter).
+    */
+  private[ops] def triangleSubRows(bucketed: DataFrame, keys: Seq[String],
+      idOf: Column => Column): DataFrame = {
+    val t = bucketed.sparkSession.conf
+      .get("spark.graft.bandBucketTarget", "4096").toInt
+    val kcols = keys.map(col)
+    bucketed
+      .withColumn("_m",
+        greatest(ceil(size(col("ds")) / lit(t.toDouble)), lit(1L)).cast("int"))
+      .select(kcols :+ explode(expr(
+        // the m = 1 fast path matters: the nested-transform triangle is
+        // interpreted (HOFs never codegen), and paying its lambda/alloc
+        // machinery per COMMON bucket row costs ~0.5 s at sf0.1; the IF
+        // evaluates only the taken branch, so unsplit buckets build one
+        // flat struct instead
+        s"""IF(_m = 1,
+           |   array(struct(0 AS i, 0 AS j, ds AS arr,
+           |                element_at(ds, size(ds)) AS lastx,
+           |                element_at(ds, 1) AS firsty)),
+           |   flatten(transform(sequence(0, _m - 1), i ->
+           |     transform(sequence(i, _m - 1), j ->
+           |       struct(i AS i, j AS j,
+           |         IF(i = j, slice(ds, i * $t + 1, $t),
+           |                   concat(slice(ds, i * $t + 1, $t),
+           |                          slice(ds, j * $t + 1, $t))) AS arr,
+           |         element_at(ds, least((i + 1) * $t, size(ds))) AS lastx,
+           |         element_at(ds, j * $t + 1) AS firsty)))))""".stripMargin))
+        .as("_sub"): _*)
+      .select(kcols ++ Seq(col("_sub.i").as("_i"), col("_sub.j").as("_j"),
+        col("_sub.arr").as("ds"),
+        idOf(col("_sub.lastx")).as("_lx"),
+        idOf(col("_sub.firsty")).as("_fy")): _*)
+  }
+
   /** q78's banded SimHash near-dup pairing over any (doc_id, text)
     * DataFrame — also the near-dup stage of [[TrainingPipeline]].
     * Per-doc signature via the simhash_agg aggregate, 4×16-bit bands,
@@ -82,9 +183,8 @@ object Dedup {
           struct(col("doc_id"), col("sh")).as("e"))
       }: _*)).as("x"))
       .select(col("x.band").as("band"), col("x.bv").as("bv"), col("x.e").as("e"))
-    bands.groupBy(col("band"), col("bv"))
-      .agg(sort_array(collect_list(col("e"))).as("ds"))
-      .select(explode(expr(s"hamming_pairs(ds, $maxHam)")).as("p"))
+    boundedPairs(bands, Seq("band", "bv"), _.getField("doc_id"), col("e"),
+      ds => call_function("hamming_pairs", ds, lit(maxHam)))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"),
         col("p.hamming").as("hamming"))
       .distinct()
@@ -149,12 +249,11 @@ object Dedup {
       // candidate pairs per band bucket via groupBy + compiled pair
       // expansion (array_pairs) — ONE shuffle on the bucket key instead
       // of a two-sided self-join (which would exchange the band table
-      // twice and build a join hash side); same quadratic-per-bucket
-      // output either way, and LSH buckets are near-dup clusters, so
-      // they stay small by construction
-      bands.groupBy(col("band"), col("bh"))
-        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-        .select(explode(expr("array_pairs(ds)")).as("p"))
+      // twice and build a join hash side); degenerate buckets are
+      // triangle-split so no task exceeds the bounded expansion (see
+      // [[boundedPairs]])
+      boundedPairs(bands, Seq("band", "bh"), identity, col("doc_id"),
+        ds => call_function("array_pairs", ds))
         .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
         .agg(count(lit(1)).as("shared_bands"))
         .orderBy(col("doc_a"), col("doc_b"))
@@ -185,9 +284,8 @@ object Dedup {
             struct(col("doc_id"), col("sig")).as("e"))
         }: _*)).as("x"))
         .select(col("x.band").as("band"), col("x.bh").as("bh"), col("x.e").as("e"))
-      bands.groupBy(col("band"), col("bh"))
-        .agg(sort_array(collect_list(col("e"))).as("ds"))
-        .select(explode(expr("minhash_pairs(ds)")).as("p"))
+      boundedPairs(bands, Seq("band", "bh"), _.getField("doc_id"), col("e"),
+        ds => call_function("minhash_pairs", ds))
         .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
         .agg(count(lit(1)).as("shared_bands"), max(col("p.agree")).as("ag"))
         .select(col("doc_a"), col("doc_b"), col("shared_bands"),

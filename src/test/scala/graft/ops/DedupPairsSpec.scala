@@ -129,16 +129,26 @@ class DedupPairsSpec extends SparkSpec {
     assert(got == expected && expected.nonEmpty)
   }
 
-  test("q79 fused estimator == signature-join formulation, and its plan is join-free") {
+  test("q79 fused estimator == signature-join formulation, and its plan has no shuffle join") {
     graft.functions.VectorExpressions.ensureRegistered(spark)
     val dir = sf()
     val fused = graft.SparkEntry.queries("q79_minhash_jaccard_est")(spark, dir)
-    // the whole point of the fusion: NO join survives after the bucket
-    // groupBy — in fact no join exists anywhere in the plan
-    val joins = fused.queryExecution.optimizedPlan.collect {
-      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    // the whole point of the fusion: NO signature join survives after
+    // the bucket groupBy (boundedPairs splits oversized buckets with
+    // slicing + a repartition, never a join); a shuffled join means
+    // the signature re-join crept back in, and anything beyond a
+    // single broadcast means a size pre-pass was reintroduced
+    val phys = fused.queryExecution.executedPlan
+    val shuffled = phys.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
     }
-    assert(joins.isEmpty, s"q79 plan still contains ${joins.size} join(s)")
+    assert(shuffled.isEmpty, s"q79 plan contains ${shuffled.size} shuffle join(s)")
+    val bcast = phys.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(bcast.size <= 1, s"q79 plan contains ${bcast.size} broadcast join(s)")
 
     // reference formulation: candidates re-joined to the signature table
     // on both sides (the pre-fusion shape), estimator via zip_with
