@@ -190,48 +190,99 @@ object Dedup {
       .distinct()
   }
 
-  /** Connected components of an undirected (a, b) edge DataFrame by
-    * HashMin label propagation: each round, every node takes the min
-    * label among itself and its neighbors, converging to (doc_id,
-    * cluster = component-min id) in O(component diameter) rounds.
+  /** Connected components of an undirected (a, b) edge DataFrame via
+    * alternating large-star/small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14):
+    *
+    *   large-star(u): every neighbor v > u re-points to
+    *                  m = min(Γ(u) ∪ {u})       — emit (v, m)
+    *   small-star(u): u and its smaller neighbors re-point to
+    *                  m = min of the smaller set — emit those (v, m)
+    *
+    * Both steps preserve connectivity and only ever point nodes at
+    * smaller ids, so the fixpoint is a star forest rooted at each
+    * component's MINIMUM id — the same (doc_id, cluster = min) labels
+    * HashMin propagation produces, but in O(log n) rounds instead of
+    * O(component diameter): HashMin moves a label one hop per round,
+    * so a 1000-link near-dup chain (mirrored/templated corpora) needs
+    * ~500 rounds — tripping the loop guard below, a hard failure —
+    * where star contraction needs single digits. Per-round shape is
+    * the same Pregel-on-DataFrames discipline as before: a groupBy +
+    * join per star step, EAGER localCheckpoint lineage truncation
+    * (the plan otherwise compounds per iteration and OOMs the driver
+    * during analysis), and a driver that holds no data — convergence
+    * is an isEmpty probe on the symmetric set difference.
+    *
     * Nodes appear iff they appear in an edge (singletons are not dup
-    * clusters). Each round's labels pass through an EAGER
-    * localCheckpoint — iterative DataFrames MUST truncate lineage per
-    * round (the plan otherwise triples per iteration: three branches
-    * each embedding the prior round's tree, OOMing the driver during
-    * analysis long before the data is large). The driver-side loop
-    * holds NO data — convergence is an isEmpty probe, the standard
-    * Pregel-on-DataFrames shape.
+    * clusters).
     */
-  private[ops] def connectedComponents(edges0: DataFrame): DataFrame = {
-    val edges = edges0.localCheckpoint(true)
-    var labels = edges.select(col("a").as("node"))
-      .union(edges.select(col("b").as("node")))
+  private[ops] def connectedComponents(edges0: DataFrame): DataFrame =
+    connectedComponentsWithRounds(edges0)._1
+
+  /** [[connectedComponents]] plus the converged round count — the
+    * O(log n) claim is spec-asserted on a long synthetic chain.
+    */
+  private[ops] def connectedComponentsWithRounds(
+      edges0: DataFrame): (DataFrame, Int) = {
+    // canonical child→parent orientation (a > b), loops/dups dropped —
+    // the star steps below maintain this invariant
+    // consumed exactly once (final label extraction) — checkpointing
+    // it would spend a whole materialization job to save nothing
+    val nodes = edges0.select(col("a").as("node"))
+      .union(edges0.select(col("b").as("node")))
       .distinct()
-      .withColumn("label", col("node"))
+    var l = edges0
+      .select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
       .localCheckpoint(true)
     var converged = false
     var rounds = 0
     while (!converged) {
       rounds += 1
-      // needing this many rounds means the upstream pairing is broken
-      // (near-dup components are dense cliques with tiny diameters) —
-      // fail loudly instead of looping the cluster forever
-      require(rounds <= 50, "label propagation did not converge in 50 rounds")
-      val next = edges.join(labels, col("a") === col("node"))
-        .select(col("b").as("node"), col("label"))
-        .union(edges.join(labels, col("b") === col("node"))
-          .select(col("a").as("node"), col("label")))
-        .union(labels)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.label") < col("o.label"))
+      // star contraction halves component height per round; needing
+      // this many means the edge input is pathological — fail loudly
+      // instead of looping the cluster forever
+      require(rounds <= 50, "star contraction did not converge in 50 rounds")
+      // large-star: group the SYMMETRIC neighborhood of u; every
+      // strictly-larger neighbor re-points to min(Γ(u) ∪ {u})
+      val sym = l.union(l.select(col("b").as("a"), col("a").as("b")))
+      val lsMin = sym.groupBy(col("a"))
+        .agg(least(min(col("b")), col("a")).as("m"))
+      // no checkpoint and no distinct mid-round: l is checkpointed each
+      // round so within-round lineage is constant-depth, duplicate
+      // (v, m) rows are harmless to small-star's min aggregate, and
+      // next's distinct collapses them — an eager materialization or
+      // an extra dedup shuffle here would add fixed per-round cost
+      // (round count, not data volume, dominates this loop's price)
+      val ls = sym.filter(col("b") > col("a"))
+        .join(lsMin, "a")
+        .select(col("b").as("a"), col("m").as("b"))
+      // small-star: group u's smaller neighbors (orientation already
+      // canonical); u and each of them re-point to the minimum
+      val ssMin = ls.groupBy(col("a")).agg(min(col("b")).as("m"))
+      val next = ls.join(ssMin, "a")
+        .select(col("b").as("a"), col("m").as("b"))
+        .union(ssMin.select(col("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b"))
+        .distinct().localCheckpoint(true)
+      // fixpoint of the alternation ⟺ star forest ⟺ no parent is
+      // itself a child — a structural test on THIS round's output, so
+      // the final contraction round detects its own convergence (a
+      // set-equality probe would burn one extra no-op round, and on a
+      // 2^k-link chain that is the difference between k and k+1)
+      converged = next.as("x")
+        .join(next.as("y"), col("x.b") === col("y.a"), "left_semi")
         .isEmpty
-      labels = next
+      l = next
     }
-    labels.select(col("node").as("doc_id"), col("label").as("cluster"))
+    // star forest: every child row is (node, component-min root);
+    // roots appear only on the parent side and label themselves
+    val labels = nodes.as("n")
+      .join(l.as("e"), col("n.node") === col("e.a"), "left")
+      .select(col("n.node").as("doc_id"),
+        coalesce(col("e.b"), col("n.node")).as("cluster"))
+    (labels, rounds)
   }
 
   val queries: Map[String, Q] = Map(
@@ -361,11 +412,11 @@ object Dedup {
     // doc do I keep" when dups chain (a~b, b~c but a!~c): components
     // make the keep-set well-defined and deterministic.
     //
-    // Scale shape: HashMin label propagation over the pair graph (see
-    // [[connectedComponents]] — two edge⋈label joins + a min groupBy
-    // per round, O(component diameter) rounds, lineage truncated per
-    // round). The oracle computes the same labels via recursive
-    // transitive closure.
+    // Scale shape: alternating large-star/small-star contraction over
+    // the pair graph (see [[connectedComponents]] — a groupBy + join
+    // per star step, O(log n) rounds, lineage truncated per round).
+    // The oracle computes the same labels via recursive transitive
+    // closure.
     "q100_dup_clusters" -> ((s, dir) => {
       graft.functions.VectorExpressions.ensureRegistered(s)
       connectedComponents(
@@ -497,7 +548,7 @@ object Dedup {
       // q100: q78's qualifying pairs as an edge set, then connected
       // components via recursive transitive closure (UNION dedup bounds
       // the recursion); cluster = min reachable id (incl. self) — the
-      // same labels HashMin propagation converges to
+      // same labels star contraction converges to
       "q100_dup_clusters" ->
         s"""WITH RECURSIVE $simhashCtes,
            |sig AS (

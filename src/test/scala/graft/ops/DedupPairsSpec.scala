@@ -203,6 +203,42 @@ class DedupPairsSpec extends SparkSpec {
     assert(!got.contains(4L))
   }
 
+  test("star contraction labels a 1000-link chain in logarithmic rounds") {
+    import spark.implicits._
+    // the case HashMin propagation could NOT survive: a path graph of
+    // diameter 1000 needs ~500 one-hop rounds (tripping the 50-round
+    // guard — a hard failure); alternating large-star/small-star
+    // halves component height per round and must land in single digits
+    val edges = (1L until 1000L).map(i => (i, i + 1)).toDF("a", "b")
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(edges)
+    val got = labels.as[(Long, Long)].collect()
+    assert(got.length == 1000 && got.forall(_._2 == 1L))
+    assert(rounds <= 10, s"chain took $rounds rounds")
+  }
+
+  test("star contraction labels equal union-find on a seeded random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // sparse random graph: mixes singletons-in-edges, small clusters,
+    // and one emergent giant component
+    val edges = (1 to 300).map(_ => (rnd.nextInt(200) + 1L, rnd.nextInt(200) + 1L))
+      .filter { case (a, b) => a != b }
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val expected = nodes.map(n => n -> find(n)).toMap
+    val got = Dedup.connectedComponents(edges.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
+
   test("connectedComponents is insensitive to edge orientation and duplication") {
     import spark.implicits._
     val e1 = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
