@@ -31,38 +31,66 @@ object Grafana {
     metrics.select(col("series")).distinct()
       .orderBy(col("series")).collect().map(_.getString(0)).toSeq
 
-  /** One target's slice: inclusive time range (reference index.js:106),
-    * explicit order, truncation limit. Filters/limit push into the scan.
+  /** Executes ONE Spark action for a whole request: collects the
+    * (series, value, t_ms) slice — per-series truncation via a
+    * row_number window when `limit` is set — and groups rows
+    * driver-side. A dashboard request with N targets previously ran N
+    * jobs, each re-scanning the source (SURVEY §3.1 flags the
+    * reference's own per-target loop, index.js:97-112, as the plan to
+    * avoid); one `isin` scan does the same work reading the source
+    * once. Collected volume stays bounded by targets × maxDataPoints
+    * (or bucket/rollup cardinality) — the reference's own consumption
+    * point.
     */
-  private def slice(metrics: DataFrame, t: Target, r: TimeRange,
-                    maxDataPoints: Int): DataFrame =
-    metrics
-      .filter(col("series") === t.target &&
-        col("ts").between(
-          to_timestamp(lit(r.fromIso)), to_timestamp(lit(r.toIso))))
-      .filter(col("value").isNotNull) // schema allows null; getDouble must not NPE
-      .orderBy(col("ts"))
-      .limit(maxDataPoints)
-      .select(col("value"), unix_millis(col("ts")).as("t_ms"))
+  private def collectBySeries(dps: DataFrame, limit: Option[Int])
+      : Map[String, IndexedSeq[(Double, Long)]] = {
+    val limited = limit match {
+      case Some(n) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("series")).orderBy(col("t_ms"))
+        dps.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") <= n).drop("_rn")
+      case None => dps
+    }
+    limited.orderBy(col("series"), col("t_ms")).collect()
+      .groupBy(_.getString(0)) // scala groupBy keeps per-group encounter order
+      .map { case (s, rows) =>
+        s -> rows.toIndexedSeq.map(r => (r.getDouble(1), r.getLong(2)))
+      }
+  }
+
+  /** Shared response assembly: timeseries objects in request order,
+    * then the single concatenated table; targets absent from the
+    * collected map (unknown/inactive, §1.4.1-2) answer with their
+    * empty shape.
+    */
+  private def render(targets: Seq[Target],
+      bySeries: Map[String, IndexedSeq[(Double, Long)]]): String = {
+    val empty = IndexedSeq.empty[(Double, Long)]
+    val ts = targets.filter(_.targetType != "table")
+      .map(t => targetJson(t.target, bySeries.getOrElse(t.target, empty)))
+    val table = tableJson(targets.filter(_.targetType == "table")
+      .map(t => (t.target, bySeries.getOrElse(t.target, empty))))
+    (ts ++ table).mkString("[", ",", "]")
+  }
 
   /** `/query` — returns the JSON body (reference index.js:86-155):
     * timeseries targets → `{"target", "datapoints": [[value, epoch_ms]]}`
     * (value FIRST, reference index.js:121-129); table targets → one
-    * concatenated fixed-schema table (Target, Value, Time).
+    * concatenated fixed-schema table (Target, Value, Time). All
+    * targets come from ONE inclusive-range `isin` scan (reference
+    * index.js:106 semantics per target), per-series time order +
+    * truncation limit.
     */
   def query(metrics: DataFrame, req: QueryRequest): String = {
-    val parts = req.targets.map { t =>
-      val rows = slice(metrics, t, req.range, req.maxDataPoints).collect()
-      (t, rows)
-    }
-    val ts = parts.filter(_._1.targetType != "table").map { case (t, rows) =>
-      targetJson(t.target, rows.toIndexedSeq.map(r => (r.getDouble(0), r.getLong(1))))
-    }
-    val table = tableJson(parts.filter(_._1.targetType == "table")
-      .map { case (t, rs) =>
-        (t.target, rs.toIndexedSeq.map(r => (r.getDouble(0), r.getLong(1))))
-      })
-    (ts ++ table).mkString("[", ",", "]")
+    val names = req.targets.map(_.target).distinct
+    val dps = metrics
+      .filter(col("series").isin(names: _*) &&
+        col("ts").between(
+          to_timestamp(lit(req.range.fromIso)), to_timestamp(lit(req.range.toIso))))
+      .filter(col("value").isNotNull) // schema allows null; getDouble must not NPE
+      .select(col("series"), col("value"), unix_millis(col("ts")).as("t_ms"))
+    render(req.targets, collectBySeries(dps, Some(req.maxDataPoints)))
   }
 
   /** Downsampling `/query` variant — what Grafana actually intends with
@@ -82,21 +110,26 @@ object Grafana {
     val max = math.max(1, req.maxDataPoints).toLong
     val span = toMs - fromMs
     val bucketMs = math.max(1L, (span + max - 1) / max)
-    val parts = req.targets.filter(_.targetType != "table").map { t =>
-      val rows = metrics
-        .filter(col("series") === t.target &&
-          col("ts").between(to_timestamp(lit(req.range.fromIso)),
-            to_timestamp(lit(req.range.toIso))))
-        .filter(col("value").isNotNull)
-        .groupBy(least(((unix_millis(col("ts")) - fromMs) / bucketMs).cast("long"),
+    val series = req.targets.filter(_.targetType != "table")
+    val names = series.map(_.target).distinct
+    // one isin scan + one (series, bucket) aggregation for the whole
+    // request (see collectBySeries); output is ≤ maxDataPoints buckets
+    // per series by the index clamp, so no further limit applies
+    val dps = metrics
+      .filter(col("series").isin(names: _*) &&
+        col("ts").between(to_timestamp(lit(req.range.fromIso)),
+          to_timestamp(lit(req.range.toIso))))
+      .filter(col("value").isNotNull)
+      .groupBy(col("series"),
+        least(((unix_millis(col("ts")) - fromMs) / bucketMs).cast("long"),
           lit(max - 1)).as("bucket"))
-        .agg(avg(col("value")).as("v"))
-        .select((col("bucket") * bucketMs + fromMs).as("t_ms"), col("v"))
-        .orderBy(col("t_ms"))
-        .collect()
-      targetJson(t.target, rows.toIndexedSeq.map(r => (r.getDouble(1), r.getLong(0))))
-    }
-    parts.mkString("[", ",", "]")
+      .agg(avg(col("value")).as("value"))
+      .select(col("series"), col("value"),
+        (col("bucket") * bucketMs + fromMs).as("t_ms"))
+    val bySeries = collectBySeries(dps, None)
+    val empty = IndexedSeq.empty[(Double, Long)]
+    series.map(t => targetJson(t.target, bySeries.getOrElse(t.target, empty)))
+      .mkString("[", ",", "]")
   }
 
   /** Rollup-backed `/query` for day-granularity ranges: serves per-day
@@ -135,26 +168,16 @@ object Grafana {
                           partCol: String,
                           bound: String => Column,
                           toMs: Column => Column): String = {
-    val parts = req.targets.map { t =>
-      val rows = rollup
-        .filter(col("series") === t.target &&
-          col(partCol).between(bound(req.range.fromIso), bound(req.range.toIso)))
-        // Rollup filters null values at merge, but a foreign/hand-built
-        // table may not — same getDouble-must-not-NPE guard as slice()
-        .filter(col("cnt") > 0 && col("total").isNotNull)
-        .select((col("total") / col("cnt")).as("v"),
-          toMs(col(partCol)).as("t_ms"))
-        .orderBy(col("t_ms"))
-        .limit(req.maxDataPoints)
-        .collect()
-      (t, rows.toIndexedSeq.map(r => (r.getDouble(0), r.getLong(1))))
-    }
-    val ts = parts.filter(_._1.targetType != "table").map { case (t, dps) =>
-      targetJson(t.target, dps)
-    }
-    val table = tableJson(parts.filter(_._1.targetType == "table")
-      .map { case (t, dps) => (t.target, dps) })
-    (ts ++ table).mkString("[", ",", "]")
+    val names = req.targets.map(_.target).distinct
+    val dps = rollup
+      .filter(col("series").isin(names: _*) &&
+        col(partCol).between(bound(req.range.fromIso), bound(req.range.toIso)))
+      // Rollup filters null values at merge, but a foreign/hand-built
+      // table may not — same getDouble-must-not-NPE guard as query()
+      .filter(col("cnt") > 0 && col("total").isNotNull)
+      .select(col("series"), (col("total") / col("cnt")).as("value"),
+        toMs(col(partCol)).as("t_ms"))
+    render(req.targets, collectBySeries(dps, Some(req.maxDataPoints)))
   }
 
   /** Shared timeseries-target assembly: value-FIRST datapoint pairs

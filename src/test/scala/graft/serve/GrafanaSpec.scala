@@ -113,6 +113,36 @@ class GrafanaSpec extends SparkSpec {
     assert(json == """[{"target":"cpu","datapoints":[[1,1704412800000]]}]""")
   }
 
+  test("multi-target query: request order preserved, unknown answers empty (golden)") {
+    val json = Grafana.query(metrics,
+      QueryRequest(Seq(Target("click", "timeseries"), Target("purchase", "timeseries"),
+        Target("nope", "timeseries"), Target("click", "table")), range, 100))
+    // request order (click before purchase despite catalog order), the
+    // unknown target's empty shape, then the single table — the exact
+    // bytes the per-target loop produced before the single-scan rewrite
+    assert(json ==
+      """[{"target":"click","datapoints":[[3.5,1704412803000]]},""" +
+      """{"target":"purchase","datapoints":[[9.5,1704412801000],[12,1704412802000]]},""" +
+      """{"target":"nope","datapoints":[]},""" +
+      """{"columns":[{"text":"Target","type":"string"},{"text":"Value","type":"number"},{"text":"Time","type":"time"}],"rows":[["click",3.5,1704412803000]],"type":"table"}]""")
+  }
+
+  test("multi-target query reads the source once, not once per target") {
+    import org.apache.spark.sql.functions.{col, udf}
+    // count source-row evaluations through a pushdown-proof udf: the
+    // per-target loop evaluated every row once per target (SURVEY §3.1's
+    // R9 complaint about reference index.js:97-112); the single-scan
+    // form must touch each row exactly once for the whole request
+    val acc = spark.sparkContext.longAccumulator("grafana-scanned-rows")
+    val tap = udf { (_: String) => acc.add(1); true }
+    val tapped = metrics.filter(tap(col("series")))
+    Grafana.query(tapped,
+      QueryRequest(Seq(Target("purchase", "timeseries"), Target("click", "timeseries"),
+        Target("view", "timeseries")), range, 100))
+    assert(acc.value == metrics.count(),
+      s"source rows evaluated ${acc.value} times for 3 targets")
+  }
+
   test("annotations/tag endpoints are empty stubs (index.js:159-181)") {
     assert(Grafana.annotations == "[]" && Grafana.tagKeys == "[]" &&
       Grafana.tagValues == "[]")
