@@ -128,6 +128,116 @@ object Rollup {
     } finally partial.unpersist()
   }
 
+  /** Hour→day demotion — the hour table's retention story. The hour
+    * rollup grows at 8760 × series rows/year; dashboards only zoom
+    * into RECENT hours, so hours older than `cutoff` (exclusive, the
+    * same convention as [[Retention.enforce]]) demote into the day
+    * rollup at `dayDir`: their count/sum/min/max aggregate EXACTLY
+    * into day rows (all four are associative — no information the day
+    * granularity needs is lost) and the hour partitions then drop,
+    * metadata-only.
+    *
+    * Lifecycle note: this is for the DERIVED layout — one stream
+    * maintains the hour table, and the day table is the demotion
+    * product. If a second stream already maintains the day table
+    * directly, demotion would double-count; use
+    * [[Retention.enforce]]-style drops on the hour table instead.
+    *
+    * Crash safety mirrors the merge's per-partition discipline: each
+    * rewritten day partition records `demoted_through` = the latest
+    * hour folded in. Dropping the hour partitions happens AFTER the
+    * day writes, so a crash between the two leaves already-merged
+    * hour partitions behind — on re-run, hours at or below the stored
+    * watermark are excluded from the merge and only their directories
+    * drop. Partial days demote exactly: a later run folds the
+    * remaining hours into the same day row (associativity again).
+    *
+    * Driver-side partition listing, like Retention/Compaction: right
+    * for time-partition maintenance windows. Returns
+    * (hourPartitionsDropped, dayPartitionsTouched).
+    */
+  def demoteHours(spark: SparkSession, hourDir: String, dayDir: String,
+                  cutoff: java.sql.Timestamp): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(hourDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return (0, 0)
+    val hourParts = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("p_hour="))
+      .map { s =>
+        // partition dir names escape ':' etc. URL-style (%3A)
+        val v = java.net.URLDecoder.decode(
+          s.getPath.getName.stripPrefix("p_hour="), "UTF-8")
+        (s.getPath, java.sql.Timestamp.valueOf(v))
+      }
+    val old = hourParts.filter(_._2.before(cutoff))
+    if (old.isEmpty) return (0, 0)
+
+    val dayPath = new Path(dayDir)
+    val hasDay = fs.exists(dayPath) && {
+      val it = fs.listFiles(dayPath, true)
+      var found = false
+      while (!found && it.hasNext)
+        found = it.next().getPath.getName.endsWith(".parquet")
+      found
+    }
+    // mergeSchema: stream-written day partitions lack demoted_through;
+    // a plain read could sample its schema from one of those footers
+    // and silently hide every stored watermark
+    def dayTable = spark.read.option("mergeSchema", "true").parquet(dayDir)
+    val watermarks: Map[String, java.sql.Timestamp] =
+      if (!hasDay || !dayTable.columns.contains("demoted_through")) Map.empty
+      else dayTable.groupBy(col("p_date"))
+        .agg(max(col("demoted_through")).as("w"))
+        .collect()
+        .flatMap(r => Option(r.getTimestamp(1)).map(r.getDate(0).toString -> _))
+        .toMap
+    def dayOf(h: java.sql.Timestamp) =
+      java.sql.Date.valueOf(h.toLocalDateTime.toLocalDate)
+    val toMerge = old.filter { case (_, h) =>
+      !watermarks.get(dayOf(h).toString).exists(w => !h.after(w))
+    }
+    var daysTouched = 0
+    toMerge.groupBy { case (_, h) => dayOf(h) }.toSeq
+      .sortBy(_._1.toString)
+      .foreach { case (day, hrs) =>
+        val hourRows = spark.read.parquet(hourDir)
+          .filter(col("p_hour").isin(hrs.map(_._2): _*))
+          .select(col("series"), col("cnt"), col("total"),
+            col("vmin"), col("vmax"))
+        val existing =
+          if (hasDay) dayTable.filter(col("p_date") === lit(day))
+            .select(col("series"), col("cnt"), col("total"),
+              col("vmin"), col("vmax"))
+          else null
+        // keep the partition's replay bookkeeping intact across the
+        // rewrite (mergeBatch reads last_batch per partition)
+        val lastBatch: Long =
+          if (existing == null) -1L
+          else dayTable.filter(col("p_date") === lit(day))
+            .agg(coalesce(max(col("last_batch")), lit(-1L)))
+            .head().getLong(0)
+        val merged = (if (existing == null) hourRows
+          else existing.unionByName(hourRows))
+          .groupBy(col("series"))
+          .agg(sum(col("cnt")).as("cnt"), sum(col("total")).as("total"),
+            min(col("vmin")).as("vmin"), max(col("vmax")).as("vmax"))
+          .withColumn("last_batch", lit(lastBatch))
+          .withColumn("demoted_through",
+            lit(hrs.map(_._2).maxBy(_.getTime)))
+          .withColumn("p_date", lit(day))
+        merged.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("p_date")
+          .parquet(dayDir)
+        daysTouched += 1
+      }
+    // drop AFTER all day writes: includes partitions skipped as already
+    // merged — the crash leftovers the watermark exists for
+    old.foreach { case (p, _) => fs.delete(p, true) }
+    (old.size, daysTouched)
+  }
+
   /** Maintain the rollup from a streaming points DataFrame
     * (series, ts, value). `granularity`: "day" (partition `p_date`) or
     * "hour" (partition `p_hour`) — run two streams for both tables.

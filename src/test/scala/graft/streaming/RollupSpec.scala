@@ -270,6 +270,102 @@ class RollupSpec extends SparkSpec {
     assert(r.agg(min("p_date")).head.getDate(0).toString == "2024-01-02")
   }
 
+  test("hour→day demotion preserves count/sum/min/max exactly and drops old hours") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("rollup_demote").toString
+    val (hourDir, dayDir) = (s"$base/hourly", s"$base/daily")
+    // two closed days (several hours, two series) + a live day
+    val raw = Seq(
+      ("cpu", ts("2024-04-01 09:10:00"), 2.0),
+      ("cpu", ts("2024-04-01 09:40:00"), 6.0),
+      ("cpu", ts("2024-04-01 15:00:00"), 1.0),
+      ("mem", ts("2024-04-01 23:59:00"), 8.0),
+      ("cpu", ts("2024-04-02 00:00:00"), 3.0),
+      ("mem", ts("2024-04-02 12:30:00"), 5.0),
+      ("cpu", ts("2024-04-03 10:00:00"), 9.0) // live day, stays hourly
+    ).toDF("series", "ts", "value")
+    assert(Rollup.mergeBatchHourly(spark, raw, 0L, hourDir))
+
+    val (dropped, touched) =
+      Rollup.demoteHours(spark, hourDir, dayDir, ts("2024-04-03 00:00:00"))
+    assert(dropped == 5 && touched == 2) // 09:00 holds two raw points
+
+    // the demoted day table equals a direct day aggregation of the raw
+    // points — BOTH directions, all four aggregates
+    val expected = raw.filter(col("ts") < lit(ts("2024-04-03 00:00:00")))
+      .withColumn("p_date", to_date(col("ts")))
+      .groupBy("series", "p_date")
+      .agg(count(lit(1)).as("cnt"), sum("value").as("total"),
+        min("value").as("vmin"), max("value").as("vmax"))
+    val got = spark.read.option("mergeSchema", "true").parquet(dayDir)
+      .select("series", "p_date", "cnt", "total", "vmin", "vmax")
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+
+    // only the live day's hour partition remains; daily reads serve the
+    // demoted history through the unchanged Grafana path
+    val hoursLeft = spark.read.parquet(hourDir)
+    assert(hoursLeft.count() == 1 &&
+      hoursLeft.head().getAs[java.sql.Timestamp]("p_hour") == ts("2024-04-03 10:00:00"))
+    val json = graft.serve.Grafana.queryDaily(
+      spark.read.option("mergeSchema", "true").parquet(dayDir),
+      graft.serve.Grafana.QueryRequest(
+        Seq(graft.serve.Grafana.Target("cpu", "timeseries")),
+        graft.serve.Grafana.TimeRange("2024-04-01 00:00:00", "2024-04-02 23:59:59"),
+        100))
+    assert(json.contains("\"target\":\"cpu\"") && json.contains("[3,"))
+  }
+
+  test("demotion is replay-safe: re-merged hours are recognized by the watermark") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("rollup_demote_replay").toString
+    val (hourDir, dayDir) = (s"$base/hourly", s"$base/daily")
+    val raw = Seq(
+      ("cpu", ts("2024-05-01 08:00:00"), 4.0),
+      ("cpu", ts("2024-05-01 11:00:00"), 6.0),
+      ("cpu", ts("2024-05-01 20:00:00"), 2.0)
+    ).toDF("series", "ts", "value")
+    assert(Rollup.mergeBatchHourly(spark, raw, 0L, hourDir))
+
+    // snapshot the hour table BEFORE demotion — the crash being
+    // simulated is "day partition written, hour drops never happened",
+    // i.e. the pre-demotion hour directories still on disk
+    val fs = new org.apache.hadoop.fs.Path(hourDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snapshot = Files.createTempDirectory("hour_snapshot").toString + "/hourly"
+    org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(hourDir),
+      fs, new org.apache.hadoop.fs.Path(snapshot), false, true,
+      spark.sparkContext.hadoopConfiguration)
+
+    // partial-day demotion: morning hours only
+    val (d1, t1) = Rollup.demoteHours(spark, hourDir, dayDir, ts("2024-05-01 12:00:00"))
+    assert(d1 == 2 && t1 == 1)
+
+    // second run with nothing old: no-op
+    assert(Rollup.demoteHours(spark, hourDir, dayDir, ts("2024-05-01 12:00:00")) == ((0, 0)))
+
+    // crash simulation: resurrect the already-merged morning partitions;
+    // re-run must DROP them without touching any day partition again
+    fs.delete(new org.apache.hadoop.fs.Path(hourDir), true)
+    org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(snapshot),
+      fs, new org.apache.hadoop.fs.Path(hourDir), false, true,
+      spark.sparkContext.hadoopConfiguration)
+    val (d2, t2) = Rollup.demoteHours(spark, hourDir, dayDir, ts("2024-05-01 12:00:00"))
+    assert(d2 == 2 && t2 == 0, s"crash replay re-merged: dropped=$d2 touched=$t2")
+    val afterReplay = spark.read.option("mergeSchema", "true").parquet(dayDir)
+      .filter(col("series") === "cpu").head()
+    assert(afterReplay.getAs[Long]("cnt") == 2 &&
+      afterReplay.getAs[Double]("total") == 10.0, "day row moved on crash replay")
+
+    // finish the day: the remaining evening hour folds into the SAME day
+    // row exactly
+    val (d3, t3) = Rollup.demoteHours(spark, hourDir, dayDir, ts("2024-05-02 00:00:00"))
+    assert(d3 == 1 && t3 == 1)
+    val row = spark.read.option("mergeSchema", "true").parquet(dayDir)
+      .filter(col("series") === "cpu").head()
+    assert(row.getAs[Long]("cnt") == 3 && row.getAs[Double]("total") == 12.0 &&
+      row.getAs[Double]("vmin") == 2.0 && row.getAs[Double]("vmax") == 6.0)
+  }
+
   test("streaming wiring maintains the table across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
