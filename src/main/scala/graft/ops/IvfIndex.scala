@@ -41,6 +41,17 @@ object IvfIndex {
 
   private val MetaFile = "_ivf_meta.json" // '_' prefix: invisible to parquet listing
 
+  /** The store's identity + drift baseline, persisted as versioned JSON
+    * in `_ivf_meta.json`. k/dim/trainN identify the quantizer the store
+    * was laid out under — [[append]] refuses a model that disagrees
+    * BEFORE writing (a wrong KMeansModel would otherwise assign the
+    * batch into another store's cell numbering silently, poisoning
+    * every later probe). Legacy v1 files (mean only) read as
+    * k = dim = trainN = -1: baseline intact, identity unknown.
+    */
+  final case class Meta(version: Int, k: Int, dim: Int, trainN: Long,
+                        meanAssignCosine: Double)
+
   /** Train the coarse quantizer and write cell-partitioned inverted
     * lists. Returns the trained model (k centroid vectors live on the
     * driver — broadcast-sized by construction). Also records the
@@ -52,6 +63,7 @@ object IvfIndex {
     val feat = emb.withColumn("features", array_to_vector(col("embedding")))
     val trainSet =
       if (trainFraction >= 1.0) feat else feat.sample(trainFraction, seed)
+    val trainN = trainSet.count()
     val model = new KMeans()
       .setK(k).setSeed(seed).setFeaturesCol("features")
       .setPredictionCol("cell")
@@ -68,7 +80,8 @@ object IvfIndex {
     try {
       assigned.write.mode("overwrite").partitionBy("cell").parquet(store)
       writeMeta(assigned.sparkSession, store,
-        meanAssignedCosine(assigned, model))
+        Meta(2, model.clusterCenters.length, model.clusterCenters.head.size,
+          trainN, meanAssignedCosine(assigned, model)))
     } finally assigned.unpersist()
     model
   }
@@ -84,11 +97,22 @@ object IvfIndex {
   def append(emb: DataFrame, model: KMeansModel, store: String,
              driftTolerance: Double = 0.05): AppendReport = {
     val spark = emb.sparkSession
-    // baseline FIRST: a store without meta (not written by build, or
-    // meta deleted) must fail BEFORE the batch lands — failing after the
+    // meta FIRST: a store without meta (not written by build, or meta
+    // deleted) must fail BEFORE the batch lands — failing after the
     // write would leave the vectors in, and a retry post-repair would
     // silently duplicate every one of them in search results
-    val baseline = readMeta(spark, store)
+    val meta = readMeta(spark, store)
+    val baseline = meta.meanAssignCosine
+    // identity check, same fail-before-write rule: a model whose k or
+    // dimensionality disagrees with the store's recorded quantizer
+    // would append under another layout's cell numbering
+    val (mk, mdim) = (model.clusterCenters.length, model.clusterCenters.head.size)
+    if (meta.k >= 0 && (mk != meta.k || mdim != meta.dim))
+      throw new IllegalStateException(
+        s"model/store mismatch at $store: store was built with k=${meta.k} " +
+          s"dim=${meta.dim} (train_n=${meta.trainN}), model has k=$mk dim=$mdim — " +
+          "appending would mix cell numberings; rebuild the store with this " +
+          "model or load the store's own model")
     val assigned = model.transform(
         emb.withColumn("features", array_to_vector(col("embedding"))))
       .select(col("vec_id"), col("embedding"), col("cell"))
@@ -127,16 +151,18 @@ object IvfIndex {
     new org.apache.hadoop.fs.Path(store, MetaFile)
 
   private def writeMeta(spark: SparkSession, store: String,
-                        meanCos: Double): Unit = {
+                        meta: Meta): Unit = {
     val p = metaPath(store)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(p, true)
     try out.write(
-      s"""{"mean_assign_cosine": $meanCos}""".getBytes("UTF-8"))
+      (s"""{"version": ${meta.version}, "k": ${meta.k}, "dim": ${meta.dim}, """ +
+        s""""train_n": ${meta.trainN}, "mean_assign_cosine": ${meta.meanAssignCosine}}""")
+        .getBytes("UTF-8"))
     finally out.close()
   }
 
-  private[ops] def readMeta(spark: SparkSession, store: String): Double = {
+  private[ops] def readMeta(spark: SparkSession, store: String): Meta = {
     val p = metaPath(store)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) throw new IllegalStateException(
@@ -147,9 +173,18 @@ object IvfIndex {
     val in = fs.open(p)
     try in.readFully(0, buf) finally in.close()
     val json = new String(buf, "UTF-8")
-    // single-field file written by writeMeta — a trailing-number parse
-    // keeps this free of a JSON library dependency
-    json.split(":")(1).stripSuffix("}").trim.toDouble
+    // flat single-object file written by writeMeta — a named-field
+    // regex parse keeps this free of a JSON library dependency and,
+    // unlike the old positional split, survives field additions
+    def num(name: String): Option[Double] =
+      ("\"" + name + "\"\\s*:\\s*(-?[0-9][0-9.eE+-]*)").r
+        .findFirstMatchIn(json).map(_.group(1).toDouble)
+    val mean = num("mean_assign_cosine").getOrElse(throw new IllegalStateException(
+      s"$MetaFile under $store has no mean_assign_cosine field: $json"))
+    Meta(num("version").map(_.toInt).getOrElse(1),
+      num("k").map(_.toInt).getOrElse(-1),
+      num("dim").map(_.toInt).getOrElse(-1),
+      num("train_n").map(_.toLong).getOrElse(-1L), mean)
   }
 
   /** Exact-cosine top-k search within the `nprobe` nearest cells of each

@@ -131,4 +131,54 @@ class IvfIndexSpec extends SparkSpec {
     assert(spark.read.parquet(store).count() == before,
       "failed append must not have written")
   }
+
+  test("append refuses a model whose k disagrees with the store's recorded quantizer") {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    val emb = graft.model.Tables(spark, sf(), "embeddings")
+    val store = Files.createTempDirectory("ivf_identity").toString
+    IvfIndex.build(emb, k = 8, store)
+    val n = spark.read.parquet(store).count()
+
+    // a quantizer trained with a different k: appending under it would
+    // mix two cell numberings in one store — must fail BEFORE writing
+    val otherStore = Files.createTempDirectory("ivf_identity_other").toString
+    val wrongModel = IvfIndex.build(emb, k = 4, otherStore)
+    val batch = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 300000L).as("vec_id"), col("embedding"))
+    val e = intercept[IllegalStateException] {
+      IvfIndex.append(batch, wrongModel, store)
+    }
+    assert(e.getMessage.contains("mismatch") && e.getMessage.contains("k=8"))
+    assert(spark.read.parquet(store).count() == n,
+      "mismatched append must not have written")
+
+    // the store's recorded identity round-trips through the versioned meta
+    val meta = IvfIndex.readMeta(spark, store)
+    assert(meta.version == 2 && meta.k == 8 && meta.dim > 0 && meta.trainN > 0)
+  }
+
+  test("legacy v1 meta (mean only) still reads and append proceeds without the identity check") {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    val emb = graft.model.Tables(spark, sf(), "embeddings")
+    val store = Files.createTempDirectory("ivf_legacy").toString
+    val model = IvfIndex.build(emb, k = 8, store)
+
+    // rewrite the meta in the pre-identity single-field shape
+    val p = new org.apache.hadoop.fs.Path(store, "_ivf_meta.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val baseline = IvfIndex.readMeta(spark, store).meanAssignCosine
+    val out = fs.create(p, true)
+    try out.write(s"""{"mean_assign_cosine": $baseline}""".getBytes("UTF-8"))
+    finally out.close()
+
+    val meta = IvfIndex.readMeta(spark, store)
+    assert(meta.version == 1 && meta.k == -1 && meta.dim == -1 && meta.trainN == -1L)
+    assert(meta.meanAssignCosine == baseline)
+
+    // identity unknown ⇒ the drift contract still applies, nothing refuses
+    val batch = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 400000L).as("vec_id"), col("embedding"))
+    val rep = IvfIndex.append(batch, model, store)
+    assert(rep.appended == 5 && !rep.retrainRecommended)
+  }
 }
