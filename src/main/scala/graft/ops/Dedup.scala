@@ -112,14 +112,28 @@ object Dedup {
       idOf: Column => Column, e: Column,
       pairs: Column => Column): DataFrame = {
     val kcols = keys.map(col)
-    triangleSubRows(bands.groupBy(kcols: _*)
-        .agg(sort_array(collect_list(e)).as("ds")), keys, idOf)
+    val t = bands.sparkSession.conf
+      .get("spark.graft.bandBucketTarget", "4096").toInt
+    val bucketed = bands.groupBy(kcols: _*)
+      .agg(sort_array(collect_list(e)).as("ds"))
+    // Two branches off the SAME bucket aggregate (identical subtree →
+    // one exchange, ReuseExchange dedups it): within-target buckets —
+    // ALL buckets on a healthy corpus — expand in place with no further
+    // shuffle; only oversized buckets pay the triangle split plus the
+    // sub-row repartition that spreads their bounded chunks across
+    // tasks. A prior form repartitioned every bucket unconditionally,
+    // which billed the degenerate-case exchange (~0.4 s each at sf0.1)
+    // to the common case.
+    val small = bucketed.filter(size(col("ds")) <= t)
+      .select(explode(pairs(col("ds"))).as("p"))
+    val big = triangleSubRows(bucketed.filter(size(col("ds")) > t), keys, idOf)
       .repartition(kcols ++ Seq(col("_i"), col("_j")): _*)
       .select(col("_i"), col("_j"), col("_lx"), col("_fy"),
         explode(pairs(col("ds"))).as("p"))
       .filter(col("_i") === col("_j") ||
         (col("p.a") <= col("_lx") && col("p.b") >= col("_fy")))
       .select(col("p"))
+    small.unionByName(big)
   }
 
   /** The slicing stage of [[boundedPairs]], separable for its spec:
@@ -261,11 +275,18 @@ object Dedup {
       // small-star: group u's smaller neighbors (orientation already
       // canonical); u and each of them re-point to the minimum
       val ssMin = ls.groupBy(col("a")).agg(min(col("b")).as("m"))
+      // LAZY checkpoint: the convergence probe below is the round's
+      // one action, and Spark materializes pending local checkpoints at
+      // the end of the job that first computes them — so the probe job
+      // doubles as the materialization job (eager was a separate count
+      // job per round; round count × fixed job cost is this loop's
+      // price). Analysis-time lineage is truncated either way (the
+      // checkpointed Dataset's logical plan is the RDD scan).
       val next = ls.join(ssMin, "a")
         .select(col("b").as("a"), col("m").as("b"))
         .union(ssMin.select(col("a"), col("m").as("b")))
         .filter(col("a") =!= col("b"))
-        .distinct().localCheckpoint(true)
+        .distinct().localCheckpoint(false)
       // fixpoint of the alternation ⟺ star forest ⟺ no parent is
       // itself a child — a structural test on THIS round's output, so
       // the final contraction round detects its own convergence (a
