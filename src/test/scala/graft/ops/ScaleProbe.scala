@@ -18,12 +18,29 @@ import org.apache.spark.sql.functions._
   * about WORK VOLUME, which bench times can't attribute.
   */
 object ScaleProbe {
-  private val Family = Seq(
+  private val DocsFamily = Seq(
     "q78_simhash_neardup", "q79_minhash_jaccard_est", "q81_shingle_jaccard",
     "q85_minhash_lsh", "q95_ngram_jaccard", "q99_knn_join", "q100_dup_clusters")
 
+  // Relational/timeseries soak family (facts replicated ×N, dims fixed —
+  // see [[ScaleCorpus]]). Expected row-count law under that construction:
+  // "N" = output scales with the facts, "1" = fixed-cardinality grouping /
+  // top-k whose row count must NOT move when the data does.
+  private val RelFamily = Seq(
+    "q12_inner_join" -> "N", "q16_join3_agg_topk" -> "1",
+    "q19_range_join" -> "N", "q30_groupby_agg" -> "1",
+    "q38_percentiles" -> "1", "q55_salted_agg" -> "1",
+    "q62_math_fns" -> "N", "q01_range_scan_limit" -> "1",
+    "q48_downsample" -> "1", "q49_rate" -> "N", "q70_tumbling_window" -> "1")
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 1, "usage: ScaleProbe <sfDir> [<sfDir2> ...]")
+    val family = sys.env.getOrElse("SPARK_GRAFT_FAMILY", "docs") match {
+      case "docs" => DocsFamily.map(_ -> "")
+      case "rel"  => RelFamily
+      case "all"  => DocsFamily.map(_ -> "") ++ RelFamily
+      case other  => sys.error(s"SPARK_GRAFT_FAMILY=$other (want docs|rel|all)")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -33,16 +50,29 @@ object ScaleProbe {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val counts = collection.mutable.Map.empty[(String, String), Long]
     for (dir <- args) {
-      for (q <- Family) {
+      for ((q, law) <- family) {
         val n = graft.SparkEntry.queries(q)(spark, dir).count()
-        println(s"[scale-probe] rows $dir $q $n")
+        counts((dir, q)) = n
+        val lawNote = if (law.nonEmpty) s" law=$law" else ""
+        println(s"[scale-probe] rows $dir $q $n$lawNote")
       }
-      val pairs = graft.SparkEntry.queries("q78_simhash_neardup")(spark, dir)
-        .select(col("doc_a").as("a"), col("doc_b").as("b"))
-      val (labels, rounds) = Dedup.connectedComponentsWithRounds(pairs)
-      println(s"[scale-probe] cc $dir rounds=$rounds members=${labels.count()} " +
-        s"clusters=${labels.select("cluster").distinct().count()}")
+      if (family.exists(_._1.startsWith("q78"))) {
+        val pairs = graft.SparkEntry.queries("q78_simhash_neardup")(spark, dir)
+          .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        val (labels, rounds) = Dedup.connectedComponentsWithRounds(pairs)
+        println(s"[scale-probe] cc $dir rounds=$rounds members=${labels.count()} " +
+          s"clusters=${labels.select("cluster").distinct().count()}")
+      }
+    }
+    // multi-dir: print each query's count ratio vs the FIRST dir — the
+    // construction-validation signal (law "N" must ratio ≈ N, law "1"
+    // must ratio = 1; contamination breaks these loudly)
+    for (base <- args.headOption if args.length > 1; dir <- args.tail;
+         (q, law) <- family) {
+      val r = counts((dir, q)).toDouble / counts((base, q)).max(1L)
+      println(f"[scale-probe] ratio $dir $q $r%.2f${if (law.nonEmpty) s" law=$law" else ""}")
     }
     spark.stop()
   }
