@@ -12,10 +12,12 @@ import org.apache.spark.sql.SparkSession
   * number measured is the number a real sink would see.
   *
   * Every query runs once untimed (codegen compilation, JIT, broadcast
-  * thread-pool spin-up), then twice timed, reporting the minimum —
-  * cold-JVM overhead is a constant ~1-3 s per query and this host shows
-  * multi-second contention stalls that would otherwise land on single
-  * unlucky queries.
+  * thread-pool spin-up), then k >= 3 timed runs reporting the MEDIAN —
+  * the r7 record showed same-host same-day sweeps differing 2-4x on
+  * single queries (host contention stalls landing on one unlucky run),
+  * and a median of k absorbs a stall that a min-of-2 reports and a
+  * mean amplifies. Per-query min/max ride along in a `spread` map so
+  * the artifact itself shows how noisy each number was.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -60,6 +62,14 @@ object Bench {
       System.err.println("[bench] empty query selection")
       sys.exit(2)
     }
+    // k timed runs per query (median reported). 3 is the floor for a
+    // median to discard one stall; SPARK_GRAFT_BENCH_K raises it for
+    // offline precision runs
+    val k = math.max(3, sys.env.getOrElse("SPARK_GRAFT_BENCH_K", "3").toInt)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
     val results = selected.map { case (name, fn) =>
       run(name, fn) // warmup (codegen/JIT); failure also logged by run()
       var ok = true
@@ -72,29 +82,33 @@ object Bench {
         ok &= run(name, fn)
         (System.nanoTime() - t0) / 1e9
       }
-      var timed = (1 to 2).map(_ => timedRun())
-      // this host shows multi-second contention stalls that can hit BOTH
-      // timed runs of one unlucky query (observed: a 0.4 s query
-      // reporting 5+ s as the min of two). When the two runs disagree
-      // badly AND the min is slow, buy one more sample — min of N stays
-      // an honest steady-state estimate and the retry is bounded to
-      // genuinely suspicious cases
-      if (timed.min > 2.0 && timed.max > 1.5 * timed.min)
-        timed = timed :+ timedRun()
+      var timed = (1 to k).map(_ => timedRun())
+      // a contention stall can still hit 2 of 3 runs (observed on this
+      // host: multi-second freezes spanning whole queries). When the
+      // median itself is slow AND the samples disagree badly, buy two
+      // more — bounded to genuinely suspicious cases so the sweep's
+      // length stays predictable
+      if (median(timed) > 2.0 && timed.max > 1.5 * timed.min)
+        timed = timed ++ (1 to 2).map(_ => timedRun())
       spark.catalog.clearCache()
-      (name, timed.min, ok)
+      (name, median(timed), timed.min, timed.max, ok)
     }
+    def f(v: Double) = "%.3f".format(v) // ms precision keeps the line short
     // a failed query reports -1, not its fast-failure duration — a broken
     // query must stand out in the JSON rather than understate the total
-    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1) }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val qs = results.map { case (k, v, _, _, ok) =>
+      "\"" + k + "\":" + (if (ok) f(v) else "-1")
+    }.mkString("{", ",", "}")
+    val spread = results.map { case (k, _, lo, hi, _) =>
+      "\"" + k + "\":[" + f(lo) + "," + f(hi) + "]"
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v, _, _, true) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"failed":$failed,"sf":"$sfDir"}""")
     // short second line: the driver's tail capture can truncate the long
     // per-query line; this one always fits and always parses
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${results.count(!_._3)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${results.count(!_._5)}}""")
     spark.stop()
   }
 }

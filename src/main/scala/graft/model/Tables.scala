@@ -16,21 +16,30 @@ object Tables {
     * filters/projections applied by callers are pushed into the scan by
     * Catalyst (SURVEY.md §4.1).
     *
-    * `events.parquet` carries TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects outright ([PARQUET_TYPE_ILLEGAL]); it is read with
-    * `nanosAsLong` and floor-converted ns→µs — the same truncation DuckDB
-    * applies, so oracle comparisons stay sound (FIXTURES.md §1).
+    * `events.parquet` has shipped with two physical time encodings across
+    * driver generations — TIMESTAMP(NANOS) (rejected outright by Spark's
+    * reader, [PARQUET_TYPE_ILLEGAL], so read via `nanosAsLong` as a ns
+    * BIGINT) and plain µs TIMESTAMP_NTZ. The loader adapts to whichever
+    * the file carries; both surface the same two columns: `ts` (a
+    * timestamp for bucketing/window/output use) and `ts_ns` (epoch-nanos
+    * BIGINT, the declared ns projection domain). Range predicates belong
+    * on the NATIVE scan column — `ts` for µs data (see [[tsLit]]),
+    * `ts_ns` for nanos data — so the parquet scan prunes row groups.
     */
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // Keep the raw ns column (`ts_ns`) alongside the µs-truncated
-      // timestamp: range predicates belong on `ts_ns` (a plain BIGINT the
-      // parquet scan can push down and prune row groups with — see
-      // `nsOf`); `ts` is for bucketing/window/output use.
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case LongType => // TIMESTAMP(NANOS) generation, read as ns BIGINT
+          raw.withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+        case _ => // µs TIMESTAMP_NTZ generation: ts stays the untouched
+          // scan column (filters on it push down); ts_ns is derived.
+          // µs→ns multiplication is exact — the data has no sub-µs digits
+          raw.withColumn("ts_ns",
+            unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      }
     } else {
       // ms-timestamps surface as TIMESTAMP_NTZ. Deliberately NOT cast
       // here: filters on the native NTZ column push into the parquet
@@ -47,8 +56,16 @@ object Tables {
   def epochMs(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     unix_millis(c.cast(TimestampType))
 
+  /** TIMESTAMP_NTZ literal for a UTC date/time — the pushdown domain of
+    * the events `ts` scan column on µs-generation data. An NTZ-vs-NTZ
+    * comparison reaches the parquet scan unwrapped; under the forced UTC
+    * session it denotes the same instant as [[nsOf]] of the same string.
+    */
+  def tsLit(isoUtc: String): org.apache.spark.sql.Column =
+    lit(java.time.LocalDateTime.parse(isoUtc.replace(' ', 'T')))
+
   /** Nanoseconds since epoch for a UTC date/time literal — the pushdown
-    * domain of the events `ts_ns` column.
+    * domain of the events `ts_ns` column on nanos-generation data.
     */
   def nsOf(isoUtc: String): Long =
     java.time.LocalDateTime.parse(isoUtc.replace(' ', 'T'))

@@ -25,17 +25,17 @@ object Reference {
     // R8: time-range scan + projection + inclusive BETWEEN + explicit order
     // + limit. The reference's LIMIT rides on InfluxDB's implicit time order
     // (index.js:106, quirk §1.4.6) — here the order is explicit.
-    // The time-range predicate runs on the raw ns BIGINT column so the
+    // The time-range predicate runs on the NATIVE ts scan column so the
     // parquet scan prunes row groups (PushedFilters); whole-second bounds
-    // are exact in both the ns and µs domains.
+    // are exact in every time domain the data has shipped with.
     "q01_range_scan_limit" -> ((s, dir) => {
       Tables(s, dir, "events")
         .filter(col("event_type") === "click" &&
-          col("ts_ns").between(
-            Tables.nsOf("2024-01-05 00:00:00"), Tables.nsOf("2024-01-10 00:00:00")))
+          col("ts").between(
+            Tables.tsLit("2024-01-05 00:00:00"), Tables.tsLit("2024-01-10 00:00:00")))
         .orderBy(col("ts"), col("event_id"))
         .limit(100)
-        .select(col("event_id"), unix_millis(col("ts")).as("ts_ms"), col("value"))
+        .select(col("event_id"), Tables.epochMs(col("ts")).as("ts_ms"), col("value"))
     }),
 
     // R14: the `/search` catalog — distinct active series names
@@ -55,7 +55,7 @@ object Reference {
         .select(
           col("event_type").as("Target"),
           col("value").as("Value"),
-          unix_millis(col("ts")).as("Time"))
+          Tables.epochMs(col("ts")).as("Time"))
     }),
 
     // R9: multi-target fan-out. The reference fires one InfluxQL query per
@@ -88,7 +88,7 @@ object Reference {
         // toward zero but the oracle's FLOOR rounds down — the row would
         // land in different buckets per engine
         .select(col("event_type"), col("value"),
-          (floor((unix_millis(col("ts")) - startMs) / widthMs) * widthMs
+          (floor((Tables.epochMs(col("ts")) - startMs) / widthMs) * widthMs
             + startMs).as("bucket_ms"))
         .groupBy(col("event_type"), col("bucket_ms"))
         // UNROUNDED mean: numerator (exact decimal sum → double) and
@@ -116,7 +116,7 @@ object Reference {
         .partitionBy("event_type").orderBy(col("ts_ms"), col("event_id"))
       Tables(s, dir, "events")
         .select(col("event_type"), col("event_id"),
-          unix_millis(col("ts")).as("ts_ms"), col("value"))
+          Tables.epochMs(col("ts")).as("ts_ms"), col("value"))
         .withColumn("prev_v", lag(col("value"), 1).over(w))
         .withColumn("prev_ms", lag(col("ts_ms"), 1).over(w))
         .select(col("event_type"), col("event_id"), col("ts_ms"),
@@ -132,11 +132,11 @@ object Reference {
     // §1.2). At scale this is a partition drop (stream/Retention.scala).
     "q05_retention_filter" -> ((s, dir) => {
       Tables(s, dir, "events")
-        .filter(col("ts_ns") >= Tables.nsOf("2024-01-15 00:00:00"))
+        .filter(col("ts") >= Tables.tsLit("2024-01-15 00:00:00"))
         .agg(
           count(lit(1)).as("n"),
-          min(unix_millis(col("ts"))).as("min_ms"),
-          max(unix_millis(col("ts"))).as("max_ms"))
+          min(Tables.epochMs(col("ts"))).as("min_ms"),
+          max(Tables.epochMs(col("ts"))).as("max_ms"))
     })
   )
 

@@ -37,8 +37,8 @@ object Windows {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       u.withColumn("last_signup", max(col("signup_ts")).over(w))
         .filter(col("is_p") === 1)
-        .select(col("event_id"), unix_millis(col("ts")).as("p_ms"),
-          unix_millis(col("last_signup")).as("s_ms"))
+        .select(col("event_id"), Tables.epochMs(col("ts")).as("p_ms"),
+          Tables.epochMs(col("last_signup")).as("s_ms"))
         .orderBy(col("event_id"))
     }),
 
@@ -103,7 +103,7 @@ object Windows {
       val w = Window.partitionBy("user_id").orderBy(col("ms"))
         .rangeBetween(-3600000L, 0L)
       Tables(s, dir, "events")
-        .withColumn("ms", unix_millis(col("ts")))
+        .withColumn("ms", Tables.epochMs(col("ts")))
         .select(col("event_id"), col("user_id"),
           round(sum(col("value").cast("decimal(18,4)")).over(w).cast("double"), 4)
             .as("sum1h"))
@@ -205,7 +205,7 @@ object Windows {
         .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
         .agg(count(lit(1)).as("cnt"),
           sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_v"))
-        .select(unix_millis(col("w.start")).as("day_ms"), col("event_type"),
+        .select(Tables.epochMs(col("w.start")).as("day_ms"), col("event_type"),
           col("cnt"), col("sum_v"))
         .orderBy(col("day_ms"), col("event_type"))
     }),
@@ -217,7 +217,7 @@ object Windows {
       Tables(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
         .agg(count(lit(1)).as("cnt"))
-        .select(unix_millis(col("w.start")).as("w_ms"), col("event_type"), col("cnt"))
+        .select(Tables.epochMs(col("w.start")).as("w_ms"), col("event_type"), col("cnt"))
         .orderBy(col("w_ms"), col("event_type"))
     }),
 
@@ -228,8 +228,8 @@ object Windows {
       Tables(s, dir, "events")
         .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
         .agg(count(lit(1)).as("cnt"))
-        .select(col("user_id"), unix_millis(col("w.start")).as("start_ms"),
-          unix_millis(col("w.end")).as("end_ms"), col("cnt"))
+        .select(col("user_id"), Tables.epochMs(col("w.start")).as("start_ms"),
+          Tables.epochMs(col("w.end")).as("end_ms"), col("cnt"))
         .orderBy(col("user_id"), col("start_ms"))
     }),
 
@@ -242,7 +242,7 @@ object Windows {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("user_id"), col("event_type"), col("event_id"),
-          unix_millis(col("ts")).as("ts_ms"))
+          Tables.epochMs(col("ts")).as("ts_ms"))
         .orderBy(col("user_id"), col("event_type"))
     }),
 
@@ -255,7 +255,7 @@ object Windows {
       Tables(s, dir, "events")
         .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
         .agg(count(lit(1)).as("cnt"))
-        .select(unix_millis(col("w.start")).as("w_ms"), col("event_type"), col("cnt"))
+        .select(Tables.epochMs(col("w.start")).as("w_ms"), col("event_type"), col("cnt"))
         .orderBy(col("w_ms"), col("event_type"))
     })
   )

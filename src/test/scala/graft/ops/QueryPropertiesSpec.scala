@@ -21,7 +21,7 @@ class QueryPropertiesSpec extends SparkSpec {
     // keeps the earliest: every kept ts must be the group min
     val events = graft.model.Tables(spark, sf(), "events")
     val mins = events.groupBy("user_id", "event_type")
-      .agg(min(unix_millis(col("ts"))).as("min_ms"))
+      .agg(min(graft.model.Tables.epochMs(col("ts"))).as("min_ms"))
     val joined = once.join(mins, Seq("user_id", "event_type"))
     assert(joined.filter(col("ts_ms") =!= col("min_ms")).isEmpty)
   }
