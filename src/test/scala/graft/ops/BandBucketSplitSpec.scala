@@ -42,6 +42,18 @@ class BandBucketSplitSpec extends SparkSpec {
     }
   }
 
+  test("q85 output is unchanged at the target=1 edge (every slice is 1 member)") {
+    // the degenerate dial: m = bucket size, single-member slices, the
+    // within-slice (i = j) triangle emits nothing and ALL pairs come from
+    // cross-slice sub-rows — the exactly-once boundary filter is the only
+    // thing standing between this and duplicates (PlanLintSpec runs the
+    // same dial for its reuse gate, so the shape it gates is proven here)
+    val split = rows("q85_minhash_lsh", Some(1))
+    val whole = rows("q85_minhash_lsh", None)
+    assert(split == whole, "q85: target=1 split changed the output")
+    assert(whole.nonEmpty)
+  }
+
   test("mega-bucket: split pairs == brute force, every sub-bucket bounded") {
     import spark.implicits._
     graft.functions.VectorExpressions.ensureRegistered(spark)

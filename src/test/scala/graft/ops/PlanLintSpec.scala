@@ -33,4 +33,47 @@ class PlanLintSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"unlisted CartesianProduct in: ${offenders.mkString(", ")}")
   }
+
+  /** Dedup.boundedPairs forks small/big branches off ONE bucket
+    * aggregate and relies on exchange/stage reuse to dedup them — if
+    * that reuse ever breaks (AQE version drift, a non-canonical edit),
+    * the whole signature pipeline silently runs twice in q78/q79/q85.
+    * Gate it: force real splitting (tiny target, both branches live),
+    * execute, and require the expensive per-doc signature aggregation to
+    * appear exactly once in the FINAL adaptive plan — a reused stage
+    * prints as a ReusedExchange reference, a recomputation prints the
+    * whole subtree again.
+    */
+  test("q78/q79/q85 big branch reuses the bucket pipeline (no double compute)") {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    val sigOf = Map(
+      "q78_simhash_neardup" -> "partial_simhash_agg",
+      "q79_minhash_jaccard_est" -> "partial_minhash_agg",
+      "q85_minhash_lsh" -> "partial_minhash_agg")
+    for ((q, sig) <- sigOf.toSeq.sortBy(_._1)) {
+      // target=1 splits EVERY bucket with >= 2 members — q79/q85's band
+      // buckets are smaller than q78's, and a larger target would let AQE
+      // empty-propagate the big branch away (no reuse to observe)
+      spark.conf.set("spark.graft.bandBucketTarget", "1")
+      try {
+        val df = graft.SparkEntry.queries(q)(spark, sf())
+        df.collect() // finalize THIS execution's adaptive plan
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("isFinalPlan=true"), s"$q: plan did not finalize")
+        // only the Final Plan section counts — the Initial Plan section
+        // legitimately prints both branches in full
+        val endIdx = plan.indexOf("== Initial Plan ==")
+        val fin = plan.substring(plan.indexOf("== Final Plan =="),
+          if (endIdx >= 0) endIdx else plan.length)
+        val n = sig.r.findAllIn(fin).length
+        assert(n == 1,
+          s"$q: signature aggregation planned $n times in the final plan " +
+            s"(expected 1 via exchange reuse)\n$fin")
+        // and the big branch must reference the bucket aggregate through a
+        // ReusedExchange, not recompute it
+        assert(fin.contains("ReusedExchange"),
+          s"$q: no ReusedExchange in the final plan — big branch recomputed?\n$fin")
+      } finally spark.conf.unset("spark.graft.bandBucketTarget")
+    }
+  }
 }

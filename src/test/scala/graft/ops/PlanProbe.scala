@@ -21,8 +21,15 @@ object PlanProbe {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_TARGET forces the band-bucket split dial (probe the
+    // big-branch plan shape without editing code)
+    sys.env.get("SPARK_GRAFT_TARGET")
+      .foreach(t => spark.conf.set("spark.graft.bandBucketTarget", t))
     val df = graft.SparkEntry.queries(q)(spark, dir)
-    df.write.format("noop").mode("overwrite").save()
+    // run THIS DataFrame's own query execution (a noop write would spawn a
+    // separate one) so the adaptive plan finalizes — exchange/stage reuse
+    // only materializes in the final plan (isFinalPlan=true)
+    df.collect()
     val plan = df.queryExecution.executedPlan.toString
     println(s"== $q ==")
     println("reused_exchange=" + "ReusedExchange".r.findAllIn(plan).length)
