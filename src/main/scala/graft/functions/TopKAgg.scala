@@ -184,6 +184,165 @@ case class TopKMinAgg(
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** Bounded per-group "first k points by time" as ONE aggregate:
+  * `earliest_k_agg(t, v, k)` → `array<struct<t_ms:bigint, value:double>>`
+  * of the group's k smallest (t, v) pairs, ascending.
+  *
+  * WHY (serving layer, Grafana `/query` with a truncation limit): the
+  * row_number window form shuffles EVERY matched row of the requested
+  * range into one per-series sort just to keep maxDataPoints of them —
+  * for a wide dashboard range over a dense series that is the whole
+  * range's volume through one exchange. This buffer holds at most k
+  * entries; map-side partials discard non-qualifying points before the
+  * shuffle, so the exchange carries ≤ k points per series per task
+  * regardless of the range width. Same window-to-bounded-agg lesson as
+  * [[TopKMinAgg]] (q98), applied to time.
+  *
+  * Ties on t break by java.lang.Double.compare on v — a deterministic
+  * total order (the window form's tiebreak was arbitrary), with -0.0 <
+  * 0.0 and NaN greatest. Null t or v rows are ignored (the serving
+  * layer filters null values upstream; the aggregate must not NPE if a
+  * caller doesn't). Duplicate (t, v) pairs carry multiplicities so
+  * duplicated input still yields exactly min(group size, k) points.
+  */
+case class EarliestKAgg(
+    first: Expression, second: Expression, third: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[EarliestKAgg.Buf]
+  with TernaryLike[Expression] {
+
+  import EarliestKAgg.Buf
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (LongType, DoubleType, IntegerType) if third.foldable =>
+        if (k > 0) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(s"$prettyName requires k > 0, got $k")
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (bigint, double, literal int), got ($a, $b, $c)")
+    }
+
+  private lazy val k: Int = third.eval().asInstanceOf[Int]
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("t_ms", LongType, nullable = false),
+      StructField("value", DoubleType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "earliest_k_agg"
+
+  override def createAggregationBuffer(): Buf = new Buf()
+
+  private def insert(buf: Buf, t: Long, v: Double): Unit = {
+    val key = (t, v)
+    if (buf.total < k) {
+      bump(buf, key)
+      buf.total += 1
+    } else if (EarliestKAgg.entryOrd.lt(key, buf.m.lastKey())) {
+      bump(buf, key)
+      val lk = buf.m.lastKey()
+      val c = buf.m.get(lk)
+      if (c == 1) buf.m.remove(lk) else buf.m.put(lk, c - 1)
+    }
+  }
+
+  private def bump(buf: Buf, key: (Long, Double)): Unit = {
+    val existing = buf.m.get(key)
+    if (existing == null) buf.m.put(key, 1) else buf.m.put(key, existing + 1)
+  }
+
+  override def update(buf: Buf, input: InternalRow): Buf = {
+    val t = first.eval(input)
+    val v = second.eval(input)
+    if (t != null && v != null)
+      insert(buf, t.asInstanceOf[Long], v.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(a: Buf, b: Buf): Buf = {
+    val it = b.m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      var c = e.getValue.intValue()
+      while (c > 0) { insert(a, e.getKey._1, e.getKey._2); c -= 1 }
+    }
+    a
+  }
+
+  override def eval(buf: Buf): Any = {
+    val out = new Array[Any](buf.total)
+    var i = 0
+    val it = buf.m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      var c = e.getValue.intValue()
+      while (c > 0) { out(i) = InternalRow(e.getKey._1, e.getKey._2); i += 1; c -= 1 }
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: Buf): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.m.size)
+    val it = buf.m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out.writeLong(e.getKey._1)
+      out.writeDouble(e.getKey._2)
+      out.writeInt(e.getValue.intValue())
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val buf = createAggregationBuffer()
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      val t = in.readLong()
+      val v = in.readDouble()
+      val c = in.readInt()
+      buf.m.put((t, v), c)
+      buf.total += c
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): EarliestKAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): EarliestKAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): EarliestKAgg =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object EarliestKAgg {
+  /** (t, v) with Double.compare on the payload — total and deterministic
+    * (the only asymmetries doubles have, -0.0/0.0 and NaN, are ordered).
+    */
+  private[functions] val entryOrd: Ordering[(Long, Double)] =
+    new Ordering[(Long, Double)] {
+      override def compare(a: (Long, Double), b: (Long, Double)): Int = {
+        val c = java.lang.Long.compare(a._1, b._1)
+        if (c != 0) c else java.lang.Double.compare(a._2, b._2)
+      }
+    }
+
+  final class Buf {
+    val m = new java.util.TreeMap[(Long, Double), Integer](
+      new java.util.Comparator[(Long, Double)] {
+        override def compare(a: (Long, Double), b: (Long, Double)): Int =
+          entryOrd.compare(a, b)
+      })
+    var total: Int = 0
+  }
+}
+
 object TopKMinAgg {
   /** (key, id) order with UTF8String BINARY key comparison — identical
     * to the engine's `ORDER BY rk, id` on strings; java.lang.String's

@@ -99,6 +99,7 @@ object VectorExpressions {
   val hammingPairsFnName = "hamming_pairs"
   val minhashPairsFnName = "minhash_pairs"
   val topkMinFnName = "topk_min_agg"
+  val earliestKFnName = "earliest_k_agg"
   val cmsEstimateFnName = "cms_estimate"
 
   private[functions] def bloomAggBuilder(children: Seq[Expression]): Expression = {
@@ -122,6 +123,10 @@ object VectorExpressions {
   private[functions] def topkMinBuilder(children: Seq[Expression]): Expression = {
     require(children.length == 3, s"$topkMinFnName expects 3 arguments")
     TopKMinAgg(children.head, children(1), children(2)).toAggregateExpression()
+  }
+  private[functions] def earliestKBuilder(children: Seq[Expression]): Expression = {
+    require(children.length == 3, s"$earliestKFnName expects 3 arguments")
+    EarliestKAgg(children.head, children(1), children(2)).toAggregateExpression()
   }
   private[functions] def cmsEstimateBuilder(children: Seq[Expression]): Expression = {
     require(children.length == 2, s"$cmsEstimateFnName expects 2 arguments")
@@ -195,6 +200,10 @@ object VectorExpressions {
       reg.registerFunction(FunctionIdentifier(topkMinFnName),
         new ExpressionInfo(classOf[TopKMinAgg].getName, topkMinFnName),
         topkMinBuilder _)
+    if (!reg.functionExists(FunctionIdentifier(earliestKFnName)))
+      reg.registerFunction(FunctionIdentifier(earliestKFnName),
+        new ExpressionInfo(classOf[EarliestKAgg].getName, earliestKFnName),
+        earliestKBuilder _)
     if (!reg.functionExists(FunctionIdentifier(cmsEstimateFnName)))
       reg.registerFunction(FunctionIdentifier(cmsEstimateFnName),
         new ExpressionInfo(classOf[CmsEstimate].getName, cmsEstimateFnName),

@@ -32,24 +32,41 @@ object Grafana {
       .orderBy(col("series")).collect().map(_.getString(0)).toSeq
 
   /** Executes ONE Spark action for a whole request: collects the
-    * (series, value, t_ms) slice — per-series truncation via a
-    * row_number window when `limit` is set — and groups rows
-    * driver-side. A dashboard request with N targets previously ran N
-    * jobs, each re-scanning the source (SURVEY §3.1 flags the
-    * reference's own per-target loop, index.js:97-112, as the plan to
-    * avoid); one `isin` scan does the same work reading the source
-    * once. Collected volume stays bounded by targets × maxDataPoints
-    * (or bucket/rollup cardinality) — the reference's own consumption
-    * point.
+    * (series, value, t_ms) slice and groups rows driver-side. A
+    * dashboard request with N targets previously ran N jobs, each
+    * re-scanning the source (SURVEY §3.1 flags the reference's own
+    * per-target loop, index.js:97-112, as the plan to avoid); one
+    * `isin` scan does the same work reading the source once. Collected
+    * volume stays bounded by targets × maxDataPoints (or bucket/rollup
+    * cardinality) — the reference's own consumption point.
+    *
+    * Truncation limit → the bounded `earliest_k_agg` aggregate, NOT a
+    * row_number window: the window form shuffled every matched row of
+    * the range through one per-series sort before truncating, so a
+    * wide range over a dense series paid its full volume into one
+    * exchange. The aggregate's map-side partials discard beyond-k
+    * points before the shuffle — the exchange carries ≤ limit points
+    * per series per task however wide the range is.
     */
+  /** The bounded truncation plan: first `n` points per series of a
+    * (series, value, t_ms) frame. Package-visible so the no-window plan
+    * shape is spec-gated (GrafanaSpec).
+    */
+  private[serve] def truncateEarliest(dps: DataFrame, n: Int): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(dps.sparkSession)
+    dps.groupBy(col("series"))
+      .agg(call_function(
+        graft.functions.VectorExpressions.earliestKFnName,
+        col("t_ms"), col("value"), lit(n)).as("pts"))
+      .select(col("series"), explode(col("pts")).as("p"))
+      .select(col("series"), col("p.value").as("value"),
+        col("p.t_ms").as("t_ms"))
+  }
+
   private def collectBySeries(dps: DataFrame, limit: Option[Int])
       : Map[String, IndexedSeq[(Double, Long)]] = {
     val limited = limit match {
-      case Some(n) =>
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("series")).orderBy(col("t_ms"))
-        dps.withColumn("_rn", row_number().over(w))
-          .filter(col("_rn") <= n).drop("_rn")
+      case Some(n) => truncateEarliest(dps, n)
       case None => dps
     }
     limited.orderBy(col("series"), col("t_ms")).collect()

@@ -129,4 +129,56 @@ class TopKAggSpec extends SparkSpec {
       .sorted.take(3)
     assert(got == expected)
   }
+
+  test("earliest_k_agg equals scala per-group sort-take through partial merges") {
+    import spark.implicits._
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    val rnd = new scala.util.Random(29)
+    // duplicate (t, v) pairs included (multiplicity path), groups around
+    // and below k, many partitions to force serialize+merge
+    val rows = (1 to 6).flatMap { g =>
+      (1 to rnd.nextInt(60) + 1).map { _ =>
+        (s"s$g", rnd.nextInt(20).toLong * 10L, rnd.nextInt(5).toDouble)
+      }
+    }
+    val expected = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      rs.map(r => (r._2, r._3)).sortBy(p => (p._1, p._2)).take(7)
+        .map { case (t, v) => (g, t, v) }
+    }.toSet
+    // count multiplicities exactly, not as a set — group to (row, count)
+    def counted(s: Seq[(String, Long, Double)]) =
+      s.groupBy(identity).view.mapValues(_.size).toMap
+    val expectedSeq = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+      rs.map(r => (r._2, r._3)).sortBy(p => (p._1, p._2)).take(7)
+        .map { case (t, v) => (g, t, v) }
+    }
+    val got = rows.toDF("series", "t", "v").repartition(13)
+      .groupBy("series").agg(expr("earliest_k_agg(t, v, 7)").as("pts"))
+      .select(col("series"), explode(col("pts")).as("p"))
+      .select(col("series"), col("p.t_ms"), col("p.value"))
+      .as[(String, Long, Double)](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaDouble))
+      .collect().toSeq
+    assert(counted(got) == counted(expectedSeq))
+    assert(got.toSet == expected && got.nonEmpty)
+  }
+
+  test("earliest_k_agg ignores null inputs and caps at k") {
+    import spark.implicits._
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    val got = Seq[(String, Option[Long], Option[Double])](
+      ("g", Some(3L), Some(1.0)), ("g", None, Some(2.0)),
+      ("g", Some(1L), None), ("g", Some(2L), Some(4.0)),
+      ("g", Some(5L), Some(0.5)))
+      .toDF("g", "t", "v")
+      .groupBy("g").agg(expr("earliest_k_agg(t, v, 2)").as("pts"))
+      .select(explode(col("pts")).as("p")).select("p.t_ms", "p.value")
+      .as[(Long, Double)](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaDouble))
+      .collect().toSeq
+    assert(got == Seq((2L, 4.0), (3L, 1.0)))
+  }
 }

@@ -147,4 +147,43 @@ class GrafanaSpec extends SparkSpec {
     assert(Grafana.annotations == "[]" && Grafana.tagKeys == "[]" &&
       Grafana.tagValues == "[]")
   }
+
+  test("limited /query truncation plans no Window and matches the window form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a dense frame: 7 series × 400 points, shuffled partitioning — the
+    // wide-dashboard-range shape whose full volume the old row_number
+    // window pushed through one exchange
+    val dps = (1 to 7).flatMap { s =>
+      (1 to 400).map(i => (s"s$s", (i * 37 % 1000).toDouble, 1704067200000L + i * 250L))
+    }.toDF("series", "value", "t_ms").repartition(11)
+
+    val truncated = Grafana.truncateEarliest(dps, 50)
+    // the whole point: no per-series full sort — no Window in the plan
+    val windows = truncated.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty, "limited truncation must not plan a window")
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("series")).orderBy(col("t_ms"))
+    val windowed = dps.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= 50).drop("_rn")
+    val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.scalaDouble,
+      org.apache.spark.sql.Encoders.scalaLong)
+    assert(truncated.as[(String, Double, Long)](enc).collect().toSet ==
+      windowed.as[(String, Double, Long)](enc).collect().toSet)
+    assert(truncated.count() == 7 * 50)
+  }
+
+  test("limited /query keeps under-full series whole (limit > series size)") {
+    import spark.implicits._
+    val dps = Seq(("a", 1.0, 10L), ("a", 2.0, 20L), ("b", 3.0, 30L))
+      .toDF("series", "value", "t_ms")
+    val got = Grafana.truncateEarliest(dps, 100).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(got == Set(("a", 1.0, 10L), ("a", 2.0, 20L), ("b", 3.0, 30L)))
+  }
 }
