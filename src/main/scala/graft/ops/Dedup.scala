@@ -222,10 +222,27 @@ object Dedup {
     * ~500 rounds — tripping the loop guard below, a hard failure —
     * where star contraction needs single digits. Per-round shape is
     * the same Pregel-on-DataFrames discipline as before: a groupBy +
-    * join per star step, EAGER localCheckpoint lineage truncation
-    * (the plan otherwise compounds per iteration and OOMs the driver
-    * during analysis), and a driver that holds no data — convergence
-    * is an isEmpty probe on the symmetric set difference.
+    * join per star step, localCheckpoint lineage truncation (the plan
+    * otherwise compounds per iteration and OOMs the driver during
+    * analysis), and a driver that holds no data.
+    *
+    * Round cost is job count × fixed stage overhead, not data volume
+    * (r7 measured ~2 s/round at sf0.1 on 2.5k labels), so the round is
+    * ONE action with no side jobs: the convergence probe rides the
+    * large-star groupBy for free — a node u of the input forest with
+    * min(Γ(u)) < u < max(Γ(u)) is both child and parent, so the input
+    * was NOT a star forest; the marker is an accumulator tap on that
+    * aggregate (already computing min; max is one more column).
+    * Retried stages can only inflate a nonzero count, never fake a
+    * zero, which is exactly the boolean the loop needs. The tap sees
+    * the ROUND'S INPUT, so the loop pays one identity round after the
+    * fixpoint — cheaper than the separate per-round left-semi probe it
+    * replaces (2 exchanges + a join job every round). The per-round
+    * `distinct` is gone too: duplicate (child, parent) rows are
+    * harmless mid-loop (every consumer is a min aggregate or a
+    * re-point join against a unique key, and row count stays bounded
+    * by |edges| + |nodes| per round) and one distinct at label
+    * extraction collapses them once.
     *
     * Nodes appear iff they appear in an edge (singletons are not dup
     * clusters).
@@ -258,49 +275,50 @@ object Dedup {
       // this many means the edge input is pathological — fail loudly
       // instead of looping the cluster forever
       require(rounds <= 50, "star contraction did not converge in 50 rounds")
+      val viol = l.sparkSession.sparkContext.longAccumulator(s"star-viol-$rounds")
+      // the tap passes m through unchanged while counting the row; it
+      // sits IN the data path (the violating branch's value), so the
+      // optimizer can't eliminate it, and nondeterminism pins it in
+      // place (no reorder, no dedup)
+      val tap = udf { (m: Long) => viol.add(1); m }.asNondeterministic()
       // large-star: group the SYMMETRIC neighborhood of u; every
       // strictly-larger neighbor re-points to min(Γ(u) ∪ {u})
       val sym = l.union(l.select(col("b").as("a"), col("a").as("b")))
       val lsMin = sym.groupBy(col("a"))
-        .agg(least(min(col("b")), col("a")).as("m"))
-      // no checkpoint and no distinct mid-round: l is checkpointed each
-      // round so within-round lineage is constant-depth, duplicate
-      // (v, m) rows are harmless to small-star's min aggregate, and
-      // next's distinct collapses them — an eager materialization or
-      // an extra dedup shuffle here would add fixed per-round cost
-      // (round count, not data volume, dominates this loop's price)
+        .agg(least(min(col("b")), col("a")).as("m0"), max(col("b")).as("_mx"))
+        // the free convergence probe: u both child and parent of the
+        // round's INPUT ⟺ min(Γ(u)) < u < max(Γ(u))
+        .select(col("a"),
+          when(col("m0") < col("a") && col("_mx") > col("a"),
+            tap(col("m0"))).otherwise(col("m0")).as("m"))
+      // no checkpoint mid-round: l is checkpointed each round so
+      // within-round lineage is constant-depth; duplicate (v, m) rows
+      // are harmless to small-star's min aggregate
       val ls = sym.filter(col("b") > col("a"))
         .join(lsMin, "a")
         .select(col("b").as("a"), col("m").as("b"))
       // small-star: group u's smaller neighbors (orientation already
       // canonical); u and each of them re-point to the minimum
       val ssMin = ls.groupBy(col("a")).agg(min(col("b")).as("m"))
-      // LAZY checkpoint: the convergence probe below is the round's
-      // one action, and Spark materializes pending local checkpoints at
-      // the end of the job that first computes them — so the probe job
-      // doubles as the materialization job (eager was a separate count
-      // job per round; round count × fixed job cost is this loop's
-      // price). Analysis-time lineage is truncated either way (the
-      // checkpointed Dataset's logical plan is the RDD scan).
+      // LAZY checkpoint + count: the count is the round's ONE action —
+      // it materializes the pending local checkpoint, runs every
+      // partition (the accumulator is complete when it returns), and
+      // replaces the separate left-semi probe job entirely
       val next = ls.join(ssMin, "a")
         .select(col("b").as("a"), col("m").as("b"))
         .union(ssMin.select(col("a"), col("m").as("b")))
         .filter(col("a") =!= col("b"))
-        .distinct().localCheckpoint(false)
-      // fixpoint of the alternation ⟺ star forest ⟺ no parent is
-      // itself a child — a structural test on THIS round's output, so
-      // the final contraction round detects its own convergence (a
-      // set-equality probe would burn one extra no-op round, and on a
-      // 2^k-link chain that is the difference between k and k+1)
-      converged = next.as("x")
-        .join(next.as("y"), col("x.b") === col("y.a"), "left_semi")
-        .isEmpty
+        .localCheckpoint(false)
+      next.count()
+      converged = viol.value == 0L
       l = next
     }
     // star forest: every child row is (node, component-min root);
-    // roots appear only on the parent side and label themselves
+    // roots appear only on the parent side and label themselves.
+    // distinct HERE, once: the per-round dedup was dropped, and a
+    // duplicated (child, root) row would duplicate its label row
     val labels = nodes.as("n")
-      .join(l.as("e"), col("n.node") === col("e.a"), "left")
+      .join(l.distinct().as("e"), col("n.node") === col("e.a"), "left")
       .select(col("n.node").as("doc_id"),
         coalesce(col("e.b"), col("n.node")).as("cluster"))
     (labels, rounds)

@@ -213,7 +213,10 @@ class DedupPairsSpec extends SparkSpec {
     val (labels, rounds) = Dedup.connectedComponentsWithRounds(edges)
     val got = labels.as[(Long, Long)].collect()
     assert(got.length == 1000 && got.forall(_._2 == 1L))
-    assert(rounds <= 10, s"chain took $rounds rounds")
+    // ≤ 10 contraction rounds + 1: the convergence probe rides the NEXT
+    // round's large-star aggregate (free), so the fixpoint is observed
+    // one identity round after it is reached
+    assert(rounds <= 11, s"chain took $rounds rounds")
   }
 
   test("star contraction labels equal union-find on a seeded random graph") {

@@ -98,10 +98,11 @@ object ScaleCorpus {
       o.withColumn("o_orderkey", col("o_orderkey") + lit(r * KeyOff))
     }, "orders")
 
-    // events carries TIMESTAMP(NANOS), which Spark's parquet reader
-    // rejects; read it as the model layer does (nanosAsLong) — the ns
-    // BIGINT round-trips unchanged and Tables' ts_ns/ts split reads the
-    // replica exactly like the source (graft.model.Tables:26)
+    // events' time encoding varies by testdata generation (ns BIGINT via
+    // nanosAsLong, or µs TIMESTAMP_NTZ — see graft.model.Tables); read
+    // RAW here so the time column round-trips byte-identical and the
+    // replica reads exactly like the source through Tables' adaptive
+    // loader
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     write(replicate(read("events"), n) { (e, r) =>
       e.withColumn("event_id", col("event_id") + lit(r * IdOff))
