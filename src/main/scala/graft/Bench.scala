@@ -76,7 +76,14 @@ object Bench {
       def timedRun(): Double = {
         // a previous run's persisted subplans would satisfy this one via
         // plan-canonicalization cache lookup — clear so every timed run
-        // pays for its own intermediates
+        // pays for its own intermediates. RDD-level unpersist FIRST and
+        // BLOCKING: catalog.clearCache alone drops blocks asynchronously,
+        // and at soak scales the next run's broadcast builds raced a heap
+        // still holding gigabytes of the previous run's cache (observed:
+        // spurious "not enough memory to broadcast" + 8× GC-thrash
+        // outliers at 26×)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         ok &= run(name, fn)

@@ -68,7 +68,18 @@ object Extensions {
     val keep = sh.groupBy(gram).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select(gram)
-    val kept = sh.join(keep, Seq(gram), "left_semi")
+    // SHUFFLE_HASH, pinned: keep is the under-cap gram DICTIONARY — it
+    // scales with the corpus (≈ the distinct-gram domain; the df cap
+    // removes only the hot head), but it sits behind an agg + filter
+    // whose size the planner can only guess, and the guess reads small.
+    // The 26× soak caught the consequence: a broadcast plan whose build
+    // blew past driver memory — at 100 TB the dictionary is a
+    // non-starter to broadcast, ever. The hash side build is per
+    // PARTITION of the gram domain (bounded by the shuffle), and the
+    // probe side re-partitions by gram, which is exactly the
+    // partitioning the pair-expansion groupBy(gram) downstream needs —
+    // the hinted join costs nothing it wasn't already owed.
+    val kept = sh.join(keep.hint("SHUFFLE_HASH"), Seq(gram), "left_semi")
     jaccardFromKept(kept, gram, minJac)
   }
 
@@ -92,12 +103,23 @@ object Extensions {
     * CapSketchSpec): estimates never undercount, so NO truly-hot gram
     * survives the cap — the pair-expansion bound (≤ maxDf(maxDf-1)/2
     * per gram) holds exactly as in the exact path. Grams whose true df
-    * is ≤ maxDf but whose estimate exceeds it (≤ eps·N of mass, with
-    * probability ≥ confidence) are over-dropped: the kept-gram set is a
-    * SUBSET of the exact path's, costing a sliver of recall, never a
-    * blow-up. Declared q81/q95 stay on the exact path (oracle-matched);
-    * this is the library path for corpora where the gram domain itself
-    * is the bottleneck.
+    * is ≤ maxDf but whose estimate exceeds it are over-dropped.
+    *
+    * APPLICABILITY BOUND, measured (r8 soak, CapPathProbe): over-drop
+    * is a "sliver" only while eps·mass ≲ maxDf. The CM error is
+    * absolute (≈ eps × Σ gram occurrences), so a SMALL absolute cap
+    * drowns once the corpus grows: at the 26× soak (35M distinct
+    * grams), eps=1e-3 puts ~35k of error on every estimate against a
+    * cap of 50 — every gram reads hot and ZERO pairs survive. Keeping
+    * the error under a tiny cap needs width ∝ mass (tens of MB at the
+    * soak, GBs at 100 TB) — the sketch degenerates into the dictionary
+    * it was meant to avoid. Use THIS path only when maxDf is a
+    * meaningful fraction of eps·mass (rate caps, head-heavy domains);
+    * for near-dup DF caps (maxDf ~ tens) the exact co-partitioned
+    * semi-join in [[capJaccardPairs]] is the 100 TB path at every
+    * scale — its keep-dictionary never broadcasts (hint-pinned) and
+    * every stage is one linear exchange. Declared q81/q95 use the
+    * exact path (oracle-matched).
     */
   private[graft] def capJaccardPairsSketch(
       grams: DataFrame, gram: String, maxDf: Int, minJac: Double,

@@ -37,14 +37,33 @@ object Similarity {
     * of ~B candidates per bucket, choose `bits ≈ log2(N / B)` — e.g.
     * 10^10 vectors at ~10^5 per bucket → 17 bits. A FIXED bucket count is
     * not a scale design: at 100 TB each of 256 buckets would hold ~400 GB
-    * and the per-bucket join blows up. For higher recall at large `bits`,
-    * band the code like q85's LSH (split the bits into b bands and join
-    * on any matching band) instead of requiring all bits equal.
-    * The 8-bit default is the declared oracle contract (q91/q94).
+    * and the per-bucket join blows up — and the r8 soak MEASURED it (the
+    * 10×→26× segment priced q99's fixed 8-bit fill at exponent 1.6,
+    * quadratic showing through). The default is therefore the dial
+    * itself: bits = clamp(ceil(log2(N / 64)), 8, dim), from the parquet
+    * metadata row count (one cheap count job). The floor of 8 keeps the
+    * declared oracle contract byte-stable at every testdata scale
+    * (N ≤ 2k → 8 bits); the cap is the embedding dimensionality (16) —
+    * a corpus big enough to exhaust it needs q96-style banding over
+    * MORE projections, not more sign bits of the same 16. For higher
+    * recall at large `bits`, band the code like q85's LSH (split the
+    * bits into b bands and join on any matching band) instead of
+    * requiring all bits equal. Pass `bits` explicitly to pin a layout
+    * (e.g. to match a stored index).
     */
-  private[ops] def bucketed(s: SparkSession, dir: String, bits: Int = 8): DataFrame =
-    Tables(s, dir, "embeddings").withColumn("bucket",
-      expr(s"array_join(transform(slice(embedding, 1, $bits), x -> CAST(CAST(x >= 0 AS INT) AS STRING)), '')"))
+  private[ops] def bucketed(s: SparkSession, dir: String, bits: Int = 0): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val b =
+      if (bits > 0) bits
+      else {
+        val n = emb.count().max(1L)
+        val dim = 16
+        math.min(dim, math.max(8,
+          math.ceil(math.log(n / 64.0) / math.log(2.0)).toInt))
+      }
+    emb.withColumn("bucket",
+      expr(s"array_join(transform(slice(embedding, 1, $b), x -> CAST(CAST(x >= 0 AS INT) AS STRING)), '')"))
+  }
 
   val queries: Map[String, Q] = Map(
 
