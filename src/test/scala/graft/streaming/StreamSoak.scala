@@ -56,18 +56,27 @@ object StreamSoak {
       .option("numPartitions", cpus.toInt)
       .load()
       .select(col("value").as("id"))
-      .select(col("id"), (col("id") % 10000L).as("tpl"),
-        (col("id") % 100L).as("m"))
+      .select(col("id"), (col("id") % 100L).as("m"))
+      // body seed: dup-class docs (15%) draw their 40-word body from a
+      // 1000-doc "popular original" population; the other 85% seed from
+      // their own id, so unique docs share ~no words (far apart in
+      // simhash space) — the flag rate of the stream is the constructed
+      // 15%, not an artifact of a shared template body
+      .select(col("id"), col("m"),
+        when(col("m") < 15, col("id") % 1000L).otherwise(col("id")).as("seed"))
       .select(col("id"),
         concat(
-          // template body: 40 words keyed by the template id
+          // modulus ~1e9 (prime): two seeds share words only when they
+          // differ by the full modulus — beyond any soak's id range (a
+          // smaller prime made ids exactly-modulus apart identical-body
+          // twins, inflating the flag rate ~3×)
           concat_ws(" ", (0 until 40).map(w =>
-            concat(lit(s"w$w"), ((col("tpl") * 31 + w) % 9973))): _*),
-          // discriminator: exact repeat (5%), near-dup edit (10%), or
-          // unique tail word keyed by id
+            concat(lit(s"w$w"), ((col("seed") * 1000003L + w * 7919L) % 999999937L))): _*),
+          // 5% exact repeats of the popular original, 10% one-word-edit
+          // near-dups of it (7 edit variants), 85% unique
           when(col("m") < 5, lit(" end"))
             .when(col("m") < 15, concat(lit(" edit"), col("id") % 7))
-            .otherwise(concat(lit(" uniq"), col("id")))).as("text"))
+            .otherwise(lit(" end"))).as("text"))
       .as[(Long, String)]
 
     val flags = StreamingNearDup.flagNearDups(docs)
