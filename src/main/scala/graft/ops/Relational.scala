@@ -296,6 +296,15 @@ object Relational {
     // for the oracle-exact contract at bench scale, but at 100 TB the
     // scale path is approx_percentile (t-digest sketch, bounded state,
     // mergeable partials); swap is a one-word change when tolerance > 0.
+    // Scale note: exact `percentile` is a value→count histogram per
+    // group — bounded for discrete domains (quantity: 50 keys), but for
+    // a CONTINUOUS column it holds every distinct value, O(distinct) per
+    // group. The declared query stays exact because the DuckDB oracle is
+    // exact (hash-match gate); the 100 TB path for continuous domains is
+    // `approx_percentile(col, q, accuracy)` — fixed-size mergeable
+    // sketch, rank error ≤ 1/accuracy — which trades the hash-exact
+    // contract for bounded memory. Same trade, same reasoning, as the
+    // q75 bloom-vs-exact decontamination pair.
     "q38_percentiles" -> ((s, dir) => {
       Tables(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))

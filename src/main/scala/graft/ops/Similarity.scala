@@ -51,12 +51,23 @@ object Similarity {
     * requiring all bits equal. Pass `bits` explicitly to pin a layout
     * (e.g. to match a stored index).
     */
+  /** Corpus-size memo for the adaptive bits choice: the count is parquet
+    * metadata (cheap) but still a job (~0.3 s of fixed overhead per
+    * call), and q91/q94/q99 all pass through here. Keyed by directory —
+    * sound because the corpora are immutable fixtures; a deployment over
+    * a growing table would key by snapshot/version instead (staleness
+    * only nudges a log2, but the memo must not pin a layout forever).
+    */
+  private val embCountMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   private[ops] def bucketed(s: SparkSession, dir: String, bits: Int = 0): DataFrame = {
     val emb = Tables(s, dir, "embeddings")
     val b =
       if (bits > 0) bits
       else {
-        val n = emb.count().max(1L)
+        val n = embCountMemo
+          .computeIfAbsent(dir, _ => emb.count()).longValue().max(1L)
         val dim = 16
         math.min(dim, math.max(8,
           math.ceil(math.log(n / 64.0) / math.log(2.0)).toInt))
