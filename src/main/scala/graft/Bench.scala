@@ -12,12 +12,17 @@ import org.apache.spark.sql.SparkSession
   * number measured is the number a real sink would see.
   *
   * Every query runs once untimed (codegen compilation, JIT, broadcast
-  * thread-pool spin-up), then k >= 3 timed runs reporting the MEDIAN —
-  * the r7 record showed same-host same-day sweeps differing 2-4x on
-  * single queries (host contention stalls landing on one unlucky run),
-  * and a median of k absorbs a stall that a min-of-2 reports and a
-  * mean amplifies. Per-query min/max ride along in a `spread` map so
-  * the artifact itself shows how noisy each number was.
+  * thread-pool spin-up), then k >= 3 timed samples reporting the MEDIAN.
+  * The k samples are INTERLEAVED round-robin across the whole query
+  * list — k full sweeps, one sample per query per sweep — not k
+  * back-to-back runs per query. The r8 record showed why back-to-back
+  * sampling fails: this host freezes for multi-second windows, and k
+  * consecutive runs of one query all fit inside one freeze, so the
+  * median itself was stalled (official q89 median 4.7 s vs 0.44 s
+  * isolated — ~10x). With sweeps, one freeze lands on k DIFFERENT
+  * queries' single samples, each of which that query's median discards.
+  * Per-query min/max ride along in a `spread` map so the artifact
+  * itself shows how noisy each number was.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -62,7 +67,7 @@ object Bench {
       System.err.println("[bench] empty query selection")
       sys.exit(2)
     }
-    // k timed runs per query (median reported). 3 is the floor for a
+    // k timed samples per query (median reported). 3 is the floor for a
     // median to discard one stall; SPARK_GRAFT_BENCH_K raises it for
     // offline precision runs
     val k = math.max(3, sys.env.getOrElse("SPARK_GRAFT_BENCH_K", "3").toInt)
@@ -70,37 +75,47 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val results = selected.map { case (name, fn) =>
-      run(name, fn) // warmup (codegen/JIT); failure also logged by run()
-      var ok = true
-      def timedRun(): Double = {
-        // a previous run's persisted subplans would satisfy this one via
-        // plan-canonicalization cache lookup — clear so every timed run
-        // pays for its own intermediates. RDD-level unpersist FIRST and
-        // BLOCKING: catalog.clearCache alone drops blocks asynchronously,
-        // and at soak scales the next run's broadcast builds raced a heap
-        // still holding gigabytes of the previous run's cache (observed:
-        // spurious "not enough memory to broadcast" + 8× GC-thrash
-        // outliers at 26×)
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = true))
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        ok &= run(name, fn)
-        (System.nanoTime() - t0) / 1e9
-      }
-      var timed = (1 to k).map(_ => timedRun())
-      // a contention stall can still hit 2 of 3 runs (observed on this
-      // host: multi-second freezes spanning whole queries). When the
-      // median itself is slow AND the samples disagree badly, buy two
-      // more — bounded to genuinely suspicious cases so the sweep's
-      // length stays predictable
-      if (median(timed) > 2.0 && timed.max > 1.5 * timed.min)
-        timed = timed ++ (1 to 2).map(_ => timedRun())
+    val okMap = scala.collection.mutable.Map(selected.map(_._1 -> true): _*)
+    def timedRun(name: String,
+                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // a previous run's persisted subplans would satisfy this one via
+      // plan-canonicalization cache lookup — clear so every timed run
+      // pays for its own intermediates. RDD-level unpersist FIRST and
+      // BLOCKING: catalog.clearCache alone drops blocks asynchronously,
+      // and at soak scales the next run's broadcast builds raced a heap
+      // still holding gigabytes of the previous run's cache (observed:
+      // spurious "not enough memory to broadcast" + 8× GC-thrash
+      // outliers at 26×)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
-      (name, median(timed), timed.min, timed.max, ok)
+      val t0 = System.nanoTime()
+      okMap(name) &= run(name, fn)
+      (System.nanoTime() - t0) / 1e9
     }
-    def f(v: Double) = "%.3f".format(v) // ms precision keeps the line short
+    // warmup sweep (codegen/JIT); failure also logged by run()
+    selected.foreach { case (name, fn) => run(name, fn) }
+    // k full sweeps, one sample per query per sweep — a host freeze hits
+    // k different queries' single samples, never all k of one query's
+    val samples = scala.collection.mutable.Map(
+      selected.map(_._1 -> Vector.empty[Double]): _*)
+    for (_ <- 1 to k; (name, fn) <- selected)
+      samples(name) = samples(name) :+ timedRun(name, fn)
+    // residual insurance: after the sweeps, a query whose median is slow
+    // AND whose samples disagree badly buys two more isolated samples —
+    // at this point the sweeps have separated the samples in time, so
+    // this only fires on genuine plan-level variance, not one freeze
+    val results = selected.map { case (name, fn) =>
+      var timed = samples(name)
+      if (median(timed) > 2.0 && timed.max > 1.5 * timed.min)
+        timed = timed ++ (1 to 2).map(_ => timedRun(name, fn))
+      (name, median(timed), timed.min, timed.max, okMap(name))
+    }
+    spark.catalog.clearCache()
+    // Locale.ROOT: a comma-decimal default locale would emit 0,123 —
+    // invalid JSON
+    def f(v: Double) = String.format(java.util.Locale.ROOT, "%.3f",
+      Double.box(v)) // ms precision keeps the line short
     // a failed query reports -1, not its fast-failure duration — a broken
     // query must stand out in the JSON rather than understate the total
     val qs = results.map { case (k, v, _, _, ok) =>

@@ -27,6 +27,12 @@ object Tables {
     * `ts_ns` for nanos data — so the parquet scan prunes row groups.
     */
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // The ts/ts_ns equivalences below (tsLit ≡ nsOf, the µs→ns derivation)
+    // hold only under a UTC session; a misconfigured session would get a
+    // silently shifted epoch-ns domain, so fail loudly instead.
+    require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      "graft.model.Tables requires spark.sql.session.timeZone=UTC " +
+        s"(got '${spark.conf.get("spark.sql.session.timeZone")}')")
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$sfDir/$name.parquet")
@@ -71,6 +77,33 @@ object Tables {
     java.time.LocalDateTime.parse(isoUtc.replace(' ', 'T'))
       .toInstant(java.time.ZoneOffset.UTC)
       .toEpochMilli * 1000000L
+
+  /** Generation-aware inclusive time-range predicate for an events frame
+    * loaded by [[apply]]. The predicate must sit on whichever column the
+    * FILE natively carries — `ts` (TIMESTAMP_NTZ) on µs-generation data,
+    * `ts_ns` (BIGINT) on nanos-generation data — or the parquet scan
+    * can't prune row groups: the other column is derived per-row, and a
+    * filter on a derived column never reaches `PushedFilters`. The two
+    * forms select identical rows for whole-second bounds (exact in both
+    * domains).
+    *
+    * Detection rides the loader's own output: µs-generation `ts` passes
+    * through untouched as TIMESTAMP_NTZ, while the nanos path derives
+    * `ts` via `timestamp_micros` (plain TIMESTAMP) — so the dtype of
+    * `ts` identifies the generation without re-reading the footer.
+    */
+  def tsRange(events: DataFrame, fromIso: String, toIso: String): org.apache.spark.sql.Column =
+    events.schema("ts").dataType match {
+      case TimestampNTZType => col("ts").between(tsLit(fromIso), tsLit(toIso))
+      case _ => col("ts_ns").between(lit(nsOf(fromIso)), lit(nsOf(toIso)))
+    }
+
+  /** Generation-aware `ts >= bound` (see [[tsRange]]). */
+  def tsAtLeast(events: DataFrame, fromIso: String): org.apache.spark.sql.Column =
+    events.schema("ts").dataType match {
+      case TimestampNTZType => col("ts") >= tsLit(fromIso)
+      case _ => col("ts_ns") >= lit(nsOf(fromIso))
+    }
 
   /** Unified metric-store schema — the Spark mapping of the reference's
     * point model `(measurement, time, value: FLOAT)`

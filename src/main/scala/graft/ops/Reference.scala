@@ -25,14 +25,14 @@ object Reference {
     // R8: time-range scan + projection + inclusive BETWEEN + explicit order
     // + limit. The reference's LIMIT rides on InfluxDB's implicit time order
     // (index.js:106, quirk §1.4.6) — here the order is explicit.
-    // The time-range predicate runs on the NATIVE ts scan column so the
-    // parquet scan prunes row groups (PushedFilters); whole-second bounds
-    // are exact in every time domain the data has shipped with.
+    // The time-range predicate runs on the generation's NATIVE scan column
+    // (Tables.tsRange) so the parquet scan prunes row groups
+    // (PushedFilters); whole-second bounds are exact in every time domain
+    // the data has shipped with.
     "q01_range_scan_limit" -> ((s, dir) => {
-      Tables(s, dir, "events")
-        .filter(col("event_type") === "click" &&
-          col("ts").between(
-            Tables.tsLit("2024-01-05 00:00:00"), Tables.tsLit("2024-01-10 00:00:00")))
+      val ev = Tables(s, dir, "events")
+      ev.filter(col("event_type") === "click" &&
+          Tables.tsRange(ev, "2024-01-05 00:00:00", "2024-01-10 00:00:00"))
         .orderBy(col("ts"), col("event_id"))
         .limit(100)
         .select(col("event_id"), Tables.epochMs(col("ts")).as("ts_ms"), col("value"))
@@ -131,8 +131,8 @@ object Reference {
     // (reference deletes `time < cutoff`, index.js:269-282, exclusive cutoff
     // §1.2). At scale this is a partition drop (stream/Retention.scala).
     "q05_retention_filter" -> ((s, dir) => {
-      Tables(s, dir, "events")
-        .filter(col("ts") >= Tables.tsLit("2024-01-15 00:00:00"))
+      val ev = Tables(s, dir, "events")
+      ev.filter(Tables.tsAtLeast(ev, "2024-01-15 00:00:00"))
         .agg(
           count(lit(1)).as("n"),
           min(Tables.epochMs(col("ts"))).as("min_ms"),
