@@ -253,8 +253,40 @@ object Dedup {
   /** [[connectedComponents]] plus the converged round count — the
     * O(log n) claim is spec-asserted on a long synthetic chain.
     */
+  /** Per-round shuffle width: the cc rounds' data volume is the round's
+    * own edge count, not the corpus — a 100× corpus's FIRST rounds carry
+    * 100× edges while the LAST rounds carry a few labels, so neither the
+    * session's global `spark.sql.shuffle.partitions` (sized for the
+    * corpus-proportional stages) nor any fixed number fits every round.
+    * Sizing from the count the loop already takes each round is the
+    * AQE-per-stage behavior a cluster would give these exchanges (the
+    * localCheckpoint materialization path doesn't get AQE coalescing —
+    * measured: 10× q100 at a global 160 cost +50% over 16). Explicit
+    * `repartition(p, key)` exchanges replace the aggregates' implicit
+    * ones (the groupBy/join reuse the partitioning — same exchange
+    * count, controlled width).
+    */
+  private def roundPartitions(s: SparkSession, edgeRows: Long): Int = {
+    val targetRowsPerPartition = 250000L // (long, long) rows — small
+    val p = math.ceil(edgeRows * 2.0 / targetRowsPerPartition).toInt
+    math.min(2048, math.max(s.sparkContext.defaultParallelism, p))
+  }
+
+  /** Fire the output-side structural probe only when the round's input
+    * violation count is already this small: below it, the round likely
+    * finished the forest and the probe (2 small exchanges + a semi-join
+    * on the output) is cheaper than discovering convergence one identity
+    * round later (~1 full round of fixed stage cost). Above it, the
+    * probe would almost always answer "not yet" and is skipped.
+    * Measured at 10× (2.1M edges): per-round violations fall ~7× per
+    * round (23195 → 3294 → 500 → 20); 64 lets only the genuinely-final
+    * round pay the probe (500 would probe one round early and miss).
+    */
+  private val StarProbeMaxViolations = 64L
+
   private[ops] def connectedComponentsWithRounds(
       edges0: DataFrame): (DataFrame, Int) = {
+    val sess = edges0.sparkSession
     // canonical child→parent orientation (a > b), loops/dups dropped —
     // the star steps below maintain this invariant
     // consumed exactly once (final label extraction) — checkpointing
@@ -267,6 +299,10 @@ object Dedup {
         least(col("a"), col("b")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
       .localCheckpoint(true)
+    // the eager checkpoint above already materialized l, so this count
+    // reads cached blocks — it seeds the per-round width; every later
+    // round reuses its own count action's result
+    var edgeRows = l.count()
     var converged = false
     var rounds = 0
     while (!converged) {
@@ -275,7 +311,8 @@ object Dedup {
       // this many means the edge input is pathological — fail loudly
       // instead of looping the cluster forever
       require(rounds <= 50, "star contraction did not converge in 50 rounds")
-      val viol = l.sparkSession.sparkContext.longAccumulator(s"star-viol-$rounds")
+      val p = roundPartitions(sess, edgeRows)
+      val viol = sess.sparkContext.longAccumulator(s"star-viol-$rounds")
       // the tap passes m through unchanged while counting the row; it
       // sits IN the data path (the violating branch's value), so the
       // optimizer can't eliminate it, and nondeterminism pins it in
@@ -284,6 +321,7 @@ object Dedup {
       // large-star: group the SYMMETRIC neighborhood of u; every
       // strictly-larger neighbor re-points to min(Γ(u) ∪ {u})
       val sym = l.union(l.select(col("b").as("a"), col("a").as("b")))
+        .repartition(p, col("a"))
       val lsMin = sym.groupBy(col("a"))
         .agg(least(min(col("b")), col("a")).as("m0"), max(col("b")).as("_mx"))
         // the free convergence probe: u both child and parent of the
@@ -297,6 +335,7 @@ object Dedup {
       val ls = sym.filter(col("b") > col("a"))
         .join(lsMin, "a")
         .select(col("b").as("a"), col("m").as("b"))
+        .repartition(p, col("a"))
       // small-star: group u's smaller neighbors (orientation already
       // canonical); u and each of them re-point to the minimum
       val ssMin = ls.groupBy(col("a")).agg(min(col("b")).as("m"))
@@ -309,8 +348,20 @@ object Dedup {
         .union(ssMin.select(col("a"), col("m").as("b")))
         .filter(col("a") =!= col("b"))
         .localCheckpoint(false)
-      next.count()
+      edgeRows = next.count()
       converged = viol.value == 0L
+      if (sys.env.contains("SPARK_GRAFT_CC_TRACE"))
+        System.err.println(s"[cc] round=$rounds edges=$edgeRows viol=${viol.value}")
+      // threshold-gated OUTPUT probe: the accumulator sees the round's
+      // INPUT, so plain viol==0 discovers the fixpoint one identity
+      // round late. When the input was ALMOST a forest, ask the output
+      // directly — star forest ⟺ no node is both child and parent —
+      // and skip that trailing round
+      if (!converged && viol.value <= StarProbeMaxViolations) {
+        converged = next.select(col("b"))
+          .join(next.select(col("a").as("b")).distinct(), Seq("b"), "left_semi")
+          .isEmpty
+      }
       l = next
     }
     // star forest: every child row is (node, component-min root);

@@ -42,9 +42,15 @@ object ScaleProbe {
       case other  => sys.error(s"SPARK_GRAFT_FAMILY=$other (want docs|rel|all)")
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    // the soak protocol scales shuffle partitions with corpus size
+    // (SPARK_GRAFT_SHUFFLE_PARTITIONS ≈ 16×N), the sizing AQE would pick
+    // on a cluster — so recorded exponents isolate plan behavior from
+    // the per-partition-volume dial (r8's q95 26× number was spill at a
+    // FIXED 16 partitions, halving when partitions doubled)
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
