@@ -16,7 +16,10 @@ import org.apache.spark.sql.functions._
   * shape: synthetic doc texts (a rotating template population with
   * ~10% near-duplicate re-crawls — edits of an earlier doc — and ~5%
   * exact repeats) → [[StreamingNearDup.flagNearDups]] (the stateful
-  * LSH stage, 4 band buckets per doc) → in-memory count sink. Every
+  * LSH stage, 4 band buckets per doc) → count-only foreachBatch sink
+  * (each batch is counted and DISCARDED — an in-memory sink would
+  * accumulate every output row, so past ~10 minutes the tool measured
+  * its own sink instead of the pipeline). Every
   * `lastProgress` is sampled once per trigger; the printout is the
   * per-~30s downsample plus a summary with:
   *
@@ -80,9 +83,13 @@ object StreamSoak {
       .as[(Long, String)]
 
     val flags = StreamingNearDup.flagNearDups(docs)
+    // count-only sink: O(1) memory however long the run — the count is
+    // the only number the summary needs from the output rows
+    val flaggedTotal = new java.util.concurrent.atomic.AtomicLong(0L)
     val query = flags.writeStream
-      .format("memory")
-      .queryName("soak_flags")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[_], _: Long) =>
+        flaggedTotal.addAndGet(df.count()); ()
+      }
       .outputMode("append")
       .option("checkpointLocation",
         s"/tmp/stream_soak_ckpt_${System.currentTimeMillis()}")
@@ -129,7 +136,7 @@ object StreamSoak {
       val steady = samples.drop(samples.size / 2)
       val durs = steady.map(_.batchMs).sorted
       def pct(p: Double) = durs((p * (durs.size - 1)).toInt)
-      val flagged = spark.table("soak_flags").count()
+      val flagged = flaggedTotal.get()
       println(f"[stream-soak] steady proc_rps=${steady.map(_.procRps).sum / steady.size}%.1f " +
         f"batch_ms_p50=${pct(0.5)}%d batch_ms_p95=${pct(0.95)}%d " +
         f"state_rows_final=${samples.last.stateRows}%d " +
