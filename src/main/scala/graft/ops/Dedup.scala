@@ -267,7 +267,16 @@ object Dedup {
     * count, controlled width).
     */
   private def roundPartitions(s: SparkSession, edgeRows: Long): Int = {
-    val targetRowsPerPartition = 250000L // (long, long) rows — small
+    // ~64 MB of (long, long) rows per partition — AQE's advisory target,
+    // the volume a cluster executor comfortably hashes in memory. The r9
+    // three-decade partition scan showed per-partition TASK costs always
+    // beat spill locally (16 parts won at 10×/26×/100×; the original
+    // 250k-row target put 54 partitions under the 26× round-1 exchange
+    // and cost q100 +36%), so the dial must not engage below millions of
+    // rows per partition: at the 100× soak (23M edges) this floor keeps
+    // p = defaultParallelism, while a true cluster-scale round (billions
+    // of edges) still fans out.
+    val targetRowsPerPartition = 4000000L
     val p = math.ceil(edgeRows * 2.0 / targetRowsPerPartition).toInt
     math.min(2048, math.max(s.sparkContext.defaultParallelism, p))
   }

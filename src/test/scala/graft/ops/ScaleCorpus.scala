@@ -48,7 +48,7 @@ import org.apache.spark.sql.functions._
   * contamination breaks those laws loudly.
   */
 object ScaleCorpus {
-  private val IdOff  = 10000000L
+  private[ops] val IdOff = 10000000L
   private val KeyOff = 100000000L
 
   /** Per-replica letter bijection (from, to) for `translate`.

@@ -42,11 +42,13 @@ object ScaleProbe {
       case other  => sys.error(s"SPARK_GRAFT_FAMILY=$other (want docs|rel|all)")
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
-    // the soak protocol scales shuffle partitions with corpus size
-    // (SPARK_GRAFT_SHUFFLE_PARTITIONS ≈ 16×N), the sizing AQE would pick
-    // on a cluster — so recorded exponents isolate plan behavior from
-    // the per-partition-volume dial (r8's q95 26× number was spill at a
-    // FIXED 16 partitions, halving when partitions doubled)
+    // the soak protocol holds per-partition shuffle volume roughly
+    // constant across decades: SPARK_GRAFT_SHUFFLE_PARTITIONS =
+    // max(16, ceil(1.25×N)). The r9 partition scan refuted the naive
+    // 16×N dial — at these absolute volumes tiny-partition fixed costs
+    // dominate (10× at 160 parts runs 3× SLOWER than at 16, tight
+    // spreads), while the r8 spill appears only past the ~13×-base
+    // per-partition volume (26× at 16 parts)
     val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -70,6 +72,24 @@ object ScaleProbe {
         val (labels, rounds) = Dedup.connectedComponentsWithRounds(pairs)
         println(s"[scale-probe] cc $dir rounds=$rounds members=${labels.count()} " +
           s"clusters=${labels.select("cluster").distinct().count()}")
+        // SPARK_GRAFT_ATTR78=1: attribute q78's superlinear output ratio.
+        // ScaleCorpus replicas get disjoint id blocks (IdOff apart), so
+        // replica(id) = id / IdOff; any doc_a/doc_b pair straddling two
+        // replicas is a CHANCE 64-bit simhash band collision (the letter
+        // bijections preserve within-replica structure but can't prevent
+        // band-level hash coincidences between unrelated texts) — the
+        // within/cross split shows how much of the output is law-abiding
+        // replica structure vs quadratic-in-N collision noise.
+        if (sys.env.contains("SPARK_GRAFT_ATTR78")) {
+          val rep = (c: org.apache.spark.sql.Column) =>
+            floor(c / lit(ScaleCorpus.IdOff))
+          val split = pairs
+            .groupBy((rep(col("a")) === rep(col("b"))).as("within"))
+            .count().collect()
+            .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+          println(s"[scale-probe] attr78 $dir within=${split.getOrElse(true, 0L)} " +
+            s"cross=${split.getOrElse(false, 0L)}")
+        }
       }
     }
     // multi-dir: print each query's count ratio vs the FIRST dir — the
