@@ -266,19 +266,25 @@ object Dedup {
     * ones (the groupBy/join reuse the partitioning — same exchange
     * count, controlled width).
     */
-  private def roundPartitions(s: SparkSession, edgeRows: Long): Int = {
+  private def roundPartitions(edgeRows: Long): Int = {
     // ~64 MB of (long, long) rows per partition — AQE's advisory target,
     // the volume a cluster executor comfortably hashes in memory. The r9
     // three-decade partition scan showed per-partition TASK costs always
     // beat spill locally (16 parts won at 10×/26×/100×; the original
     // 250k-row target put 54 partitions under the 26× round-1 exchange
     // and cost q100 +36%), so the dial must not engage below millions of
-    // rows per partition: at the 100× soak (23M edges) this floor keeps
-    // p = defaultParallelism, while a true cluster-scale round (billions
-    // of edges) still fans out.
+    // rows per partition. The floor is a CONSTANT 16, deliberately not
+    // defaultParallelism: cc round stages are fixed-cost-per-partition
+    // dominated until the volume term takes over, and running them
+    // cores-wide just multiplies that fixed cost — measured at CPUS=32,
+    // 16-wide rounds beat 32-wide by 18% at both 1x (9.5 -> 7.8 s) and
+    // 10x (20.8 -> 17.1 s), with the extra threads changing nothing
+    // else. On a cluster a sub-volume round idles slots for the seconds
+    // it runs, which is cheaper than paying width on every round;
+    // billion-edge rounds still fan out through the volume term.
     val targetRowsPerPartition = 4000000L
     val p = math.ceil(edgeRows * 2.0 / targetRowsPerPartition).toInt
-    math.min(2048, math.max(s.sparkContext.defaultParallelism, p))
+    math.min(2048, math.max(16, p))
   }
 
   /** Fire the output-side structural probe only when the round's input
@@ -320,7 +326,7 @@ object Dedup {
       // this many means the edge input is pathological — fail loudly
       // instead of looping the cluster forever
       require(rounds <= 50, "star contraction did not converge in 50 rounds")
-      val p = roundPartitions(sess, edgeRows)
+      val p = roundPartitions(edgeRows)
       val viol = sess.sparkContext.longAccumulator(s"star-viol-$rounds")
       // the tap passes m through unchanged while counting the row; it
       // sits IN the data path (the violating branch's value), so the
