@@ -35,6 +35,13 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 1, "usage: ScaleProbe <sfDir> [<sfDir2> ...]")
+    // the sbt Test fork defaults to 8 GB (SPARK_DRIVER_MEM overrides);
+    // the 100x corpus's cc stage OOMs below ~24 GB — say so up front
+    // instead of dying 6 minutes in
+    val heapG = Runtime.getRuntime.maxMemory / (1L << 30)
+    if (heapG < 20)
+      System.err.println(s"[scale-probe] WARNING: $heapG GB heap; 100x-scale " +
+        "corpora need ~24 GB (SPARK_DRIVER_MEM=24g) or the cc stage OOMs")
     val family = sys.env.getOrElse("SPARK_GRAFT_FAMILY", "docs") match {
       case "docs" => DocsFamily.map(_ -> "")
       case "rel"  => RelFamily
