@@ -28,9 +28,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // default partitions = cpus (the official per-round protocol); the
-    // scale soak overrides this ∝ corpus size so per-partition volume
-    // stays constant across decades, as AQE would size it on a cluster
+    // partitions = cpus, locally and in the scale soak (the r9 scan
+    // settled it: more partitions is slower at every decade on one JVM);
+    // on a real cluster AQE owns this dial via runtime coalescing
     val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

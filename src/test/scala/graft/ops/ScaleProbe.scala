@@ -38,10 +38,13 @@ object ScaleProbe {
     // the sbt Test fork defaults to 8 GB (SPARK_DRIVER_MEM overrides);
     // the 100x corpus's cc stage OOMs below ~24 GB — say so up front
     // instead of dying 6 minutes in
-    val heapG = Runtime.getRuntime.maxMemory / (1L << 30)
-    if (heapG < 20)
-      System.err.println(s"[scale-probe] WARNING: $heapG GB heap; 100x-scale " +
-        "corpora need ~24 GB (SPARK_DRIVER_MEM=24g) or the cc stage OOMs")
+    // compare in bytes with a margin (a deliberately sized -Xmx20g heap
+    // reports ~1-2 GB less via maxMemory — survivor-space reserve — so a
+    // GiB-truncated `< 20` check would warn spuriously); print rounded
+    val heapBytes = Runtime.getRuntime.maxMemory
+    if (heapBytes < (19L << 30))
+      System.err.println(f"[scale-probe] WARNING: ${heapBytes / (1 << 30).toDouble}%.1f GB " +
+        "heap; 100x-scale corpora need ~24 GB (SPARK_DRIVER_MEM=24g) or the cc stage OOMs")
     val family = sys.env.getOrElse("SPARK_GRAFT_FAMILY", "docs") match {
       case "docs" => DocsFamily.map(_ -> "")
       case "rel"  => RelFamily
@@ -49,13 +52,13 @@ object ScaleProbe {
       case other  => sys.error(s"SPARK_GRAFT_FAMILY=$other (want docs|rel|all)")
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
-    // the soak protocol holds per-partition shuffle volume roughly
-    // constant across decades: SPARK_GRAFT_SHUFFLE_PARTITIONS =
-    // max(16, ceil(1.25×N)). The r9 partition scan refuted the naive
-    // 16×N dial — at these absolute volumes tiny-partition fixed costs
-    // dominate (10× at 160 parts runs 3× SLOWER than at 16, tight
-    // spreads), while the r8 spill appears only past the ~13×-base
-    // per-partition volume (26× at 16 parts)
+    // soak protocol (settled by the r9 three-decade partition scan,
+    // SURVEY §8.0): parts = CPUS = 16 at ALL decades — more partitions
+    // measured slower at every scale (100×: 143.9 s @16 vs 199.6 @125),
+    // because single-JVM "shuffle" spills to page cache while
+    // per-partition fixed costs are real. Scaled dials (16×N, 1.25×N)
+    // are refuted; the override below exists only for re-running that
+    // scan, not as a protocol knob.
     val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -87,7 +90,7 @@ object ScaleProbe {
         // band-level hash coincidences between unrelated texts) — the
         // within/cross split shows how much of the output is law-abiding
         // replica structure vs quadratic-in-N collision noise.
-        if (sys.env.contains("SPARK_GRAFT_ATTR78")) {
+        if (sys.env.get("SPARK_GRAFT_ATTR78").contains("1")) {
           val rep = (c: org.apache.spark.sql.Column) =>
             floor(c / lit(ScaleCorpus.IdOff))
           val split = pairs
