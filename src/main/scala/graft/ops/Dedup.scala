@@ -38,10 +38,16 @@ object Dedup {
     */
   private def shingles(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExpressions.ensureRegistered(s)
+    // per-doc distinct via array_distinct (doc-local): MinHash is
+    // duplicate-insensitive (min over a multiset = min over its set),
+    // but the dedup keeps the signature aggregate's input honest while
+    // costing no exchange — the pre-r10 `.distinct()` here paid a full
+    // (doc, shingle) shuffle BEFORE the signature aggregate, when the
+    // aggregate's own map-side partials (explode output is doc-local)
+    // already reduce each doc to one 16-slot row pre-exchange
     Tables(s, dir, "documents")
       .select(col("doc_id"),
-        explode(expr("text_shingles(text)")).as("sh"))
-      .distinct()
+        explode(array_distinct(expr("text_shingles(text)"))).as("sh"))
   }
 
   /** One row per doc: columns h0..h15 = the MinHash signature, computed
@@ -185,10 +191,15 @@ object Dedup {
     * (hamming is pair-determined, so it never splits a pair).
     */
   private[ops] def nearDupPairs(docs: DataFrame, maxHam: Int): DataFrame = {
+    // per-doc distinct words via array_distinct (doc-local, no exchange
+    // — the pre-r10 `.distinct()` shuffled every (doc, word) row before
+    // the signature aggregate); "" survives array_distinct and drops in
+    // the row filter, same set as dedup-after-filter
     val sig = docs
       .filter(col("text") =!= "")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .filter(col("w") =!= "").distinct()
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("w"))
+      .filter(col("w") =!= "")
       .groupBy(col("doc_id"))
       .agg(expr("simhash_agg(md5(w))").as("sh"))
     val bands = sig.select(explode(array(
@@ -458,10 +469,15 @@ object Dedup {
     // shuffle amplification this aggregate exists to avoid.
     "q86_simhash" -> ((s, dir) => {
       graft.functions.VectorExpressions.ensureRegistered(s)
+      // per-doc distinct words via array_distinct (doc-local) — same
+      // rewrite as nearDupPairs: the signature aggregate's map-side
+      // partials already reduce each doc to one row pre-exchange, so the
+      // old `.distinct()` shuffle bought nothing
       Tables(s, dir, "documents")
         .filter(col("text") =!= "")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .filter(col("w") =!= "").distinct()
+        .select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("w"))
+        .filter(col("w") =!= "")
         .groupBy(col("doc_id"))
         .agg(expr("simhash_agg(md5(w))").as("simhash"))
         .orderBy(col("doc_id"))

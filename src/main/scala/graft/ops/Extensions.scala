@@ -14,10 +14,11 @@ import org.apache.spark.sql.types._
   *  - q80 exact dedup: hash-groupBy on md5(text) — one shuffle on the hash,
   *    map-side partial counts; at scale this is the canonical first dedup
   *    pass.
-  *  - q81 shingle Jaccard: explode → DISTINCT (doc, shingle) → self-join on
-  *    shingle. The distinct pass bounds candidate generation; hot shingles
-  *    (stop-shingles) are the skew risk — the MinHash/LSH variant
-  *    (q85, Dedup.scala) is the scale path.
+  *  - q81 shingle Jaccard: per-doc-distinct shingles (array_distinct,
+  *    doc-local) → skew-capped gram→doc-list aggregate → prefix-filtered
+  *    candidates → exact array_intersect verify (see capJaccardPairs).
+  *    Exact at every scale; the MinHash/LSH variant (q85, Dedup.scala)
+  *    remains the approximate alternative.
   *  - q82 cosine top-k: brute force against ONE broadcast probe vector —
   *    O(n·d) map-side work, no shuffle until the final top-k. The bucketed
   *    ANN variant (q91) is the scale path for many probes.
@@ -41,31 +42,132 @@ object Extensions {
          |  CAST(0 AS DECIMAL(28,12)),
          |  (acc, v) -> CAST(acc + v AS DECIMAL(28,12)))""".stripMargin)
 
+  /** PPJoin-style PREFIX-FILTERED variant of [[capJaccardPairs]]
+    * (Chaudhuri et al. ICDE'06; Xiao et al. PPJoin) — byte-identical
+    * output, different candidate generation. Input contract as
+    * [[capJaccardPairs]]: per-doc-distinct (doc_id, <gram>) rows.
+    *
+    * Idea: order each doc's kept grams by (df, gram) ascending — rarest
+    * first under one global total order — and emit candidates only from
+    * each doc's first L = n − ⌈t·n⌉ + 1 grams. Lemma (overlap form): if
+    * |a∩b| ≥ α then the (|a|−α+1)- and (|b|−α+1)-prefixes share an
+    * element — the α-th largest shared gram sits inside both; J(a,b) ≥ t
+    * implies |a∩b| ≥ ⌈t·max(|a|,|b|)⌉, so the per-doc L above (its
+    * weakest case) loses NO qualifying pair. Spurious pairs, by
+    * contrast, share only common-ish grams, which the df-ascending order
+    * pushes into suffixes. Candidates then verify EXACTLY via
+    * array_intersect on the full per-doc gram arrays.
+    *
+    * MEASURED REFUTATION (r10, JaccardStageProbe, 1×/10×/100×): at the
+    * declared thresholds this path LOSES to the plain inverted-index
+    * expansion at every decade — 100×: 113.6 s vs 50.5 s. Two causes,
+    * both structural at t = 0.5: (a) the prefix keeps ⌈n/2⌉+1 of each
+    * doc's grams, and this corpus' spurious pairs share several
+    * mid-frequency grams, so the candidate cut saturates at 3.9×
+    * (124M → 31.9M at 100×) instead of the 10-100× the PPJoin papers
+    * see at t ≥ 0.8; (b) verification must carry each doc's FULL gram
+    * array (~30 strings, ~750 B/row vs the expansion's 24 B pair rows)
+    * through two joins — 3.9× fewer rows × ~30× heavier rows is a net
+    * LOSS in exchange bytes. Prefix filtering is a high-threshold
+    * technique; q81/q95 declare t = 0.3/0.5, so [[capJaccardPairs]]
+    * (expansion) stays the production path and this variant is retained
+    * for high-t callers, equivalence-spec-covered
+    * (GenerativePropertiesSpec) and probe-measurable (JaccardStageProbe).
+    *
+    * Stage shape:
+    *  - gramDocs: ONE corpus-sized exchange — groupBy(gram) computing
+    *    df = count AND the complete doc list via the k-bounded
+    *    topk_min_agg (k = maxDf+1): partial buffers cap at maxDf+1 ids
+    *    per gram per mapper, so a degenerate hot gram (df ~ corpus size
+    *    at 100 TB) truncates map-side instead of flooding one reducer —
+    *    the aggregate is skew-capped BY CONSTRUCTION. For under-cap
+    *    grams (df ≤ maxDf < k) the truncation never fires and the list
+    *    is exact.
+    *  - docArr: per-doc sorted (df, gram) arrays + sizes; persisted — it
+    *    feeds prefix generation and BOTH verify sides (callers own cache
+    *    cleanup per the [[graft.SparkEntry.queries]] contract).
+    *  - candidates: array_pairs over per-PREFIX-gram doc lists (groups
+    *    still ≤ maxDf by construction), deduped.
+    *  - verify: two SHUFFLE_HASH-pinned joins against docArr (broadcast
+    *    stays banned — docArr is corpus-proportional, same lesson as the
+    *    r8 dictionary blow-up), exact inter = |array_intersect|, then
+    *    the threshold.
+    */
+  private[graft] def capJaccardPairsPrefix(grams: DataFrame, gram: String,
+                                           maxDf: Int, minJac: Double): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(grams.sparkSession)
+    val gramDocs = grams.groupBy(gram)
+      .agg(count(lit(1)).as("df"),
+        expr(s"transform(topk_min_agg('', doc_id, ${maxDf + 1}), x -> x.id)")
+          .as("ds"))
+      .filter(col("df") <= maxDf)
+    // explode preserves the gram partitioning; no exchange before docArr
+    val kept = gramDocs.select(col("df"), col(gram).as("gv"),
+      explode(col("ds")).as("doc_id"))
+    val docArr = kept.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("gv")))).as("gs"),
+        count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // L = n − ⌈t·n⌉ + 1, nudged so a ~1-ulp-high t·n cannot round the
+    // ceil UP and shorten the prefix (longer prefixes only add
+    // candidates — never lose one)
+    val prefLen = greatest(lit(1L), col("n") + 1L -
+      ceil(col("n").cast("double") * lit(minJac) - lit(1e-9)).cast("long"))
+    val prefix = docArr.select(col("doc_id"),
+      explode(transform(slice(col("gs"), lit(1), prefLen.cast("int")),
+        x => x.getField("gv"))).as("pg"))
+    val cand = prefix.groupBy("pg")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .select(explode(expr("array_pairs(ds)")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
+    val va = docArr.select(col("doc_id").as("a"),
+      transform(col("gs"), x => x.getField("gv")).as("ga"), col("n").as("na"))
+    val vb = docArr.select(col("doc_id").as("b"),
+      transform(col("gs"), x => x.getField("gv")).as("gb"), col("n").as("nb"))
+    val jac = col("inter").cast("double") /
+      (col("na") + col("nb") - col("inter")).cast("double")
+    cand.join(va.hint("SHUFFLE_HASH"), Seq("a"))
+      .join(vb.hint("SHUFFLE_HASH"), Seq("b"))
+      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      .filter(jac >= minJac)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("inter"),
+        round(jac, 4).as("jac"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Shared DF-capped set-Jaccard pipeline behind q81 (word shingles) and
-    * q95 (char n-grams). Input: (doc_id, <gram>) rows, possibly with
-    * duplicates. Output: (doc_a, doc_b, inter, jac) pairs above minJac.
+    * q95 (char n-grams): inverted-index pair expansion over under-cap
+    * grams, then per-pair intersection counts ([[jaccardFromKept]]).
+    * Input: (doc_id, <gram>) rows, PER-DOC DISTINCT — generate with
+    * `explode(array_distinct(<generator>))`. The per-doc dedup is a
+    * doc-local operation; the r10 rewrite moved it into the generator
+    * column (array_distinct) and removed the internal `.distinct()`,
+    * which paid a full corpus-sized (doc, gram) exchange + a
+    * gram-domain-sized hash aggregate before anything useful ran — the
+    * single largest stage of the r9 100× soak profile (~26-53 s of
+    * q95's 86 s).
     *
     * Stage shape (each one chosen for the 100 TB case):
-    *  - DISTINCT (doc, gram): one shuffle, map-side combined.
-    *  - keep = groupBy(gram).count <= maxDf: map-side-combinable counts
-    *    (one row per distinct gram per mapper in the shuffle), never
-    *    buffers a hot gram's doc list. The distinct exchange is shared
-    *    with the semi-join probe side below via Spark's ReuseExchange.
-    *  - kept = sh LEFT SEMI keep on gram: both sides hash-partitioned on
-    *    the gram; the join output stays partitioned on gram, so the
-    *    pair-generation groupBy(gram) below needs NO further exchange.
-    *  - kept is persisted because it feeds two consumers (doc sizes +
-    *    pair-gen) and Spark has no automatic CTE reuse for DataFrame
-    *    plans. Callers (Bench/Verify/harnesses) own cache cleanup — see
-    *    the contract note on [[graft.SparkEntry.queries]].
+    *  - keep = groupBy(gram).count <= maxDf: map-side-combinable counts,
+    *    never buffers a hot gram's doc list.
+    *  - kept = grams LEFT SEMI keep on gram: both sides hash-partitioned
+    *    on the gram; the join output stays partitioned on gram, so the
+    *    pair-generation groupBy(gram) downstream needs NO further
+    *    exchange.
     *  - pair expansion: per-gram sorted doc list → all a<b pairs via the
     *    native codegen'd array_pairs; group sizes are bounded by maxDf,
     *    so the expansion is ≤ maxDf(maxDf-1)/2 per gram by construction.
+    *
+    * Why not prefix filtering: [[capJaccardPairsPrefix]] implements the
+    * published PPJoin alternative; the r10 A/B (JaccardStageProbe,
+    * 1×/10×/100×) measured it 2.2× SLOWER at 100× at the declared
+    * thresholds — see its scaladoc for the attribution. This expansion
+    * form stays production for t ≤ ~0.5.
     */
   private[graft] def capJaccardPairs(grams: DataFrame, gram: String,
                                      maxDf: Int, minJac: Double): DataFrame = {
-    val sh = grams.distinct()
-    val keep = sh.groupBy(gram).agg(count(lit(1)).as("df"))
+    val keep = grams.groupBy(gram).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select(gram)
     // SHUFFLE_HASH, pinned: keep is the under-cap gram DICTIONARY — it
@@ -74,12 +176,8 @@ object Extensions {
     // whose size the planner can only guess, and the guess reads small.
     // The 26× soak caught the consequence: a broadcast plan whose build
     // blew past driver memory — at 100 TB the dictionary is a
-    // non-starter to broadcast, ever. The hash side build is per
-    // PARTITION of the gram domain (bounded by the shuffle), and the
-    // probe side re-partitions by gram, which is exactly the
-    // partitioning the pair-expansion groupBy(gram) downstream needs —
-    // the hinted join costs nothing it wasn't already owed.
-    val kept = sh.join(keep.hint("SHUFFLE_HASH"), Seq(gram), "left_semi")
+    // non-starter to broadcast, ever.
+    val kept = grams.join(keep.hint("SHUFFLE_HASH"), Seq(gram), "left_semi")
     jaccardFromKept(kept, gram, minJac)
   }
 
@@ -126,9 +224,10 @@ object Extensions {
       eps: Double = 1e-3, confidence: Double = 0.999,
       seed: Int = 42): DataFrame = {
     graft.functions.VectorExpressions.ensureRegistered(grams.sparkSession)
-    // the distinct (doc, gram) set feeds the sketch build AND the capped
-    // tail — persisted diamond (callers own cleanup, the usual contract)
-    val sh = grams.distinct()
+    // input is per-doc distinct (same contract as capJaccardPairs); the
+    // gram set feeds the sketch build AND the capped tail — persisted
+    // diamond (callers own cleanup, the usual contract)
+    val sh = grams
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cms = Sketches.gramFrequencySketch(sh, gram, eps, confidence, seed)
     val bos = new java.io.ByteArrayOutputStream()
@@ -291,7 +390,7 @@ object Extensions {
       graft.functions.VectorExpressions.ensureRegistered(s)
       val sh = Tables(s, dir, "documents")
         .select(col("doc_id"),
-          explode(expr("text_shingles(text)")).as("sh"))
+          explode(array_distinct(expr("text_shingles(text)"))).as("sh"))
       // maxDf = 50: stop-shingle bound, mirrored in the oracle HAVING
       capJaccardPairs(sh, "sh", maxDf = 50, minJac = 0.3)
     }),
@@ -306,7 +405,7 @@ object Extensions {
       graft.functions.VectorExpressions.ensureRegistered(s)
       val sh = Tables(s, dir, "documents")
         .select(col("doc_id"),
-          explode(expr("char_ngrams(text, 8)")).as("g"))
+          explode(array_distinct(expr("char_ngrams(text, 8)"))).as("g"))
       capJaccardPairs(sh, "g", maxDf = 50, minJac = 0.5)
     }),
 
@@ -416,17 +515,24 @@ object Extensions {
       // Sketch sizing: est 1M items / 8M bits ≈ 0.6% fpp at capacity —
       // sizing scales with the train corpus, correctness never depends
       // on it (the confirm join kills false positives)
+      // per-doc distinct only (array_distinct, doc-local): the bloom
+      // aggregate is insert-idempotent and the confirm join is a LEFT
+      // SEMI, so cross-doc duplicate grams cannot change the output —
+      // the global `.distinct()` exchange the pre-r10 form paid here
+      // bought nothing but a smaller persisted set
       val train = docs.filter(col("doc_id") % 2 === 0)
-        .select(explode(expr("char_ngrams(text, 8)")).as("g"))
-        .distinct()
+        .select(explode(array_distinct(expr("char_ngrams(text, 8)"))).as("g"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bloom = train
         .agg(call_function(graft.functions.VectorExpressions.bloomAggFnName,
           col("g"), lit(1000000L), lit(8388608L)).as("b"))
         .head().getAs[Array[Byte]](0)
+      // per-doc distinct via array_distinct (doc-local, no exchange) —
+      // the old `.distinct()` here paid a corpus-sized shuffle to dedup
+      // rows that never cross documents
       val evalG = docs.filter(col("doc_id") % 2 === 1)
-        .select(col("doc_id"), explode(expr("char_ngrams(text, 8)")).as("g"))
-        .distinct()
+        .select(col("doc_id"),
+          explode(array_distinct(expr("char_ngrams(text, 8)"))).as("g"))
       val tot = evalG.groupBy("doc_id").agg(count(lit(1)).as("total"))
       // null sketch = empty train split (never on this data; total-safety)
       val cand =
@@ -446,16 +552,20 @@ object Extensions {
 
     "q76_decontaminate" -> ((s, dir) => {
       graft.functions.VectorExpressions.ensureRegistered(s)
-      // train needs only the distinct gram SET — a per-doc distinct first
-      // would be a second full shuffle of the train grams for no effect
+      // train feeds only a LEFT SEMI join, which dedups its build side by
+      // construction — per-doc array_distinct (doc-local, free) is all
+      // the dedup worth paying for; the pre-r10 global `.distinct()`
+      // exchange bought nothing
       val train = Tables(s, dir, "documents")
         .filter(col("doc_id") % 2 === 0)
-        .select(explode(expr("char_ngrams(text, 8)")).as("g"))
-        .distinct()
+        .select(explode(array_distinct(expr("char_ngrams(text, 8)"))).as("g"))
+      // per-doc distinct via array_distinct (doc-local): dedup never
+      // crosses documents, so the corpus-sized `.distinct()` exchange the
+      // pre-r10 form paid here was pure overhead
       val evalG = Tables(s, dir, "documents")
         .filter(col("doc_id") % 2 === 1)
-        .select(col("doc_id"), explode(expr("char_ngrams(text, 8)")).as("g"))
-        .distinct()
+        .select(col("doc_id"),
+          explode(array_distinct(expr("char_ngrams(text, 8)"))).as("g"))
       val tot = evalG.groupBy("doc_id").agg(count(lit(1)).as("total"))
       val con = evalG.join(train, Seq("g"), "left_semi")
         .groupBy("doc_id").agg(count(lit(1)).as("contaminated"))

@@ -22,13 +22,13 @@ object TextAnalysis {
     // classify each doc by marker hits, argmax language (ties → lexical).
     // Broadcast-sized model (25 rows) joined against the exploded corpus.
     "q87_lang_id" -> ((s, dir) => {
-      // the exploded corpus feeds both the marker model and the classify
-      // join — materialize once
+      // marker model: needs the word MULTISET (frequencies) — the
+      // explode's rows are doc-local, so the groupBy's map-side partials
+      // collapse to (lang, word) counts before its one exchange
       val words = Tables(s, dir, "documents")
         .filter(col("text") =!= "")
         .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
         .filter(col("w") =!= "")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val markers = words.groupBy(col("lang").as("m_lang"), col("w").as("m_w"))
         .agg(count(lit(1)).as("freq"))
         .withColumn("rn", row_number().over(
@@ -36,7 +36,16 @@ object TextAnalysis {
             .partitionBy("m_lang").orderBy(col("freq").desc, col("m_w"))))
         .filter(col("rn") <= 5)
         .select("m_lang", "m_w")
-      val hits = words.select(col("doc_id"), col("w")).distinct()
+      // classify: needs each doc's word SET — per-doc array_distinct
+      // (doc-local, no exchange; the pre-r10 `.distinct()` here shuffled
+      // every (doc, word) row). A second text scan replaces the previous
+      // corpus-wide persist — cheaper than caching the exploded corpus,
+      // and the broadcast-joined hits aggregate map-side per doc.
+      val hits = Tables(s, dir, "documents")
+        .filter(col("text") =!= "")
+        .select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("w"))
+        .filter(col("w") =!= "")
         .join(broadcast(markers), col("w") === col("m_w"))
         .groupBy(col("doc_id"), col("m_lang"))
         .agg(count(lit(1)).as("score"))

@@ -121,11 +121,15 @@ object TrainingPipeline {
     // set (a leaked benchmark doc scores ~1.0; organic overlap stays
     // low). trainGrams persisted: the per-doc totals and the semi-join
     // probe both read it.
+    // per-doc distinct via array_distinct (doc-local, no exchange);
+    // evalGrams feeds only a LEFT SEMI right side, which dedups by
+    // construction — neither needs the global `.distinct()` exchange the
+    // pre-r10 form paid (same rewrite as q75/q76)
     val evalGrams = evalDocs
-      .select(explode(expr("char_ngrams(text, 8)")).as("g")).distinct()
+      .select(explode(array_distinct(expr("char_ngrams(text, 8)"))).as("g"))
     val trainGrams = nearDeduped
-      .select(col("doc_id"), explode(expr("char_ngrams(text, 8)")).as("g"))
-      .distinct()
+      .select(col("doc_id"),
+        explode(array_distinct(expr("char_ngrams(text, 8)"))).as("g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val contam = trainGrams.groupBy("doc_id").agg(count(lit(1)).as("total"))
       .join(trainGrams.join(evalGrams, Seq("g"), "left_semi")

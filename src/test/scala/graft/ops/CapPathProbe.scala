@@ -25,7 +25,8 @@ object CapPathProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def grams(dir: String) = graft.model.Tables(spark, dir, "documents")
-      .select(col("doc_id"), explode(expr("char_ngrams(text, 8)")).as("g"))
+      .select(col("doc_id"),
+        explode(array_distinct(expr("char_ngrams(text, 8)"))).as("g"))
     for (dir <- args; mode <- Seq("exact", "sketch"); rep <- 1 to 2) {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       spark.catalog.clearCache()

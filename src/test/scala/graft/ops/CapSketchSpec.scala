@@ -12,8 +12,10 @@ class CapSketchSpec extends SparkSpec {
 
   private def corpusShingles = {
     graft.functions.VectorExpressions.ensureRegistered(spark)
+    // per-doc distinct, the capJaccardPairs* input contract since r10
     graft.model.Tables(spark, sf(), "documents")
-      .select(col("doc_id"), explode(expr("text_shingles(text)")).as("sh"))
+      .select(col("doc_id"),
+        explode(array_distinct(expr("text_shingles(text)"))).as("sh"))
   }
 
   test("cms_estimate expression matches driver-side estimateCount") {

@@ -193,31 +193,38 @@ class GenerativePropertiesSpec extends SparkSpec {
     }
   }
 
-  test("capJaccardPairs matches a pure-Scala set-Jaccard oracle on random corpora") {
+  test("capJaccardPairs (prefix-filtered AND expand) match a pure-Scala " +
+      "set-Jaccard oracle on random corpora") {
     graft.functions.VectorExpressions.ensureRegistered(spark)
     import spark.implicits._
-    // random (doc, gram) incidence lists — duplicates included on purpose
-    // (the helper's first stage is DISTINCT); small gram alphabet forces
-    // collisions, hot grams, and df-cap hits
+    // random per-doc-distinct (doc, gram) incidence lists (the helpers'
+    // input contract since r10 — per-doc dedup is the caller's
+    // array_distinct); small gram alphabet forces collisions, hot grams,
+    // and df-cap hits. minJac spans the prefix-filter regimes: 0 (full
+    // prefix — degenerates to the expand semantics), low, and high
+    // (aggressive pruning, where a prefix-length off-by-one would LOSE
+    // qualifying pairs).
     val corpusGen = Gen.listOf(for {
       doc <- Gen.choose(0L, 9L)
       g <- Gen.choose(0, 15).map(i => s"g$i")
-    } yield (doc, g))
+    } yield (doc, g)).map(_.distinct)
     val cfgGen = for {
       corpus <- corpusGen
       maxDf <- Gen.choose(1, 5)
-      minJac <- Gen.oneOf(0.0, 0.2, 0.34)
+      minJac <- Gen.oneOf(0.0, 0.2, 0.34, 0.5, 0.75)
     } yield (corpus, maxDf, minJac)
-    forAll(cfgGen, n = 8) { case (corpus, maxDf, minJac) =>
+    forAll(cfgGen, n = 10) { case (corpus, maxDf, minJac) =>
       whenever(corpus.nonEmpty) {
         val grams = corpus.toDF("doc_id", "g")
         val got = Extensions.capJaccardPairs(grams, "g", maxDf, minJac)
           .as[(Long, Long, Long, Double)].collect().toSeq
-        spark.catalog.clearCache() // helper persists; caller owns cleanup
+        val gotPrefix = Extensions.capJaccardPairsPrefix(grams, "g", maxDf, minJac)
+          .as[(Long, Long, Long, Double)].collect().toSeq
+        spark.catalog.clearCache() // helpers persist; caller owns cleanup
         // pure-Scala oracle over the same semantics
-        val byDoc = corpus.distinct.groupBy(_._1)
+        val byDoc = corpus.groupBy(_._1)
           .view.mapValues(_.map(_._2).toSet).toMap
-        val df = corpus.distinct.groupBy(_._2).view.mapValues(_.map(_._1).size)
+        val df = corpus.groupBy(_._2).view.mapValues(_.map(_._1).size)
         val hot = df.filter(_._2 > maxDf).keys.toSet
         val kept = byDoc.view.mapValues(_.diff(hot)).filter(_._2.nonEmpty).toMap
         val want = (for {
@@ -227,7 +234,9 @@ class GenerativePropertiesSpec extends SparkSpec {
           if jac >= minJac
         } yield (a, b, inter.toLong, jac)).toSeq.sortBy(p => (p._1, p._2))
         assert(got.map(p => (p._1, p._2, p._3)) == want.map(p => (p._1, p._2, p._3)),
-          s"pair set mismatch (maxDf=$maxDf minJac=$minJac)")
+          s"pair set mismatch vs oracle (maxDf=$maxDf minJac=$minJac)")
+        assert(got == gotPrefix,
+          s"expand vs prefix divergence (maxDf=$maxDf minJac=$minJac)")
         got.zip(want).foreach { case ((_, _, _, gj), (_, _, _, wj)) =>
           // got.jac is round(·,4); compare to the raw oracle within half an ulp
           assert(math.abs(gj - wj) <= 5e-5 + 1e-12, s"jac $gj vs $wj")
