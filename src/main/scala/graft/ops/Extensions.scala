@@ -58,9 +58,17 @@ object Extensions {
     * pushes into suffixes. Candidates then verify EXACTLY via
     * array_intersect on the full per-doc gram arrays.
     *
-    * MEASURED REFUTATION (r10, JaccardStageProbe, 1×/10×/100×): at the
-    * declared thresholds this path LOSES to the plain inverted-index
-    * expansion at every decade — 100×: 113.6 s vs 50.5 s. Two causes,
+    * MEASURED REFUTATION (r10, JaccardStageProbe, 1×/10×/100×;
+    * RE-CONFIRMED r11 with fresh-JVM single-mode runs — the r10 113.6 s
+    * vs 50.5 s headline came from the in-JVM interleaved A/B, whose own
+    * 2.7× same-mode variance the r10 ADVICE flagged as too noisy to
+    * carry the verdict alone): at the declared thresholds this path
+    * LOSES to the plain inverted-index expansion at every decade. The
+    * clean arrangement (tools/run_jac_probe.sh: one JVM per sample,
+    * modes alternated so no stall window lands on one mode) measures at
+    * 100×: expand 42.5-61.1 s over 4 samples vs prefix 69.5-105.8 s
+    * over 3 (a 4th prefix sample, 236 s, carried a multi-second host
+    * freeze) — prefix 1.6-1.9× slower however paired. Two causes,
     * both structural at t = 0.5: (a) the prefix keeps ⌈n/2⌉+1 of each
     * doc's grams, and this corpus' spurious pairs share several
     * mid-frequency grams, so the candidate cut saturates at 3.9×
@@ -93,10 +101,10 @@ object Extensions {
     *    r8 dictionary blow-up), exact inter = |array_intersect|, then
     *    the threshold.
     */
-  private[graft] def capJaccardPairsPrefix(grams: DataFrame, gram: String,
+  private[graft] def capJaccardPairsPrefix(docDistinctGrams: DataFrame, gram: String,
                                            maxDf: Int, minJac: Double): DataFrame = {
-    graft.functions.VectorExpressions.ensureRegistered(grams.sparkSession)
-    val gramDocs = grams.groupBy(gram)
+    graft.functions.VectorExpressions.ensureRegistered(docDistinctGrams.sparkSession)
+    val gramDocs = docDistinctGrams.groupBy(gram)
       .agg(count(lit(1)).as("df"),
         expr(s"transform(topk_min_agg('', doc_id, ${maxDf + 1}), x -> x.id)")
           .as("ds"))
@@ -160,14 +168,18 @@ object Extensions {
     *    so the expansion is ≤ maxDf(maxDf-1)/2 per gram by construction.
     *
     * Why not prefix filtering: [[capJaccardPairsPrefix]] implements the
-    * published PPJoin alternative; the r10 A/B (JaccardStageProbe,
-    * 1×/10×/100×) measured it 2.2× SLOWER at 100× at the declared
-    * thresholds — see its scaladoc for the attribution. This expansion
-    * form stays production for t ≤ ~0.5.
+    * published PPJoin alternative; measured 1.6-1.9× SLOWER at 100× at
+    * the declared thresholds (r10 in-JVM A/B, re-confirmed r11 with
+    * fresh-JVM single-mode runs) — see its scaladoc for the attribution.
+    * This expansion form stays production for t ≤ ~0.5.
     */
-  private[graft] def capJaccardPairs(grams: DataFrame, gram: String,
+  // Parameter name IS the contract (r10 ADVICE): rows must be per-doc
+  // distinct — a caller passing raw gram occurrences would silently count
+  // occurrence frequency as document frequency. GenerativePropertiesSpec
+  // guards the contract with a duplicated-input counterexample.
+  private[graft] def capJaccardPairs(docDistinctGrams: DataFrame, gram: String,
                                      maxDf: Int, minJac: Double): DataFrame = {
-    val keep = grams.groupBy(gram).agg(count(lit(1)).as("df"))
+    val keep = docDistinctGrams.groupBy(gram).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select(gram)
     // SHUFFLE_HASH, pinned: keep is the under-cap gram DICTIONARY — it
@@ -177,7 +189,7 @@ object Extensions {
     // The 26× soak caught the consequence: a broadcast plan whose build
     // blew past driver memory — at 100 TB the dictionary is a
     // non-starter to broadcast, ever.
-    val kept = grams.join(keep.hint("SHUFFLE_HASH"), Seq(gram), "left_semi")
+    val kept = docDistinctGrams.join(keep.hint("SHUFFLE_HASH"), Seq(gram), "left_semi")
     jaccardFromKept(kept, gram, minJac)
   }
 
@@ -220,14 +232,14 @@ object Extensions {
     * exact path (oracle-matched).
     */
   private[graft] def capJaccardPairsSketch(
-      grams: DataFrame, gram: String, maxDf: Int, minJac: Double,
+      docDistinctGrams: DataFrame, gram: String, maxDf: Int, minJac: Double,
       eps: Double = 1e-3, confidence: Double = 0.999,
       seed: Int = 42): DataFrame = {
-    graft.functions.VectorExpressions.ensureRegistered(grams.sparkSession)
+    graft.functions.VectorExpressions.ensureRegistered(docDistinctGrams.sparkSession)
     // input is per-doc distinct (same contract as capJaccardPairs); the
     // gram set feeds the sketch build AND the capped tail — persisted
     // diamond (callers own cleanup, the usual contract)
-    val sh = grams
+    val sh = docDistinctGrams
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cms = Sketches.gramFrequencySketch(sh, gram, eps, confidence, seed)
     val bos = new java.io.ByteArrayOutputStream()
@@ -509,20 +521,23 @@ object Extensions {
     "q75_decontaminate_bloom" -> ((s, dir) => {
       graft.functions.VectorExpressions.ensureRegistered(s)
       val docs = Tables(s, dir, "documents")
-      // the distinct train gram set feeds BOTH the sketch build and the
-      // confirm join — persisted like the other diamond subplans
-      // (q57/q81/q95; callers own cache cleanup per SparkEntry.queries).
+      // the train gram set feeds BOTH the sketch build and the confirm
+      // join — and is NOT persisted (r11, DecontamProbe): per-doc
+      // array_distinct leaves cross-doc duplicates, so the r10 cache
+      // held a 52.8×-duplicate-inflated set (~1 GB payload at the 100×
+      // soak) while regenerating it is one parquet scan through a
+      // codegen'd generator; rebuilding beat the cache 1.5-1.8× at
+      // EVERY decade (sf0.1: 0.94 vs 1.34 s; 10×: 1.00 vs 1.47;
+      // 100×: 3.82 vs 6.36) — same lesson as q87's r10 rewrite: scans
+      // are cheap, corpus-proportional caches are not.
       // Sketch sizing: est 1M items / 8M bits ≈ 0.6% fpp at capacity —
       // sizing scales with the train corpus, correctness never depends
-      // on it (the confirm join kills false positives)
+      // on it (the confirm join kills false positives).
       // per-doc distinct only (array_distinct, doc-local): the bloom
       // aggregate is insert-idempotent and the confirm join is a LEFT
-      // SEMI, so cross-doc duplicate grams cannot change the output —
-      // the global `.distinct()` exchange the pre-r10 form paid here
-      // bought nothing but a smaller persisted set
+      // SEMI, so cross-doc duplicate grams cannot change the output
       val train = docs.filter(col("doc_id") % 2 === 0)
         .select(explode(array_distinct(expr("char_ngrams(text, 8)"))).as("g"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bloom = train
         .agg(call_function(graft.functions.VectorExpressions.bloomAggFnName,
           col("g"), lit(1000000L), lit(8388608L)).as("b"))

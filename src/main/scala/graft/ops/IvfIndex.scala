@@ -46,11 +46,31 @@ object IvfIndex {
     * was laid out under — [[append]] refuses a model that disagrees
     * BEFORE writing (a wrong KMeansModel would otherwise assign the
     * batch into another store's cell numbering silently, poisoning
-    * every later probe). Legacy v1 files (mean only) read as
-    * k = dim = trainN = -1: baseline intact, identity unknown.
+    * every later probe). v3 adds `centroid_sha` — a hash of the exact
+    * centroid bits in cell order — because k/dim equality is NOT
+    * quantizer identity: two models trained with different seeds (or a
+    * retrained model after drift) can share k and dim while numbering
+    * cells completely differently, and a k/dim-only check would let them
+    * interleave silently. Legacy v1 files (mean only) read as
+    * k = dim = trainN = -1 and empty sha; v2 files read with empty sha
+    * (identity check falls back to k/dim).
     */
   final case class Meta(version: Int, k: Int, dim: Int, trainN: Long,
-                        meanAssignCosine: Double)
+                        meanAssignCosine: Double, centroidSha: String = "")
+
+  /** Hex SHA-256 over the centroid doubles' exact bits, in cell order —
+    * the quantizer's identity. Any training difference (seed, data,
+    * iterations) that moves ANY centroid by one ulp changes it.
+    */
+  private[ops] def centroidSha(model: KMeansModel): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val bb = java.nio.ByteBuffer.allocate(8)
+    for (c <- model.clusterCenters; v <- c.toArray) {
+      bb.clear(); bb.putLong(java.lang.Double.doubleToLongBits(v))
+      md.update(bb.array())
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
 
   /** Train the coarse quantizer and write cell-partitioned inverted
     * lists. Returns the trained model (k centroid vectors live on the
@@ -80,8 +100,8 @@ object IvfIndex {
     try {
       assigned.write.mode("overwrite").partitionBy("cell").parquet(store)
       writeMeta(assigned.sparkSession, store,
-        Meta(2, model.clusterCenters.length, model.clusterCenters.head.size,
-          trainN, meanAssignedCosine(assigned, model)))
+        Meta(3, model.clusterCenters.length, model.clusterCenters.head.size,
+          trainN, meanAssignedCosine(assigned, model), centroidSha(model)))
     } finally assigned.unpersist()
     model
   }
@@ -113,6 +133,15 @@ object IvfIndex {
           s"dim=${meta.dim} (train_n=${meta.trainN}), model has k=$mk dim=$mdim — " +
           "appending would mix cell numberings; rebuild the store with this " +
           "model or load the store's own model")
+    // v3 identity: same k/dim does NOT mean same quantizer — a reseeded
+    // or retrained model numbers cells differently. The centroid hash is
+    // the only check that actually pins the layout.
+    if (meta.centroidSha.nonEmpty && centroidSha(model) != meta.centroidSha)
+      throw new IllegalStateException(
+        s"model/store centroid mismatch at $store: the model's centroids " +
+          s"(k=$mk dim=$mdim) are not the ones this store was laid out " +
+          "under (same shape, different training) — appending would mix " +
+          "cell numberings; rebuild, or load the store's own model")
     val assigned = model.transform(
         emb.withColumn("features", array_to_vector(col("embedding"))))
       .select(col("vec_id"), col("embedding"), col("cell"))
@@ -157,7 +186,8 @@ object IvfIndex {
     val out = fs.create(p, true)
     try out.write(
       (s"""{"version": ${meta.version}, "k": ${meta.k}, "dim": ${meta.dim}, """ +
-        s""""train_n": ${meta.trainN}, "mean_assign_cosine": ${meta.meanAssignCosine}}""")
+        s""""train_n": ${meta.trainN}, "mean_assign_cosine": ${meta.meanAssignCosine}, """ +
+        s""""centroid_sha": "${meta.centroidSha}"}""")
         .getBytes("UTF-8"))
     finally out.close()
   }
@@ -181,10 +211,12 @@ object IvfIndex {
         .findFirstMatchIn(json).map(_.group(1).toDouble)
     val mean = num("mean_assign_cosine").getOrElse(throw new IllegalStateException(
       s"$MetaFile under $store has no mean_assign_cosine field: $json"))
+    val sha = "\"centroid_sha\"\\s*:\\s*\"([0-9a-f]*)\"".r
+      .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
     Meta(num("version").map(_.toInt).getOrElse(1),
       num("k").map(_.toInt).getOrElse(-1),
       num("dim").map(_.toInt).getOrElse(-1),
-      num("train_n").map(_.toLong).getOrElse(-1L), mean)
+      num("train_n").map(_.toLong).getOrElse(-1L), mean, sha)
   }
 
   /** Exact-cosine top-k search within the `nprobe` nearest cells of each

@@ -119,8 +119,11 @@ object TrainingPipeline {
     // 4. decontamination, q76's gram machinery with roles swapped: drop
     // TRAIN docs whose distinct 8-grams are mostly present in the eval
     // set (a leaked benchmark doc scores ~1.0; organic overlap stays
-    // low). trainGrams persisted: the per-doc totals and the semi-join
-    // probe both read it.
+    // low). trainGrams NOT persisted (r11, same evidence as q75's
+    // DecontamProbe verdict): the per-doc-distinct gram set carries a
+    // ~53× cross-doc duplication factor, and both consumers regenerate
+    // it with one doc-local codegen explode over the ALREADY-CACHED
+    // nearDeduped — rebuilding beat the gram cache at every soak decade.
     // per-doc distinct via array_distinct (doc-local, no exchange);
     // evalGrams feeds only a LEFT SEMI right side, which dedups by
     // construction — neither needs the global `.distinct()` exchange the
@@ -130,7 +133,6 @@ object TrainingPipeline {
     val trainGrams = nearDeduped
       .select(col("doc_id"),
         explode(array_distinct(expr("char_ngrams(text, 8)"))).as("g"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val contam = trainGrams.groupBy("doc_id").agg(count(lit(1)).as("total"))
       .join(trainGrams.join(evalGrams, Seq("g"), "left_semi")
         .groupBy("doc_id").agg(count(lit(1)).as("hit")), Seq("doc_id"), "left")
@@ -149,7 +151,6 @@ object TrainingPipeline {
       // populate once — cleanup() releases them too.
       exact.unpersist()
       nearDeduped.unpersist()
-      trainGrams.unpersist()
     }
 
     // 5+6. chunk + pack: the SAME q97 geometry / q58 packing helpers the
@@ -162,7 +163,7 @@ object TrainingPipeline {
 
     // unpersist is idempotent, so listing the already-released audit-mode
     // caches here is harmless — one cleanup covers both modes
-    val cleanup = () => Seq(exact, nearDeduped, trainGrams, clean)
+    val cleanup = () => Seq(exact, nearDeduped, clean)
       .foreach(_.unpersist())
     Result(clean, packed, audit.result(), cleanup)
   }

@@ -245,6 +245,34 @@ class GenerativePropertiesSpec extends SparkSpec {
     }
   }
 
+  test("capJaccardPairs input contract: non-per-doc-distinct rows miscount " +
+      "df (the violation is DETECTABLE, not silently absorbed)") {
+    // Guard for the r10 contract change: the helpers no longer self-dedup,
+    // so (doc, gram) multiplicity IS document frequency to them. This
+    // fixture makes the violation visible: gram "h" occurs TWICE in each
+    // of docs 0 and 1 — duplicated input reads df=4 > maxDf=3 and drops
+    // "h", losing the (0,1) pair that per-doc-distinct input keeps. If a
+    // future edit re-adds internal dedup (absorbing the violation), or a
+    // caller regression feeds occurrences, this spec fails loudly.
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    import spark.implicits._
+    val base = Seq((0L, "h"), (0L, "x"), (1L, "h"), (1L, "x"))
+    val dup = base ++ Seq((0L, "h"), (1L, "h"))
+    def run(rows: Seq[(Long, String)]) = {
+      val out = Extensions.capJaccardPairs(rows.toDF("doc_id", "g"), "g",
+        maxDf = 3, minJac = 0.0).as[(Long, Long, Long, Double)].collect().toSeq
+      spark.catalog.clearCache()
+      out
+    }
+    val clean = run(base)
+    val violated = run(dup)
+    assert(clean.map(p => (p._1, p._2, p._3)) == Seq((0L, 1L, 2L)),
+      "per-doc-distinct input must keep both shared grams")
+    assert(violated != clean,
+      "duplicated input no longer changes the output — the helper has " +
+        "regained internal dedup; update the docDistinctGrams contract docs")
+  }
+
   test("retention keeps a monotone subset and is idempotent") {
     val gen = for { rows <- eventGen; cut <- Gen.choose(0L, 999L) } yield (rows, cut)
     forAll(gen) { case (rows, cutId) =>

@@ -154,7 +154,64 @@ class IvfIndexSpec extends SparkSpec {
 
     // the store's recorded identity round-trips through the versioned meta
     val meta = IvfIndex.readMeta(spark, store)
-    assert(meta.version == 2 && meta.k == 8 && meta.dim > 0 && meta.trainN > 0)
+    assert(meta.version == 3 && meta.k == 8 && meta.dim > 0 && meta.trainN > 0)
+    assert(meta.centroidSha.length == 64)
+  }
+
+  test("append refuses a reseeded model even when k and dim agree " +
+      "(centroid identity, not shape, pins the cell numbering)") {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    val emb = graft.model.Tables(spark, sf(), "embeddings")
+    val store = Files.createTempDirectory("ivf_sha").toString
+    IvfIndex.build(emb, k = 8, store, seed = 42L)
+    val n = spark.read.parquet(store).count()
+
+    // same k, same dim, different seed — a k/dim-only identity check
+    // would let this model interleave a foreign cell numbering
+    val otherStore = Files.createTempDirectory("ivf_sha_other").toString
+    val reseeded = IvfIndex.build(emb, k = 8, otherStore, seed = 43L)
+    assert(IvfIndex.centroidSha(reseeded) !=
+      IvfIndex.readMeta(spark, store).centroidSha,
+      "fixture assumption: seeds 42/43 must train different centroids")
+    val batch = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 500000L).as("vec_id"), col("embedding"))
+    val e = intercept[IllegalStateException] {
+      IvfIndex.append(batch, reseeded, store)
+    }
+    assert(e.getMessage.contains("centroid mismatch"))
+    assert(spark.read.parquet(store).count() == n,
+      "mismatched append must not have written")
+
+    // pre-sha v2 meta (k/dim/trainN but no centroid_sha): identity falls
+    // back to the shape check, so the reseeded append PROCEEDS — the
+    // refusal above is exactly what v3 adds
+    val p = new org.apache.hadoop.fs.Path(store, "_ivf_meta.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val m = IvfIndex.readMeta(spark, store)
+    val out = fs.create(p, true)
+    try out.write(
+      (s"""{"version": 2, "k": ${m.k}, "dim": ${m.dim}, """ +
+        s""""train_n": ${m.trainN}, "mean_assign_cosine": ${m.meanAssignCosine}}""")
+        .getBytes("UTF-8"))
+    finally out.close()
+    assert(IvfIndex.readMeta(spark, store).centroidSha.isEmpty)
+    val rep = IvfIndex.append(batch, reseeded, store)
+    assert(rep.appended == 5)
+  }
+
+  test("training is deterministic: same seed reproduces the exact " +
+      "centroids; the sha certifies it") {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    val emb = graft.model.Tables(spark, sf(), "embeddings")
+    val s1 = Files.createTempDirectory("ivf_det1").toString
+    val s2 = Files.createTempDirectory("ivf_det2").toString
+    val m1 = IvfIndex.build(emb, k = 8, s1, seed = 7L)
+    val m2 = IvfIndex.build(emb, k = 8, s2, seed = 7L)
+    // exact-bits equality (the sha hashes doubleToLongBits): a rebuild
+    // with the same seed can append into either store
+    assert(IvfIndex.centroidSha(m1) == IvfIndex.centroidSha(m2))
+    assert(IvfIndex.readMeta(spark, s1).centroidSha ==
+      IvfIndex.readMeta(spark, s2).centroidSha)
   }
 
   test("legacy v1 meta (mean only) still reads and append proceeds without the identity check") {

@@ -1,0 +1,127 @@
+package graft.ops
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF recall probe (test-scoped main) — measures recall@k of the
+  * TRAINED coarse quantizer (IvfIndex.build: seeded cosine k-means)
+  * against the md5-SAMPLED stand-in centroids (q57's oracle-replayable
+  * form) at EQUAL k and nprobe, on any corpus decade. Both candidates
+  * run through the identical assignment + probe + exact-rerank pipeline
+  * below; ONLY the centroid set differs, so the delta is purely
+  * quantizer quality. Ground truth is full brute-force cosine top-k
+  * per probe.
+  *
+  * Usage: sbt "Test/runMain graft.ops.IvfRecallProbe <sfDir> [...]"
+  * Env: SPARK_GRAFT_IVF_K (32), SPARK_GRAFT_IVF_NPROBE (csv, "1,2,4"),
+  * SPARK_GRAFT_IVF_TOPK (3), SPARK_GRAFT_IVF_PROBES (200),
+  * SPARK_GRAFT_CPUS (16).
+  */
+object IvfRecallProbe {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: IvfRecallProbe <sfDir> [<sfDir> ...]")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val k = sys.env.getOrElse("SPARK_GRAFT_IVF_K", "32").toInt
+    val nprobes = sys.env.getOrElse("SPARK_GRAFT_IVF_NPROBE", "1,2,4")
+      .split(",").map(_.trim.toInt).toSeq
+    val topK = sys.env.getOrElse("SPARK_GRAFT_IVF_TOPK", "3").toInt
+    val nProbes = sys.env.getOrElse("SPARK_GRAFT_IVF_PROBES", "200").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    import spark.implicits._
+
+    for (dir <- args) {
+      val emb = graft.model.Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = emb.count()
+      // deterministic probe set: md5-ordered head (salted differently
+      // from the sampled-centroid order so probes ≠ centroids)
+      val probes = emb
+        .withColumn("prk", md5(concat(col("vec_id").cast("string"), lit("|probe"))))
+        .orderBy(col("prk"), col("vec_id")).limit(nProbes)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      probes.count()
+
+      // ground truth: brute-force exact cosine top-k per probe
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id"))
+      val truth = emb.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          expr("vec_cosine(embedding, p_emb)").as("sim"))
+        .withColumn("rn", row_number().over(wAll))
+        .filter(col("rn") <= topK)
+        .select("probe_id", "vec_id")
+        .as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+      // candidate centroid sets, identical downstream machinery
+      val store = Files.createTempDirectory("ivf_recall").toString
+      val t0 = System.nanoTime()
+      val model = IvfIndex.build(emb, k, store, seed = 42L)
+      val trainSec = (System.nanoTime() - t0) / 1e9
+      val trained = model.clusterCenters.zipWithIndex.toSeq
+        .map { case (v, i) => (i, v.toArray.map(_.toFloat)) }
+      val sampled = emb
+        .withColumn("crk", md5(col("vec_id").cast("string")))
+        .orderBy(col("crk"), col("vec_id")).limit(k)
+        .select(col("embedding")).as[Array[Float]].collect()
+        .zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+
+      def recall(cents: Seq[(Int, Array[Float])], nprobe: Int): Double = {
+        val cdf = cents.toDF("cell", "c_emb")
+        // map-side argmax assignment: per-vector max cosine over the
+        // broadcast centroids (deterministic c_id tiebreak)
+        val assigned = emb.crossJoin(broadcast(cdf))
+          .select(col("vec_id"), col("embedding"), col("cell"),
+            expr("vec_cosine(embedding, c_emb)").as("csim"))
+          .groupBy(col("vec_id"))
+          .agg(expr("max_by(cell, struct(csim, -cell))").as("cell"),
+            first(col("embedding")).as("embedding"))
+        val wCell = org.apache.spark.sql.expressions.Window
+          .partitionBy("probe_id").orderBy(col("csim").desc, col("cell"))
+        val probeCells = probes.crossJoin(broadcast(cdf))
+          .select(col("probe_id"), col("p_emb"), col("cell"),
+            expr("vec_cosine(p_emb, c_emb)").as("csim"))
+          .withColumn("crn", row_number().over(wCell))
+          .filter(col("crn") <= nprobe)
+          .select(col("probe_id"), col("p_emb"), col("cell"))
+        val wRank = org.apache.spark.sql.expressions.Window
+          .partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id"))
+        val got = assigned.join(broadcast(probeCells), Seq("cell"))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id"),
+            expr("vec_cosine(embedding, p_emb)").as("sim"))
+          .withColumn("rn", row_number().over(wRank))
+          .filter(col("rn") <= topK)
+          .select("probe_id", "vec_id")
+          .as[(Long, Long)].collect()
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        truth.map { case (p, t) =>
+          got.getOrElse(p, Set.empty).intersect(t).size.toDouble / t.size
+        }.sum / truth.size
+      }
+
+      println(f"[ivf-recall] $dir n=$n k=$k topK=$topK probes=${truth.size} " +
+        f"train_sec=$trainSec%.1f")
+      for (np <- nprobes) {
+        val rt = recall(trained, np)
+        val rs = recall(sampled, np)
+        println(f"[ivf-recall] $dir nprobe=$np trained=$rt%.4f sampled=$rs%.4f " +
+          f"delta=${rt - rs}%+.4f")
+      }
+      emb.unpersist(); probes.unpersist()
+    }
+    spark.stop()
+  }
+}

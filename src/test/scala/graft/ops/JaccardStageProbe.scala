@@ -9,10 +9,15 @@ import org.apache.spark.sql.functions._
   * scale, checks the outputs are identical, and prints candidate-pair
   * cardinalities. The r10 verdict this probe produced: at t = 0.5 the
   * prefix filter cuts candidates only 3.9× (124M → 31.9M at 100×) while
-  * its verify stage carries full gram arrays — net 2.2× SLOWER at 100×
-  * (113.6 s vs 50.5 s); expansion stays production at declared
-  * thresholds. Re-run at higher SPARK_GRAFT_JAC_T to see the prefix
-  * filter's regime.
+  * its verify stage carries full gram arrays — net SLOWER at 100×.
+  * PROVENANCE: the r10 headline (113.6 s vs 50.5 s, 2.2×) came from
+  * the in-JVM interleaved A/B below, whose same-mode variance reached
+  * 2.7× — r11 re-ran the clean arrangement (tools/run_jac_probe.sh:
+  * fresh JVM per sample, modes alternated) and CONFIRMED the
+  * refutation at 1.6-1.9×: expand 42.5/44.8/54.7/61.1 s vs prefix
+  * 69.5/77.0/105.8 s (+ one 236 s stall-carrying sample) at 100×.
+  * Re-run at higher SPARK_GRAFT_JAC_T to see the prefix filter's
+  * regime.
   *
   * Usage: sbt "Test/runMain graft.ops.JaccardStageProbe <sfDir> [...]"
   * Env: SPARK_GRAFT_JAC_T (0.5), SPARK_GRAFT_JAC_N (8 — char-ngram width),

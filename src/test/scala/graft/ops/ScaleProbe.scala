@@ -90,15 +90,22 @@ object ScaleProbe {
         // band-level hash coincidences between unrelated texts) — the
         // within/cross split shows how much of the output is law-abiding
         // replica structure vs quadratic-in-N collision noise.
-        if (sys.env.get("SPARK_GRAFT_ATTR78").contains("1")) {
-          val rep = (c: org.apache.spark.sql.Column) =>
-            floor(c / lit(ScaleCorpus.IdOff))
-          val split = pairs
-            .groupBy((rep(col("a")) === rep(col("b"))).as("within"))
-            .count().collect()
-            .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
-          println(s"[scale-probe] attr78 $dir within=${split.getOrElse(true, 0L)} " +
-            s"cross=${split.getOrElse(false, 0L)}")
+        sys.env.get("SPARK_GRAFT_ATTR78") match {
+          case Some("1") =>
+            val rep = (c: org.apache.spark.sql.Column) =>
+              floor(c / lit(ScaleCorpus.IdOff))
+            val split = pairs
+              .groupBy((rep(col("a")) === rep(col("b"))).as("within"))
+              .count().collect()
+              .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+            println(s"[scale-probe] attr78 $dir within=${split.getOrElse(true, 0L)} " +
+              s"cross=${split.getOrElse(false, 0L)}")
+          case Some(other) =>
+            // set-but-unrecognized must fail loudly, not silently skip —
+            // SPARK_GRAFT_ATTR78=true used to work before the value gate
+            sys.error(s"SPARK_GRAFT_ATTR78='$other' unrecognized; " +
+              "set '1' to run the within/cross attribution or unset to skip")
+          case None => ()
         }
       }
     }
