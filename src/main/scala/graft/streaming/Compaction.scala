@@ -33,10 +33,17 @@ object Compaction {
     * partition columns). Only run over CLOSED (past-day) partitions: a
     * micro-batch replayed after its rows were merged into batch_id=-1
     * would no longer be deduplicated by the sink's overwrite.
-    * Returns the number of partitions rewritten.
+    * `closedBefore` ENFORCES that contract when set: only `p_date`
+    * partitions strictly before it are candidates — before r11 the
+    * caller had to know the closed-day rule from the scaladoc, and a
+    * periodic maintenance job composed with a live collector (the
+    * LifecycleSoak arrangement) would happily rewrite the partition the
+    * collector is appending into. Returns the number of partitions
+    * rewritten.
     */
   def compact(spark: SparkSession, tableDir: String, format: String = "json",
-              maxFiles: Int = 8, targetFiles: Int = 1): Int = {
+              maxFiles: Int = 8, targetFiles: Int = 1,
+              closedBefore: Option[java.time.LocalDate] = None): Int = {
     val root = new Path(tableDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0
@@ -50,6 +57,8 @@ object Compaction {
     var rewritten = 0
     fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("p_date="))
+      .filter(s => closedBefore.forall(cb => java.time.LocalDate
+        .parse(s.getPath.getName.stripPrefix("p_date=")).isBefore(cb)))
       .foreach { part =>
         if (dataFiles(part.getPath).length > maxFiles) {
           val df = spark.read.format(format).load(part.getPath.toString)

@@ -238,6 +238,106 @@ object Rollup {
     (old.size, daysTouched)
   }
 
+  /** Publish the maintained table's CURRENT state as an immutable
+    * snapshot under `servedDir/snap=<n>/` and atomically flip the
+    * `_CURRENT` pointer file — snapshot isolation for readers that race
+    * the maintenance writer.
+    *
+    * WHY (measured, LifecycleSoak r11): the merge keeps the live table
+    * correct with in-place dynamic partition OVERWRITE, which deletes
+    * the previous files of every touched partition — a reader that
+    * planned its scan before the merge and executed after it fails with
+    * FILE_NOT_EXIST; under a 1 s trigger the current day's partition is
+    * rewritten every second, so dashboard reads of the live dir race
+    * maintenance almost every time. The composed lifecycle soak
+    * measured exactly that (rollup-path read failures surviving even a
+    * retry) before this tier existed.
+    *
+    * WHY THIS SHAPE SCALES: the rollup table is aggregate-small BY
+    * DESIGN (days-or-hours × series rows — the table's whole point at
+    * 100 TB), so a complete snapshot per publish is one small write,
+    * independent of raw corpus size. Snapshots are append-only until
+    * pruned; `keep` bounds disk while giving in-flight readers a
+    * `keep`-generations grace window (a reader must finish within
+    * `keep` publishes — the single-box analog of a table format's
+    * snapshot retention; at production scale this tier IS the table
+    * format's manifest commit).
+    *
+    * Pointer flip is write-temp + rename (atomic on one filesystem);
+    * readers resolve [[servedTable]] → pointer → immutable snapshot dir.
+    * Returns the published snapshot id.
+    */
+  def publish(spark: SparkSession, tableDir: String, servedDir: String,
+              keep: Int = 3): Long = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(servedDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(root)
+    val existing = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("snap="))
+      .map(_.getPath.getName.stripPrefix("snap=").toLong)
+    val id = if (existing.isEmpty) 0L else existing.max + 1L
+    spark.read.parquet(tableDir)
+      .write.mode("overwrite").parquet(s"$servedDir/snap=$id")
+    val tmp = new Path(root, s"._CURRENT.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(id.toString.getBytes("UTF-8")) finally out.close()
+    // FileContext rename(OVERWRITE): atomic replace on one filesystem —
+    // FileSystem.rename refuses existing targets on the local FS, and a
+    // delete-then-rename pair would reopen the very window this closes
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(root.toUri, spark.sessionState.newHadoopConf())
+      .rename(tmp, new Path(root, "_CURRENT"),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // prune beyond the grace window, oldest first, never the current
+    existing.sorted.dropRight(math.max(keep - 1, 0))
+      .foreach(old => fs.delete(new Path(root, s"snap=$old"), true))
+    id
+  }
+
+  /** The reader half of [[publish]]: resolve `_CURRENT` and read that
+    * immutable snapshot. Plans built from this DataFrame never observe
+    * an in-place overwrite — they can only go stale, which for a rollup
+    * dashboard read is the correct trade.
+    */
+  def servedTable(spark: SparkSession, servedDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(servedDir, "_CURRENT")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) throw new IllegalStateException(
+      s"no _CURRENT under $servedDir — nothing published yet")
+    val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+    val in = fs.open(p)
+    try in.readFully(0, buf) finally in.close()
+    spark.read.parquet(s"$servedDir/snap=${new String(buf, "UTF-8").trim}")
+  }
+
+  /** [[start]] + snapshot publication per committed batch: the stream
+    * merges into the live table (exactly-once discipline unchanged) and
+    * then publishes the post-merge state for racing readers. The serving
+    * layer reads [[servedTable]] and never touches the live dir.
+    */
+  def startServed(spark: SparkSession, points: DataFrame, rollupDir: String,
+                  servedDir: String, checkpointDir: String,
+                  trigger: Trigger = Trigger.ProcessingTime("1 second"),
+                  granularity: String = "day", keep: Int = 3): StreamingQuery = {
+    val merge: (DataFrame, Long) => Boolean = granularity match {
+      case "day" => mergeBatch(spark, _, _, rollupDir)
+      case "hour" => mergeBatchHourly(spark, _, _, rollupDir)
+      case g => throw new IllegalArgumentException(
+        s"granularity must be 'day' or 'hour', got '$g'")
+    }
+    points.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (merge(batch, batchId)) publish(spark, rollupDir, servedDir, keep)
+        ()
+      }
+      .start()
+  }
+
   /** Maintain the rollup from a streaming points DataFrame
     * (series, ts, value). `granularity`: "day" (partition `p_date`) or
     * "hour" (partition `p_hour`) — run two streams for both tables.

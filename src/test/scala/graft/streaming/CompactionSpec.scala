@@ -33,6 +33,28 @@ class CompactionSpec extends SparkSpec {
     assert(before == after)
   }
 
+  test("closedBefore guards the open partition: only days strictly " +
+      "before it compact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("compact_cb").toString
+    for (day <- Seq("2024-01-01", "2024-01-02")) {
+      (1 to 100).map(i => ("cpu", Timestamp.valueOf(s"$day 10:00:00"), i.toDouble))
+        .toDF("series", "ts", "value").withColumn("p_date", to_date(col("ts")))
+        .repartition(20).write.mode("append").partitionBy("p_date").json(dir)
+    }
+    // both days fragmented; day 2 is the collector's OPEN day — a replayed
+    // micro-batch after its rows merged into batch_id=-1 would duplicate,
+    // so the guard must leave it alone however many files it has
+    val n = Compaction.compact(spark, dir, format = "json", maxFiles = 8,
+      targetFiles = 1, closedBefore = Some(java.time.LocalDate.parse("2024-01-02")))
+    assert(n == 1)
+    def files(p: String): Int =
+      new java.io.File(s"$dir/$p").listFiles()
+        .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(files("p_date=2024-01-01") == 1)
+    assert(files("p_date=2024-01-02") >= 20) // open day untouched
+  }
+
   test("compacts the collector's batch_id-nested layout into one uniform tree") {
     import spark.implicits._
     val dir = Files.createTempDirectory("compact_b").toString

@@ -250,6 +250,51 @@ class RollupSpec extends SparkSpec {
     }
   }
 
+  test("publish/servedTable: snapshot isolation — a reader's resolved " +
+      "snapshot survives later merges and publishes") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("rollup_snap").toString
+    val (live, served) = (s"$base/table", s"$base/served")
+    val b0 = Seq(("cpu", ts("2024-01-01 10:00:00"), 2.0))
+      .toDF("series", "ts", "value")
+    assert(Rollup.mergeBatch(spark, b0, 0L, live))
+    val s0 = Rollup.publish(spark, live, served)
+    // resolve the current snapshot NOW; its files must remain readable
+    // after the next merge rewrites the live partition in place
+    val reader = Rollup.servedTable(spark, served)
+    val b1 = Seq(("cpu", ts("2024-01-01 11:00:00"), 3.0))
+      .toDF("series", "ts", "value")
+    assert(Rollup.mergeBatch(spark, b1, 1L, live))
+    val s1 = Rollup.publish(spark, live, served)
+    assert(s1 == s0 + 1)
+    // the old plan still reads its immutable snapshot (cnt=1), while a
+    // fresh resolve sees the new state (cnt=2)
+    assert(reader.head().getAs[Long]("cnt") == 1L)
+    assert(Rollup.servedTable(spark, served).head().getAs[Long]("cnt") == 2L)
+  }
+
+  test("publish prunes beyond the grace window, never the current snapshot") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("rollup_snap_pr").toString
+    val (live, served) = (s"$base/table", s"$base/served")
+    for (i <- 0 to 4) {
+      val b = Seq(("cpu", ts(s"2024-01-01 1$i:00:00"), i.toDouble))
+        .toDF("series", "ts", "value")
+      assert(Rollup.mergeBatch(spark, b, i.toLong, live))
+      Rollup.publish(spark, live, served, keep = 2)
+    }
+    val snaps = new java.io.File(served).listFiles()
+      .filter(_.getName.startsWith("snap=")).map(_.getName).sorted
+    assert(snaps.toSeq == Seq("snap=3", "snap=4"),
+      s"grace window should hold exactly the 2 newest, got ${snaps.mkString(",")}")
+    // current resolves to the newest and reads the full merged state
+    assert(Rollup.servedTable(spark, served).head().getAs[Long]("cnt") == 5L)
+    // nothing published yet elsewhere → loud failure, not an empty frame
+    intercept[IllegalStateException] {
+      Rollup.servedTable(spark, s"$base/empty")
+    }
+  }
+
   test("rollup partitions expire through the shared Retention machinery") {
     import spark.implicits._
     // the rollup shares the p_date= layout, and day-granular rows mean a
