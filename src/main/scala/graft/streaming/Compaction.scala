@@ -57,8 +57,14 @@ object Compaction {
     var rewritten = 0
     fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("p_date="))
-      .filter(s => closedBefore.forall(cb => java.time.LocalDate
-        .parse(s.getPath.getName.stripPrefix("p_date=")).isBefore(cb)))
+      .filter(s => closedBefore.forall(cb =>
+        // unparseable partition values (a null-ts row lands in
+        // __HIVE_DEFAULT_PARTITION__) are treated as NOT closed — the
+        // guard must skip what it can't prove, not abort the whole
+        // maintenance pass with a DateTimeParseException
+        scala.util.Try(java.time.LocalDate
+          .parse(s.getPath.getName.stripPrefix("p_date=")))
+          .toOption.exists(_.isBefore(cb))))
       .foreach { part =>
         if (dataFiles(part.getPath).length > maxFiles) {
           val df = spark.read.format(format).load(part.getPath.toString)

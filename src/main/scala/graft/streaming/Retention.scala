@@ -65,18 +65,14 @@ object Retention {
     val latestDate = latest.toLocalDateTime.toLocalDate
     val latestMidnight =
       latest.toLocalDateTime.toLocalTime == java.time.LocalTime.MIDNIGHT
-    val parts = fs.listStatus(new Path(tableDir)).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath)
-      .filter(_.getName.startsWith("p_date="))
+    val parts = partitionsWithDates(fs, tableDir)
     // metadata drop is provably safe only when every series the table can
     // contain has a cutoff; otherwise an unlisted (no-policy) series in an
     // old day would be silently deleted
     val dropSafe = allSeries.nonEmpty && allSeries.subsetOf(cutoffs.keySet)
     var dropped = 0
     var rewritten = 0
-    parts.foreach { p =>
-      val date = java.time.LocalDate.parse(p.getName.stripPrefix("p_date="))
+    parts.foreach { case (p, date) =>
       if (date.isBefore(dropBefore) && dropSafe) {
         fs.delete(p, true) // before every cutoff: metadata-only drop
         dropped += 1
@@ -106,14 +102,10 @@ object Retention {
     val fs = new Path(tableDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(tableDir))) return (0, 0)
-    val parts = fs.listStatus(new Path(tableDir)).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath)
-      .filter(_.getName.startsWith("p_date="))
+    val parts = partitionsWithDates(fs, tableDir)
     var dropped = 0
     var rewritten = 0
-    parts.foreach { p =>
-      val date = java.time.LocalDate.parse(p.getName.stripPrefix("p_date="))
+    parts.foreach { case (p, date) =>
       if (date.isBefore(cutoffDate)) {
         fs.delete(p, true) // whole-day partition drop: metadata-only
         dropped += 1
@@ -129,6 +121,22 @@ object Retention {
     }
     (dropped, rewritten)
   }
+
+  /** `p_date=` partitions with their parsed dates. Unparseable values
+    * (a null-ts row lands in `__HIVE_DEFAULT_PARTITION__`) are SKIPPED
+    * — retention must never delete what it can't prove is old, and a
+    * bare LocalDate.parse here would abort the whole pass with a
+    * DateTimeParseException instead (same hardening as Compaction's
+    * closedBefore guard).
+    */
+  private def partitionsWithDates(fs: org.apache.hadoop.fs.FileSystem,
+                                  tableDir: String): Seq[(Path, java.time.LocalDate)] =
+    fs.listStatus(new Path(tableDir)).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(_.getName.startsWith("p_date="))
+      .flatMap(p => scala.util.Try(java.time.LocalDate
+        .parse(p.getName.stripPrefix("p_date="))).toOption.map(p -> _))
 
   /** Atomically replace partition directory `p` with `survivors`,
     * PRESERVING any sub-partition columns discovered under it (the

@@ -306,10 +306,18 @@ object Rollup {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) throw new IllegalStateException(
       s"no _CURRENT under $servedDir — nothing published yet")
-    val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+    // read to EOF from ONE open handle — pre-sizing a buffer from a
+    // separate getFileStatus is a TOCTOU against publish's atomic
+    // replace (stat the 1-byte "9", open the 2-byte "10" ⇒ truncated id
+    // pointing at a pruned snapshot)
     val in = fs.open(p)
-    try in.readFully(0, buf) finally in.close()
-    spark.read.parquet(s"$servedDir/snap=${new String(buf, "UTF-8").trim}")
+    val bos = new java.io.ByteArrayOutputStream()
+    try {
+      val buf = new Array[Byte](64)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+    spark.read.parquet(s"$servedDir/snap=${new String(bos.toByteArray, "UTF-8").trim}")
   }
 
   /** [[start]] + snapshot publication per committed batch: the stream
@@ -327,12 +335,25 @@ object Rollup {
       case g => throw new IllegalArgumentException(
         s"granularity must be 'day' or 'hour', got '$g'")
     }
+    // heal-on-restart: a crash between merge-commit and publish leaves
+    // the served tier pointing at the pre-crash snapshot, and the
+    // replayed batch's merge returns FALSE (already-in detection) — so
+    // the first batch after (re)start publishes unconditionally when
+    // the live table has data. Publishing an unchanged state is
+    // harmless (a fresh snapshot of identical content).
+    val healed = new java.util.concurrent.atomic.AtomicBoolean(false)
     points.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (merge(batch, batchId)) publish(spark, rollupDir, servedDir, keep)
+        val merged = merge(batch, batchId)
+        val mustHeal = !healed.getAndSet(true) && !merged && {
+          val root = new org.apache.hadoop.fs.Path(rollupDir)
+          val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+          fs.exists(root) && fs.listStatus(root).nonEmpty
+        }
+        if (merged || mustHeal) publish(spark, rollupDir, servedDir, keep)
         ()
       }
       .start()

@@ -251,7 +251,9 @@ class GenerativePropertiesSpec extends SparkSpec {
     // so (doc, gram) multiplicity IS document frequency to them. This
     // fixture makes the violation visible: gram "h" occurs TWICE in each
     // of docs 0 and 1 — duplicated input reads df=4 > maxDf=3 and drops
-    // "h", losing the (0,1) pair that per-doc-distinct input keeps. If a
+    // "h"; the (0,1) pair still surfaces via gram "x" but with inter=1
+    // instead of the per-doc-distinct inter=2 (the assertion below checks
+    // output INEQUALITY, not pair absence — don't tighten it). If a
     // future edit re-adds internal dedup (absorbing the violation), or a
     // caller regression feeds occurrences, this spec fails loudly.
     graft.functions.VectorExpressions.ensureRegistered(spark)

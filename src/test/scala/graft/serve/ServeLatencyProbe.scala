@@ -93,8 +93,8 @@ object ServeLatencyProbe {
           QueryRequest(fan, range, 100))))
 
       for ((name, run) <- configs) {
-        var bytes = 0L
-        (1 to 3).foreach(_ => bytes += run().length) // warmup (codegen, FS cache)
+        (1 to 3).foreach(_ => run()) // warmup (codegen, FS cache)
+        var bytes = 0L // response payload — attributes raw-vs-rollup deltas
         val samples = (1 to n).map { _ =>
           val t0 = System.nanoTime()
           bytes += run().length
@@ -102,7 +102,8 @@ object ServeLatencyProbe {
         }
         println(f"[serve-lat] $dir $name n=$n " +
           f"p50=${pct(samples, 0.50)}%.1fms p95=${pct(samples, 0.95)}%.1fms " +
-          f"min=${samples.min}%.1f max=${samples.max}%.1f")
+          f"min=${samples.min}%.1f max=${samples.max}%.1f " +
+          f"resp_b=${bytes / n}")
       }
     }
     spark.stop()

@@ -139,14 +139,28 @@ object LifecycleSoak {
             val cut = new java.sql.Timestamp(cutMs)
             try {
               val (d, r) = Retention.enforce(spark, sinkDir, cut, format = "json")
-              val openDay = java.time.Instant.ofEpochMilli(nowSim)
-                .atZone(java.time.ZoneOffset.UTC).toLocalDate
+              // the closed frontier comes from what the COLLECTOR has
+              // committed, not the feeder clock: under ingest lag the
+              // feeder's "open day" can run ahead of in-flight
+              // micro-batches, and compacting a day with uncommitted
+              // batches re-opens the replay-duplication window
+              // closedBefore exists to close. Committed frontier − 1 day
+              // absorbs any sub-day backlog (maxFilesPerTrigger = 100
+              // vs 1 file/s feed keeps real lag far below that).
+              val committedDays = Option(new java.io.File(sinkDir).list())
+                .getOrElse(Array.empty[String])
+                .filter(_.startsWith("p_date="))
+                .flatMap(n => scala.util.Try(
+                  java.time.LocalDate.parse(n.stripPrefix("p_date="))).toOption)
               // maxFiles below this feed shape's ~24 files/closed-day
               // (one batch file per simulated hour) so compaction
               // actually runs in the composed window — the first 15-min
               // record's threshold of 32 never fired
-              val c = Compaction.compact(spark, sinkDir, format = "json",
-                maxFiles = 12, targetFiles = 1, closedBefore = Some(openDay))
+              val c =
+                if (committedDays.isEmpty) 0
+                else Compaction.compact(spark, sinkDir, format = "json",
+                  maxFiles = 12, targetFiles = 1,
+                  closedBefore = Some(committedDays.max.minusDays(1)))
               lastCutoff.set(Some(cut))
               val (pd, pr, pc) = retStats.get()
               retStats.set((pd + d, pr + r, pc + c))
