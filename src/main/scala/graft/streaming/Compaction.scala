@@ -41,9 +41,15 @@ object Compaction {
     * collector is appending into. Returns the number of partitions
     * rewritten.
     */
+  /** `grace = Some(ms)` routes the swap through the [[RawStore]]
+    * graceful protocol (fresh generation + manifest flip + delayed
+    * delete) so concurrent [[RawStore.read]] readers never lose their
+    * planned files; `None` keeps the in-place swap.
+    */
   def compact(spark: SparkSession, tableDir: String, format: String = "json",
               maxFiles: Int = 8, targetFiles: Int = 1,
-              closedBefore: Option[java.time.LocalDate] = None): Int = {
+              closedBefore: Option[java.time.LocalDate] = None,
+              grace: Option[Long] = None): Int = {
     val root = new Path(tableDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0
@@ -54,34 +60,47 @@ object Compaction {
         else if (st.isDirectory) dataFiles(st.getPath)
         else Seq(st.getPath)
       }
+    def merged(df: org.apache.spark.sql.DataFrame) =
+      (if (df.columns.contains("batch_id"))
+        df.withColumn("batch_id", org.apache.spark.sql.functions.lit(-1))
+      else df).repartition(targetFiles)
     var rewritten = 0
-    fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("p_date="))
-      .filter(s => closedBefore.forall(cb =>
-        // unparseable partition values (a null-ts row lands in
-        // __HIVE_DEFAULT_PARTITION__) are treated as NOT closed — the
-        // guard must skip what it can't prove, not abort the whole
-        // maintenance pass with a DateTimeParseException
-        scala.util.Try(java.time.LocalDate
-          .parse(s.getPath.getName.stripPrefix("p_date=")))
-          .toOption.exists(_.isBefore(cb))))
-      .foreach { part =>
-        if (dataFiles(part.getPath).length > maxFiles) {
-          val df = spark.read.format(format).load(part.getPath.toString)
-          val tmp = new Path(part.getPath.getParent, s".compact_tmp_${part.getPath.getName}")
-          val merged =
-            if (df.columns.contains("batch_id"))
-              df.withColumn("batch_id", org.apache.spark.sql.functions.lit(-1))
-            else df
-          val w = merged.repartition(targetFiles)
-            .write.mode("overwrite").format(format)
-          (if (merged.columns.contains("batch_id")) w.partitionBy("batch_id") else w)
-            .save(tmp.toString)
-          fs.delete(part.getPath, true)
-          fs.rename(tmp, part.getPath)
-          rewritten += 1
-        }
-      }
+    grace match {
+      case Some(graceMs) =>
+        var m = RawStore.reap(fs, tableDir, graceMs)
+        RawStore.activeDays(fs, tableDir, m)
+          .filter { case (date, _) => closedBefore.forall(date.isBefore) }
+          .foreach { case (date, p) =>
+            if (dataFiles(p).length > maxFiles) {
+              val df = spark.read.format(format).load(p.toString)
+              m = RawStore.swapDay(spark, fs, tableDir, m, date, merged(df), format)
+              rewritten += 1
+            }
+          }
+      case None =>
+        fs.listStatus(root).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("p_date="))
+          .filter(s => closedBefore.forall(cb =>
+            // unparseable partition values (a null-ts row lands in
+            // __HIVE_DEFAULT_PARTITION__) are treated as NOT closed — the
+            // guard must skip what it can't prove, not abort the whole
+            // maintenance pass with a DateTimeParseException
+            scala.util.Try(java.time.LocalDate
+              .parse(s.getPath.getName.stripPrefix("p_date=")))
+              .toOption.exists(_.isBefore(cb))))
+          .foreach { part =>
+            if (dataFiles(part.getPath).length > maxFiles) {
+              val df = spark.read.format(format).load(part.getPath.toString)
+              val tmp = new Path(part.getPath.getParent, s".compact_tmp_${part.getPath.getName}")
+              val w = merged(df).write.mode("overwrite").format(format)
+              (if (df.columns.contains("batch_id")) w.partitionBy("batch_id") else w)
+                .save(tmp.toString)
+              fs.delete(part.getPath, true)
+              fs.rename(tmp, part.getPath)
+              rewritten += 1
+            }
+          }
+    }
     rewritten
   }
 }

@@ -21,7 +21,12 @@ import org.apache.spark.sql.functions._
   * Scale note: partition discovery is a driver-side directory listing —
   * fine for date-partition maintenance; at 100 TB (millions of
   * partitions) the production substrate is a table format with a
-  * metadata catalog, where the drop is a manifest-level delete.
+  * metadata catalog, where the drop is a manifest-level delete. The
+  * single-box reduction of that commit protocol is [[RawStore]]:
+  * `enforce(grace = Some(ms))` flips its manifest and delays physical
+  * deletes so concurrent [[RawStore.read]] readers never lose planned
+  * files (the reader/maintenance race the composed lifecycle soak
+  * measured on the in-place path).
   */
 object Retention {
 
@@ -50,6 +55,10 @@ object Retention {
     * (series-bucket, p_date) layout so each policy is pure partition
     * drops; the rewrite path here is the general fallback the unified
     * layout needs. Returns (droppedPartitions, rewrittenPartitions).
+    *
+    * This variant keeps the in-place swap only; tables queried while
+    * per-series retention runs should take [[enforce]]'s graceful mode
+    * (or gain one here the same way) — see [[RawStore]].
     */
   def enforcePerSeries(spark: SparkSession, tableDir: String,
                        cutoffs: Map[String, Timestamp],
@@ -95,29 +104,54 @@ object Retention {
   /** Enforce `keep rows with ts >= cutoff` on a p_date-partitioned
     * parquet/json table rooted at `tableDir`. Returns (droppedPartitions,
     * rewrittenPartitions).
+    *
+    * `grace = Some(ms)` switches both the drop and the edge rewrite to
+    * the [[RawStore]] graceful protocol (manifest flip + retire +
+    * delayed delete): concurrent readers that resolved through
+    * [[RawStore.read]] keep a valid pre-swap snapshot for the grace
+    * window instead of failing FILE_NOT_EXIST on the in-place swap.
+    * The default `None` keeps the in-place path for tables read without
+    * the resolver.
     */
   def enforce(spark: SparkSession, tableDir: String, cutoff: Timestamp,
-              format: String = "parquet"): (Int, Int) = {
+              format: String = "parquet",
+              grace: Option[Long] = None): (Int, Int) = {
     val cutoffDate = cutoff.toLocalDateTime.toLocalDate
+    val midnight =
+      cutoff.toLocalDateTime.toLocalTime == java.time.LocalTime.MIDNIGHT
     val fs = new Path(tableDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(tableDir))) return (0, 0)
-    val parts = partitionsWithDates(fs, tableDir)
     var dropped = 0
     var rewritten = 0
-    parts.foreach { case (p, date) =>
-      if (date.isBefore(cutoffDate)) {
-        fs.delete(p, true) // whole-day partition drop: metadata-only
-        dropped += 1
-      } else if (date.isEqual(cutoffDate) &&
-        cutoff.toLocalDateTime.toLocalTime != java.time.LocalTime.MIDNIGHT) {
-        // edge partition: rewrite surviving rows (ts >= cutoff, the
-        // complement of the reference's `time < cutoff` delete)
-        val survivors = spark.read.format(format).load(p.toString)
-          .filter(col("ts") >= lit(cutoff))
-        rewrite(spark, fs, p, survivors, format)
-        rewritten += 1
-      }
+    grace match {
+      case Some(graceMs) =>
+        var m = RawStore.reap(fs, tableDir, graceMs)
+        RawStore.activeDays(fs, tableDir, m).foreach { case (date, p) =>
+          if (date.isBefore(cutoffDate)) {
+            m = RawStore.dropDay(fs, tableDir, m, date)
+            dropped += 1
+          } else if (date.isEqual(cutoffDate) && !midnight) {
+            val survivors = spark.read.format(format).load(p.toString)
+              .filter(col("ts") >= lit(cutoff))
+            m = RawStore.swapDay(spark, fs, tableDir, m, date, survivors, format)
+            rewritten += 1
+          }
+        }
+      case None =>
+        partitionsWithDates(fs, tableDir).foreach { case (p, date) =>
+          if (date.isBefore(cutoffDate)) {
+            fs.delete(p, true) // whole-day partition drop: metadata-only
+            dropped += 1
+          } else if (date.isEqual(cutoffDate) && !midnight) {
+            // edge partition: rewrite surviving rows (ts >= cutoff, the
+            // complement of the reference's `time < cutoff` delete)
+            val survivors = spark.read.format(format).load(p.toString)
+              .filter(col("ts") >= lit(cutoff))
+            rewrite(spark, fs, p, survivors, format)
+            rewritten += 1
+          }
+        }
     }
     (dropped, rewritten)
   }

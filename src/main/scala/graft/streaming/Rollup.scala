@@ -56,6 +56,16 @@ object Rollup {
     * touched/replay bookkeeping — `isin` and map equality behave
     * identically for java.sql.Date and Timestamp.
     */
+  /** The checksum-free view of a local filesystem — pointer files are
+    * written and read through it so no .crc sidecar can race their
+    * atomic rename (non-local filesystems pass through unchanged).
+    */
+  private[streaming] def rawFs(fs: org.apache.hadoop.fs.FileSystem)
+      : org.apache.hadoop.fs.FileSystem = fs match {
+    case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+    case other => other
+  }
+
   private def mergeBatchOn(spark: SparkSession, batch: DataFrame,
                            batchId: Long, rollupDir: String,
                            partCol: String, bucket: Column): Boolean = {
@@ -280,7 +290,12 @@ object Rollup {
     spark.read.parquet(tableDir)
       .write.mode("overwrite").parquet(s"$servedDir/snap=$id")
     val tmp = new Path(root, s"._CURRENT.tmp")
-    val out = fs.create(tmp, true)
+    // write through the RAW (checksum-free) filesystem: the checksummed
+    // local FS pairs every file with a .crc sidecar, and rename moves
+    // the pair in two steps — a reader can open the new pointer against
+    // the old sidecar and die ChecksumException (observed in the
+    // composed soak as rollup-path retries). No sidecar, no pair race.
+    val out = rawFs(fs).create(tmp, true)
     try out.write(id.toString.getBytes("UTF-8")) finally out.close()
     // FileContext rename(OVERWRITE): atomic replace on one filesystem —
     // FileSystem.rename refuses existing targets on the local FS, and a
@@ -309,8 +324,9 @@ object Rollup {
     // read to EOF from ONE open handle — pre-sizing a buffer from a
     // separate getFileStatus is a TOCTOU against publish's atomic
     // replace (stat the 1-byte "9", open the 2-byte "10" ⇒ truncated id
-    // pointing at a pruned snapshot)
-    val in = fs.open(p)
+    // pointing at a pruned snapshot). RAW fs: the pointer is written
+    // sidecar-free, and a checksummed open would race any legacy .crc
+    val in = rawFs(fs).open(p)
     val bos = new java.io.ByteArrayOutputStream()
     try {
       val buf = new Array[Byte](64)

@@ -138,7 +138,15 @@ object LifecycleSoak {
           if (cutMs > SimStartMs) {
             val cut = new java.sql.Timestamp(cutMs)
             try {
-              val (d, r) = Retention.enforce(spark, sinkDir, cut, format = "json")
+              // graceful mode (r11): swaps go through the RawStore
+              // manifest — retired paths outlive any in-flight reader by
+              // the grace window, so the raw query path's partition-swap
+              // race (3/1455 then 1/1428 residual failures in the first
+              // two records) is closed, not retried around. Grace 10 s ≫
+              // query p95 (~0.6 s), ≪ the 30 s maintenance cadence.
+              val graceMs = 10_000L
+              val (d, r) = Retention.enforce(spark, sinkDir, cut, format = "json",
+                grace = Some(graceMs))
               // the closed frontier comes from what the COLLECTOR has
               // committed, not the feeder clock: under ingest lag the
               // feeder's "open day" can run ahead of in-flight
@@ -160,7 +168,8 @@ object LifecycleSoak {
                 if (committedDays.isEmpty) 0
                 else Compaction.compact(spark, sinkDir, format = "json",
                   maxFiles = 12, targetFiles = 1,
-                  closedBefore = Some(committedDays.max.minusDays(1)))
+                  closedBefore = Some(committedDays.max.minusDays(1)),
+                  grace = Some(graceMs))
               lastCutoff.set(Some(cut))
               val (pd, pr, pc) = retStats.get()
               retStats.set((pd + d, pr + r, pc + c))
@@ -178,7 +187,10 @@ object LifecycleSoak {
     import graft.serve.Grafana
     import graft.serve.Grafana.{QueryRequest, Target, TimeRange}
     val sinkSchema = "series STRING, ts TIMESTAMP, value DOUBLE, p_date DATE, batch_id BIGINT"
-    def store: DataFrame = spark.read.schema(sinkSchema).json(sinkDir)
+    // raw reads resolve through the RawStore manifest: a reader planned
+    // against retired-but-unreaped paths completes against its pre-swap
+    // snapshot instead of failing FILE_NOT_EXIST
+    def store: DataFrame = RawStore.read(spark, sinkDir, sinkSchema, "json")
     val rawLat = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
     val rollLat = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
     val qFails = new AtomicLong(0L)
@@ -212,7 +224,10 @@ object LifecycleSoak {
             try once()
             catch {
               case e: Throwable if left > 0 =>
-                qRetried.incrementAndGet(); Thread.sleep(pauseMs)
+                qRetried.incrementAndGet()
+                println(s"[lc-soak] QUERY-RETRY ${if (flip) "raw" else "rollup"} " +
+                  s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}")
+                Thread.sleep(pauseMs)
                 attempt(left - 1, pauseMs * 3)
               case e: Throwable =>
                 qFails.incrementAndGet()

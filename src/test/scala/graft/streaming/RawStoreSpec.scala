@@ -1,0 +1,171 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** RawStore graceful-maintenance protocol: manifest flips + retired-path
+  * grace windows close the raw-store reader/maintenance race the
+  * composed lifecycle soak measured (a query planned before a partition
+  * swap, executed after it, fails FILE_NOT_EXIST on the in-place path).
+  * The contract under test: paths are never reused or moved, only
+  * reaped after grace — so an in-flight reader's resolved snapshot stays
+  * valid and consistently PRE-swap for the whole window.
+  */
+class RawStoreSpec extends SparkSpec {
+
+  private val schema =
+    "series STRING, ts TIMESTAMP, value DOUBLE, p_date DATE, batch_id BIGINT"
+
+  /** Collector-shaped table: p_date= days nesting batch_id= subdirs. */
+  private def writeTable(dir: String): Unit = {
+    import spark.implicits._
+    val rows = Seq(
+      ("cpu", Timestamp.valueOf("2024-01-01 05:00:00"), 1.0, 0L),
+      ("cpu", Timestamp.valueOf("2024-01-01 06:00:00"), 2.0, 1L),
+      ("cpu", Timestamp.valueOf("2024-01-02 05:00:00"), 3.0, 2L),
+      ("cpu", Timestamp.valueOf("2024-01-02 18:00:00"), 4.0, 3L),
+      ("cpu", Timestamp.valueOf("2024-01-03 05:00:00"), 5.0, 4L)
+    ).toDF("series", "ts", "value", "batch_id")
+      .withColumn("p_date", to_date(col("ts")))
+    rows.write.mode("overwrite").partitionBy("p_date", "batch_id").json(dir)
+  }
+
+  private def values(df: org.apache.spark.sql.DataFrame): Seq[Double] = {
+    import spark.implicits._
+    df.select("value").as[Double].collect().sorted.toSeq
+  }
+
+  private def fsOf(dir: String) = new org.apache.hadoop.fs.Path(dir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("an in-flight reader survives a graceful edge rewrite where the " +
+      "in-place swap kills it") {
+    val dir = Files.createTempDirectory("rawstore_swap").toString
+    writeTable(dir)
+    val cutoff = Timestamp.valueOf("2024-01-02 12:00:00")
+
+    // reader resolved BEFORE maintenance: file listing is pinned now
+    val inflight = RawStore.read(spark, dir, schema, "json")
+    val (d, r) = Retention.enforce(spark, dir, cutoff, format = "json",
+      grace = Some(3600_000L))
+    assert(d == 1 && r == 1)
+    // the old files were retired, not deleted — the pre-swap snapshot
+    // still collects, and consistently shows the PRE-retention state
+    assert(values(inflight) == Seq(1.0, 2.0, 3.0, 4.0, 5.0))
+    // a fresh resolve sees the post-retention state, day restored on
+    // the generation rows
+    val fresh = RawStore.read(spark, dir, schema, "json")
+    assert(values(fresh) == Seq(4.0, 5.0))
+    assert(fresh.filter(col("p_date") === lit("2024-01-02").cast("date"))
+      .count() == 1)
+
+    // contrast: the same arrangement through the IN-PLACE path loses the
+    // in-flight reader's files (this is the measured soak failure mode)
+    val dir2 = Files.createTempDirectory("rawstore_inplace").toString
+    writeTable(dir2)
+    val doomed = RawStore.read(spark, dir2, schema, "json")
+    Retention.enforce(spark, dir2, cutoff, format = "json")
+    intercept[org.apache.spark.SparkException] { doomed.count() }
+  }
+
+  test("graceful drop hides the day from fresh reads, keeps it for " +
+      "in-flight readers, and reap deletes it after grace") {
+    val dir = Files.createTempDirectory("rawstore_drop").toString
+    writeTable(dir)
+    val fs = fsOf(dir)
+    val inflight = RawStore.read(spark, dir, schema, "json")
+    // drop 01-01 and 01-02 wholesale (midnight cutoff: no edge rewrite)
+    val (d, r) = Retention.enforce(spark, dir,
+      Timestamp.valueOf("2024-01-03 00:00:00"), format = "json",
+      grace = Some(3600_000L))
+    assert(d == 2 && r == 0)
+    assert(values(RawStore.read(spark, dir, schema, "json")) == Seq(5.0))
+    assert(values(inflight) == Seq(1.0, 2.0, 3.0, 4.0, 5.0))
+    // dirs physically present until grace expires
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "p_date=2024-01-01")))
+    val before = RawStore.readManifest(fs, dir)
+    assert(before.retired.size == 2)
+    // grace not yet expired → reap is a no-op
+    assert(RawStore.reap(fs, dir, 3600_000L).retired.size == 2)
+    // expired → dirs deleted, manifest trimmed, reads unchanged
+    val after = RawStore.reap(fs, dir, 0L)
+    assert(after.retired.isEmpty)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "p_date=2024-01-01")))
+    assert(values(RawStore.read(spark, dir, schema, "json")) == Seq(5.0))
+  }
+
+  test("graceful compaction merges files into a new generation without " +
+      "changing content, and re-maintenance targets the active generation") {
+    val dir = Files.createTempDirectory("rawstore_comp").toString
+    writeTable(dir)
+    val fs = fsOf(dir)
+    val pre = values(RawStore.read(spark, dir, schema, "json"))
+    // every day has 1-2 batch files; threshold 0 forces compaction of
+    // the two closed days
+    val c = Compaction.compact(spark, dir, format = "json", maxFiles = 0,
+      targetFiles = 1, closedBefore = Some(java.time.LocalDate.parse("2024-01-03")),
+      grace = Some(3600_000L))
+    assert(c == 2)
+    val m = RawStore.readManifest(fs, dir)
+    assert(m.active.keySet == Set("2024-01-01", "2024-01-02"))
+    assert(values(RawStore.read(spark, dir, schema, "json")) == pre)
+    // batch_id collapsed to the merged sentinel on compacted days
+    import spark.implicits._
+    val batchIds = RawStore.read(spark, dir, schema, "json")
+      .filter(col("p_date") < lit("2024-01-03").cast("date"))
+      .select("batch_id").as[Long].collect().toSet
+    assert(batchIds == Set(-1L))
+    // a later edge rewrite of a COMPACTED day reads from its generation
+    // and swaps to a fresh one (paths never reused)
+    val g0 = m.active("2024-01-02")
+    val (_, r) = Retention.enforce(spark, dir,
+      Timestamp.valueOf("2024-01-02 12:00:00"), format = "json",
+      grace = Some(3600_000L))
+    assert(r == 1)
+    val m2 = RawStore.readManifest(fs, dir)
+    assert(m2.active("2024-01-02") != g0)
+    assert(m2.retired.contains(g0))
+    assert(values(RawStore.read(spark, dir, schema, "json")) == Seq(4.0, 5.0))
+  }
+
+  test("manifest round-trips and rejects corrupt content") {
+    val dir = Files.createTempDirectory("rawstore_manifest").toString
+    val fs = fsOf(dir)
+    val m = RawStore.Manifest(7L,
+      Map("2024-01-02" -> ".gen/g5"),
+      Map("p_date=2024-01-01" -> 123456789L, ".gen/g3" -> 99L))
+    RawStore.writeManifest(fs, dir, m)
+    assert(RawStore.readManifest(fs, dir) == m)
+    // absent manifest → empty (bare-table fallback)
+    assert(RawStore.readManifest(fs, Files.createTempDirectory("rs_none").toString)
+      == RawStore.EmptyManifest)
+    // corrupt line fails loudly, never silently serves a wrong mapping
+    // (drop the Hadoop checksum sidecar first — these writes bypass fs)
+    Files.deleteIfExists(java.nio.file.Paths.get(dir, "._MANIFEST.crc"))
+    Files.writeString(java.nio.file.Paths.get(dir, "_MANIFEST"), "v1\nbogus line here\n")
+    intercept[IllegalStateException] { RawStore.readManifest(fs, dir) }
+    Files.writeString(java.nio.file.Paths.get(dir, "_MANIFEST"), "v2\nseq 1\n")
+    intercept[IllegalArgumentException] { RawStore.readManifest(fs, dir) }
+  }
+
+  test("resolver preserves unparseable partition dirs that graceful " +
+      "maintenance must never touch") {
+    val dir = Files.createTempDirectory("rawstore_hive").toString
+    writeTable(dir)
+    // a null-ts row's day: present on disk, not a parseable date
+    val hive = java.nio.file.Paths.get(dir, "p_date=__HIVE_DEFAULT_PARTITION__", "batch_id=9")
+    Files.createDirectories(hive)
+    Files.writeString(hive.resolve("part-0.json"),
+      """{"series":"cpu","ts":null,"value":42.0}""" + "\n")
+    val (d, r) = Retention.enforce(spark, dir,
+      Timestamp.valueOf("2024-01-03 00:00:00"), format = "json",
+      grace = Some(3600_000L))
+    assert(d == 2 && r == 0)
+    val read = RawStore.read(spark, dir, schema, "json")
+    assert(values(read) == Seq(5.0, 42.0))
+    assert(RawStore.readManifest(fsOf(dir), dir).retired.keySet ==
+      Set("p_date=2024-01-01", "p_date=2024-01-02"))
+  }
+}

@@ -295,6 +295,54 @@ class RollupSpec extends SparkSpec {
     }
   }
 
+  test("startServed heals a lost publish on restart: a replayed batch " +
+      "still snapshots the merged state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("rollup_heal").toString
+    val (live, served, ckpt) = (s"$base/table", s"$base/served", s"$base/ckpt")
+    def currentSnap(): String =
+      Files.readString(java.nio.file.Paths.get(s"$served/_CURRENT")).trim
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Timestamp, Double)]
+    val points = input.toDS().toDF("series", "ts", "value")
+    val avail = org.apache.spark.sql.streaming.Trigger.AvailableNow()
+    // data must exist BEFORE start: AvailableNow captures its end offset
+    // at query start and terminates once it is reached
+    input.addData(("cpu", ts("2024-03-01 10:00:00"), 2.0))
+    val q1 = Rollup.startServed(spark, points, live, served, ckpt, trigger = avail)
+    try q1.processAllAvailable() finally q1.stop()
+    val snapBefore = currentSnap()
+    // simulate a crash between merge-commit and publish: the offset WAL
+    // has batch 0 but its epoch commit is gone, so restart REPLAYS it;
+    // mergeBatch recognizes the replay and returns false. The post-crash
+    // checkpoint is reconstructed at a fresh path (same files minus the
+    // commit) because Spark's same-path concurrent-use detection trips
+    // on in-place log surgery within one live session.
+    val ckpt2 = s"$base/ckpt2"
+    val src = java.nio.file.Paths.get(ckpt)
+    Files.walk(src).forEach { p =>
+      val rel = src.relativize(p).toString
+      // drop the commit log's CONTENTS (entry + its .crc sidecar — a
+      // stale sidecar makes the replay's commit write fail
+      // FileAlreadyExists), keeping the empty dir
+      if (!rel.isEmpty && !(rel.startsWith("commits/") && rel != "commits/")) {
+        val dst = java.nio.file.Paths.get(ckpt2, rel)
+        if (Files.isDirectory(p)) Files.createDirectories(dst)
+        else { Files.createDirectories(dst.getParent); Files.copy(p, dst) }
+      }
+    }
+    val q2 = Rollup.startServed(spark, points, live, served, ckpt2, trigger = avail)
+    try q2.processAllAvailable() finally q2.stop()
+    // without the heal the served tier would still point at snapBefore —
+    // permanently stale had the pre-crash publish never happened
+    assert(currentSnap() != snapBefore,
+      "replayed first batch after restart must re-publish (heal)")
+    val r = Rollup.servedTable(spark, served)
+    assert(r.count() == 1 && r.head().getAs[Long]("cnt") == 1L,
+      "healed snapshot must equal the live merged state (no double count)")
+  }
+
   test("rollup partitions expire through the shared Retention machinery") {
     import spark.implicits._
     // the rollup shares the p_date= layout, and day-granular rows mean a
