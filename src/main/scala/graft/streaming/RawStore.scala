@@ -18,32 +18,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * one fixed retry, 1/1428 with backoff).
   *
   * Mechanism — paths are never reused or moved, only eventually deleted:
-  *  - a tiny `_MANIFEST` file at the table root (atomic
-  *    rename-overwrite, same discipline as [[Rollup.publish]]'s
-  *    `_CURRENT`) maps rewritten days to immutable GENERATION dirs under
-  *    `.gen/g<seq>/` and lists RETIRED paths with their retirement time;
+  *  - versioned manifest files `_MANIFEST.<seq>` at the table root map
+  *    rewritten days to immutable GENERATION dirs under `.gen/g<n>/`
+  *    and list RETIRED paths with their retirement time; readers
+  *    resolve the highest seq;
+  *  - every mutation commits `_MANIFEST.<seq+1>` via EXCLUSIVE rename
+  *    (no overwrite): the rename IS the atomic commit, and a concurrent
+  *    writer racing the same seq fails loudly
+  *    (ConcurrentModificationException) instead of lost-updating the
+  *    manifest — optimistic concurrency, table-format style. A crash
+  *    before the rename leaves no trace; after it, the commit is
+  *    complete — there is no wedged in-between;
   *  - a maintenance rewrite writes the day's survivors to a fresh
-  *    generation, flips the manifest, and retires the old path;
-  *  - a maintenance drop just flips the manifest and retires the path;
+  *    generation, commits, and retires the old path; a drop just
+  *    commits the retirement;
   *  - retired paths are physically deleted only by [[reap]] after a
   *    grace window — an in-flight reader's resolved file list stays
   *    VALID (and consistently pre-swap) for the whole window.
   *
-  * Readers go through [[read]]: resolve the manifest once (one atomic
-  * file read), then scan live `p_date=` dirs that are neither retired
-  * nor remapped plus the active generation dirs. A bare
-  * `spark.read(dir)` keeps working but observes retired-not-yet-reaped
-  * content — tables under graceful maintenance must be read through
-  * this resolver.
-  *
-  * Contracts (both enforced upstream, both load-bearing here):
-  *  - SINGLE WRITER: one maintenance actor owns the manifest
-  *    (read-modify-write is not concurrency-safe); the collector never
-  *    touches it — it appends plain `p_date=` dirs only.
-  *  - NO APPENDS TO REMAPPED DAYS: ingest writes the open day; only
-  *    closed days are rewritten ([[Compaction]]'s `closedBefore`
-  *    contract) — an append into a remapped day's PLAIN dir would be
-  *    invisible to the resolver.
+  * Readers go through [[read]]: resolve the manifest once, then scan
+  * live `p_date=` dirs that are neither retired nor remapped plus the
+  * active generation dirs. A bare `spark.read(dir)` keeps working but
+  * observes retired-not-yet-reaped content — tables under graceful
+  * maintenance must be read through this resolver. [[read]] also
+  * DETECTS the one contract violation that would otherwise lose data
+  * silently: an append into a remapped day's plain dir (ingest replay
+  * past [[Compaction]]'s `closedBefore` frontier) fails the read loudly
+  * rather than serving a state that hides the appended rows.
   *
   * At 100 TB the production substrate is a real table format
   * (Iceberg/Delta manifest lists + snapshot retention); this module is
@@ -52,11 +53,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object RawStore {
 
-  private val ManifestName = "_MANIFEST"
+  private val ManifestPrefix = "_MANIFEST."
   private val GenRoot = ".gen"
+  /** Manifest files kept behind the newest — only to tolerate a
+    * reader's list-then-open gap (it would take this many commits
+    * landing inside that gap to strand the reader; at the soak's 30 s
+    * cadence that is minutes of headroom for a microsecond window).
+    */
+  private val ManifestKeep = 8
 
-  /** seq: next generation number; active: day (ISO date) → relpath of
-    * its generation dir; retired: relpath → retirement epoch ms.
+  /** seq: commit counter (monotone, bumped by EVERY commit — also names
+    * generation dirs, so gen paths are never reused); active: day
+    * (ISO date) → relpath of its generation dir; retired: relpath →
+    * retirement epoch ms.
     */
   case class Manifest(seq: Long, active: Map[String, String],
                       retired: Map[String, Long]) {
@@ -64,13 +73,24 @@ object RawStore {
   }
   val EmptyManifest: Manifest = Manifest(0L, Map.empty, Map.empty)
 
+  private def manifestSeqs(fs: FileSystem, dir: String): Seq[Long] = {
+    val root = new Path(dir)
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith(ManifestPrefix))
+      .flatMap(n => scala.util.Try(n.stripPrefix(ManifestPrefix).toLong).toOption)
+  }
+
   def readManifest(fs: FileSystem, dir: String): Manifest = {
-    val p = new Path(dir, ManifestName)
-    if (!fs.exists(p)) return EmptyManifest
-    // RAW fs open: the manifest is written sidecar-free (see
-    // writeManifest), and a checksummed open would race a .crc pair
-    // rename — the ChecksumException flavor of the very race this
-    // module closes (observed on Rollup's _CURRENT in the soak)
+    val seqs = manifestSeqs(fs, dir)
+    if (seqs.isEmpty) return EmptyManifest
+    val seq = seqs.max
+    val p = new Path(dir, s"$ManifestPrefix$seq")
+    // RAW fs open: manifests are written sidecar-free (see commit), and
+    // a checksummed open would race a .crc pair rename — the
+    // ChecksumException flavor of the very race this module closes
+    // (observed on Rollup's _CURRENT in the soak)
     val in = Rollup.rawFs(fs).open(p)
     val bos = new java.io.ByteArrayOutputStream()
     try { // read to EOF from one handle (same TOCTOU discipline as
@@ -83,37 +103,57 @@ object RawStore {
       .map(_.trim).filter(_.nonEmpty)
     require(lines.headOption.contains("v1"),
       s"unrecognized manifest version in $p: ${lines.headOption.getOrElse("<empty>")}")
-    var seq = 0L
+    var bodySeq = -1L
     val active = Map.newBuilder[String, String]
     val retired = Map.newBuilder[String, Long]
     lines.tail.foreach { l =>
       l.split(' ') match {
-        case Array("seq", n) => seq = n.toLong
+        case Array("seq", n) => bodySeq = n.toLong
         case Array("active", day, rel) => active += day -> rel
         case Array("retired", rel, at) => retired += rel -> at.toLong
         case other => throw new IllegalStateException(
           s"corrupt manifest line in $p: '$l'")
       }
     }
+    if (bodySeq != seq) throw new IllegalStateException(
+      s"manifest $p body seq $bodySeq disagrees with its filename")
     Manifest(seq, active.result(), retired.result())
   }
 
-  /** Atomic replace via FileContext rename-OVERWRITE — readers see the
-    * old or the new manifest, never a partial one.
+  /** Commit `next` as `_MANIFEST.<next.seq>` via EXCLUSIVE rename — the
+    * optimistic-concurrency write: `next.seq` must be exactly one past
+    * the manifest the caller read, and if another writer committed that
+    * seq first the rename fails (target exists) and this throws
+    * ConcurrentModificationException instead of silently losing the
+    * other writer's update. Prunes manifests more than [[ManifestKeep]]
+    * commits old.
     */
-  def writeManifest(fs: FileSystem, dir: String, m: Manifest): Unit = {
+  def commitManifest(fs: FileSystem, dir: String, next: Manifest): Unit = {
     val root = new Path(dir)
-    val sb = new StringBuilder("v1\n").append(s"seq ${m.seq}\n")
-    m.active.toSeq.sorted.foreach { case (d, r) => sb.append(s"active $d $r\n") }
-    m.retired.toSeq.sorted.foreach { case (r, at) => sb.append(s"retired $r $at\n") }
-    val tmp = new Path(root, s".${ManifestName}.tmp")
+    val raw = Rollup.rawFs(fs)
+    val sb = new StringBuilder("v1\n").append(s"seq ${next.seq}\n")
+    next.active.toSeq.sorted.foreach { case (d, r) => sb.append(s"active $d $r\n") }
+    next.retired.toSeq.sorted.foreach { case (r, at) => sb.append(s"retired $r $at\n") }
+    val tmp = new Path(root, s".${ManifestPrefix}tmp")
     // sidecar-free write (see readManifest): no .crc, no pair race
-    val out = Rollup.rawFs(fs).create(tmp, true)
+    val out = raw.create(tmp, true)
     try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
-    org.apache.hadoop.fs.FileContext
-      .getFileContext(root.toUri, fs.getConf)
-      .rename(tmp, new Path(root, ManifestName),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    try {
+      // rename WITHOUT Rename.OVERWRITE: fails iff the target exists —
+      // i.e. iff a concurrent writer won the race to this seq
+      org.apache.hadoop.fs.FileContext
+        .getFileContext(root.toUri, fs.getConf)
+        .rename(tmp, new Path(root, s"$ManifestPrefix${next.seq}"))
+    } catch {
+      case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"manifest seq ${next.seq} already committed under $dir — a " +
+            "concurrent maintenance writer violated the single-writer " +
+            s"contract (this writer's update is NOT applied): $e")
+    }
+    manifestSeqs(fs, dir)
+      .filter(_ <= next.seq - ManifestKeep)
+      .foreach(s => raw.delete(new Path(root, s"$ManifestPrefix$s"), false))
   }
 
   /** Active (day, path) pairs: live `p_date=` dirs that are neither
@@ -156,6 +196,7 @@ object RawStore {
     val m = readManifest(fs, dir)
     if (m.isEmpty)
       return spark.read.schema(schema).format(format).load(dir)
+    detectRogueAppends(fs, dir, m)
     // plain dirs by NAME (not parsed date): an unparseable partition
     // value (__HIVE_DEFAULT_PARTITION__) is never remapped or retired
     // and must stay visible — the resolver's semantics are "the bare
@@ -182,8 +223,42 @@ object RawStore {
     else parts.reduce(_.unionByName(_))
   }
 
+  /** The no-appends-to-remapped-days contract, checked: rows written
+    * into a remapped day's PLAIN dir (an ingest replay past the
+    * `closedBefore` frontier) are invisible to the resolver, so serving
+    * a result that silently omits them is data loss — fail the read
+    * loudly instead. Two shapes: the plain dir reappeared AFTER its
+    * grace-window reap (nothing legitimate recreates it), or it holds
+    * data files newer than its recorded retirement.
+    */
+  private def detectRogueAppends(fs: FileSystem, dir: String,
+                                 m: Manifest): Unit =
+    m.active.keys.foreach { day =>
+      val name = s"p_date=$day"
+      val plain = new Path(dir, name)
+      if (fs.exists(plain)) m.retired.get(name) match {
+        case None => throw new IllegalStateException(
+          s"$plain exists but day $day is remapped and its plain dir was " +
+            "already reaped — rows were appended to a remapped day (ingest " +
+            "replay past the closedBefore frontier?) and would be invisible " +
+            "to this resolver")
+        case Some(retiredAt) =>
+          def newest(p: Path): Long =
+            fs.listStatus(p).foldLeft(0L) { (mx, st) =>
+              val n = st.getPath.getName
+              if (n.startsWith("_") || n.startsWith(".")) mx
+              else if (st.isDirectory) math.max(mx, newest(st.getPath))
+              else math.max(mx, st.getModificationTime)
+            }
+          if (newest(plain) > retiredAt) throw new IllegalStateException(
+            s"$plain holds data files newer than its retirement " +
+              s"($retiredAt) — rows were appended to a remapped day and " +
+              "would be invisible to this resolver")
+      }
+    }
+
   /** Replace `day`'s active content with `survivors`, gracefully: write
-    * a fresh generation, flip the manifest, retire the old path. The
+    * a fresh generation, commit the manifest, retire the old path. The
     * old files stay valid until [[reap]]'s grace expires. Preserves
     * `batch_id` sub-partitioning like [[Retention]]'s in-place rewrite.
     */
@@ -198,18 +273,18 @@ object RawStore {
     val next = Manifest(m.seq + 1,
       m.active + (day.toString -> rel),
       m.retired + (oldRel -> nowMs))
-    writeManifest(fs, dir, next)
+    commitManifest(fs, dir, next)
     next
   }
 
-  /** Drop `day` gracefully: flip the manifest, retire its path. */
+  /** Drop `day` gracefully: commit the retirement of its path. */
   def dropDay(fs: FileSystem, dir: String, m: Manifest,
               day: java.time.LocalDate,
               nowMs: Long = System.currentTimeMillis()): Manifest = {
     val oldRel = m.active.getOrElse(day.toString, s"p_date=$day")
-    val next = Manifest(m.seq, m.active - day.toString,
+    val next = Manifest(m.seq + 1, m.active - day.toString,
       m.retired + (oldRel -> nowMs))
-    writeManifest(fs, dir, next)
+    commitManifest(fs, dir, next)
     next
   }
 
@@ -224,9 +299,17 @@ object RawStore {
     val m = readManifest(fs, dir)
     val (expired, kept) = m.retired.partition { case (_, at) => nowMs - at >= graceMs }
     if (expired.isEmpty) return m
+    // delete BEFORE committing the trim: until the commit, every reader
+    // still resolves a manifest whose retired list excludes these paths,
+    // so nobody races the deletes — whereas trim-first would leave a
+    // window where a dropped day's dir is neither retired nor active
+    // (a fresh reader would include it and race the delete, and the
+    // rogue-append check would false-positive on remapped days). A
+    // crash in between just leaves retired entries pointing at deleted
+    // dirs; the next pass re-deletes (no-op) and commits.
     expired.keys.foreach(rel => fs.delete(new Path(dir, rel), true))
-    val next = m.copy(retired = kept)
-    writeManifest(fs, dir, next)
+    val next = Manifest(m.seq + 1, m.active, kept)
+    commitManifest(fs, dir, next)
     next
   }
 }

@@ -56,14 +56,14 @@ object Retention {
     * drops; the rewrite path here is the general fallback the unified
     * layout needs. Returns (droppedPartitions, rewrittenPartitions).
     *
-    * This variant keeps the in-place swap only; tables queried while
-    * per-series retention runs should take [[enforce]]'s graceful mode
-    * (or gain one here the same way) — see [[RawStore]].
+    * `grace = Some(ms)` routes drops and rewrites through the
+    * [[RawStore]] graceful protocol, same as [[enforce]].
     */
   def enforcePerSeries(spark: SparkSession, tableDir: String,
                        cutoffs: Map[String, Timestamp],
                        format: String = "parquet",
-                       allSeries: Set[String] = Set.empty): (Int, Int) = {
+                       allSeries: Set[String] = Set.empty,
+                       grace: Option[Long] = None): (Int, Int) = {
     if (cutoffs.isEmpty) return (0, 0)
     val fs = new Path(tableDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -74,29 +74,46 @@ object Retention {
     val latestDate = latest.toLocalDateTime.toLocalDate
     val latestMidnight =
       latest.toLocalDateTime.toLocalTime == java.time.LocalTime.MIDNIGHT
-    val parts = partitionsWithDates(fs, tableDir)
     // metadata drop is provably safe only when every series the table can
     // contain has a cutoff; otherwise an unlisted (no-policy) series in an
     // old day would be silently deleted
     val dropSafe = allSeries.nonEmpty && allSeries.subsetOf(cutoffs.keySet)
+    def survivorsOf(p: Path): org.apache.spark.sql.DataFrame = {
+      // mixed-expiry day: keep rows whose series policy allows them
+      import spark.implicits._
+      val dim = broadcast(cutoffs.toSeq.toDF("r_series", "cutoff"))
+      spark.read.format(format).load(p.toString)
+        .join(dim, col("series") === col("r_series"), "left")
+        .filter(col("cutoff").isNull || col("ts") >= col("cutoff"))
+        .drop("r_series", "cutoff")
+    }
+    def isMixed(date: java.time.LocalDate): Boolean =
+      date.isBefore(latestDate) ||
+        (date.isEqual(latestDate) && !latestMidnight)
     var dropped = 0
     var rewritten = 0
-    parts.foreach { case (p, date) =>
-      if (date.isBefore(dropBefore) && dropSafe) {
-        fs.delete(p, true) // before every cutoff: metadata-only drop
-        dropped += 1
-      } else if (date.isBefore(latestDate) ||
-        (date.isEqual(latestDate) && !latestMidnight)) {
-        // mixed-expiry day: keep rows whose series policy allows them
-        import spark.implicits._
-        val dim = broadcast(cutoffs.toSeq.toDF("r_series", "cutoff"))
-        val survivors = spark.read.format(format).load(p.toString)
-          .join(dim, col("series") === col("r_series"), "left")
-          .filter(col("cutoff").isNull || col("ts") >= col("cutoff"))
-          .drop("r_series", "cutoff")
-        rewrite(spark, fs, p, survivors, format)
-        rewritten += 1
-      }
+    grace match {
+      case Some(graceMs) =>
+        var m = RawStore.reap(fs, tableDir, graceMs)
+        RawStore.activeDays(fs, tableDir, m).foreach { case (date, p) =>
+          if (date.isBefore(dropBefore) && dropSafe) {
+            m = RawStore.dropDay(fs, tableDir, m, date)
+            dropped += 1
+          } else if (isMixed(date)) {
+            m = RawStore.swapDay(spark, fs, tableDir, m, date, survivorsOf(p), format)
+            rewritten += 1
+          }
+        }
+      case None =>
+        partitionsWithDates(fs, tableDir).foreach { case (p, date) =>
+          if (date.isBefore(dropBefore) && dropSafe) {
+            fs.delete(p, true) // before every cutoff: metadata-only drop
+            dropped += 1
+          } else if (isMixed(date)) {
+            rewrite(spark, fs, p, survivorsOf(p), format)
+            rewritten += 1
+          }
+        }
     }
     (dropped, rewritten)
   }

@@ -136,18 +136,113 @@ class RawStoreSpec extends SparkSpec {
     val m = RawStore.Manifest(7L,
       Map("2024-01-02" -> ".gen/g5"),
       Map("p_date=2024-01-01" -> 123456789L, ".gen/g3" -> 99L))
-    RawStore.writeManifest(fs, dir, m)
+    RawStore.commitManifest(fs, dir, m)
     assert(RawStore.readManifest(fs, dir) == m)
     // absent manifest → empty (bare-table fallback)
     assert(RawStore.readManifest(fs, Files.createTempDirectory("rs_none").toString)
       == RawStore.EmptyManifest)
-    // corrupt line fails loudly, never silently serves a wrong mapping
-    // (drop the Hadoop checksum sidecar first — these writes bypass fs)
-    Files.deleteIfExists(java.nio.file.Paths.get(dir, "._MANIFEST.crc"))
-    Files.writeString(java.nio.file.Paths.get(dir, "_MANIFEST"), "v1\nbogus line here\n")
+    // corrupt content fails loudly, never silently serves a wrong mapping
+    Files.writeString(java.nio.file.Paths.get(dir, "_MANIFEST.9"), "v1\nbogus line here\n")
     intercept[IllegalStateException] { RawStore.readManifest(fs, dir) }
-    Files.writeString(java.nio.file.Paths.get(dir, "_MANIFEST"), "v2\nseq 1\n")
+    Files.writeString(java.nio.file.Paths.get(dir, "_MANIFEST.9"), "v2\nseq 9\n")
     intercept[IllegalArgumentException] { RawStore.readManifest(fs, dir) }
+    // filename/body seq disagreement is corruption too
+    Files.writeString(java.nio.file.Paths.get(dir, "_MANIFEST.9"), "v1\nseq 8\n")
+    intercept[IllegalStateException] { RawStore.readManifest(fs, dir) }
+  }
+
+  test("a stale maintenance writer fails its commit loudly instead of " +
+      "losing the other writer's update") {
+    val dir = Files.createTempDirectory("rawstore_cas").toString
+    writeTable(dir)
+    val fs = fsOf(dir)
+    val stale = RawStore.readManifest(fs, dir) // both writers read seq 0
+    val won = RawStore.dropDay(fs, dir, stale, java.time.LocalDate.parse("2024-01-01"))
+    assert(won.seq == stale.seq + 1)
+    // the loser raced the SAME seq — exclusive rename detects it
+    intercept[java.util.ConcurrentModificationException] {
+      RawStore.dropDay(fs, dir, stale, java.time.LocalDate.parse("2024-01-02"))
+    }
+    // the winner's commit is intact: 01-01 retired, 01-02 untouched
+    val m = RawStore.readManifest(fs, dir)
+    assert(m == won && m.retired.keySet == Set("p_date=2024-01-01"))
+    assert(values(RawStore.read(spark, dir, schema, "json")) == Seq(3.0, 4.0, 5.0))
+  }
+
+  test("manifest history is pruned but reads stay correct across many commits") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("rawstore_prune").toString
+    writeTable(dir)
+    val fs = fsOf(dir)
+    var m = RawStore.readManifest(fs, dir)
+    val day = java.time.LocalDate.parse("2024-01-01")
+    for (i <- 1 to 12) {
+      val gen = Seq(("cpu", Timestamp.valueOf("2024-01-01 05:00:00"), i.toDouble, -1L))
+        .toDF("series", "ts", "value", "batch_id")
+      m = RawStore.swapDay(spark, fs, dir, m, day, gen, "json")
+    }
+    assert(m.seq == 12)
+    val manifests = new java.io.File(dir).list().filter(_.startsWith("_MANIFEST."))
+    assert(manifests.length <= 8 && manifests.contains("_MANIFEST.12"),
+      s"expected pruned history ending at 12, got ${manifests.sorted.mkString(",")}")
+    // latest generation's content serves; earlier gens are retired
+    assert(values(RawStore.read(spark, dir, schema, "json")
+      .filter(col("p_date") === lit("2024-01-01").cast("date"))) == Seq(12.0))
+  }
+
+  test("appends into a remapped day's plain dir fail the read loudly " +
+      "instead of silently vanishing") {
+    val dir = Files.createTempDirectory("rawstore_rogue").toString
+    writeTable(dir)
+    val fs = fsOf(dir)
+    val day = java.time.LocalDate.parse("2024-01-01")
+    val m0 = RawStore.readManifest(fs, dir)
+    val survivors = RawStore.read(spark, dir, schema, "json")
+      .filter(col("p_date") === lit(day.toString).cast("date"))
+      .drop("p_date")
+    RawStore.swapDay(spark, fs, dir, m0, day, survivors, "json")
+    assert(values(RawStore.read(spark, dir, schema, "json")).size == 5)
+    // shape 1: replayed ingest writes into the retired-but-unreaped dir —
+    // the rogue file's mtime is pinned 10 s past the retirement so the
+    // "newer than retiredAt" comparison is unambiguous
+    val batch = java.nio.file.Paths.get(dir, "p_date=2024-01-01", "batch_id=99")
+    Files.createDirectories(batch)
+    val rogue = batch.resolve("part-rogue.json")
+    Files.writeString(rogue,
+      """{"series":"cpu","ts":"2024-01-01T07:00:00Z","value":7.0}""" + "\n")
+    Files.setLastModifiedTime(rogue, java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() + 10_000))
+    intercept[IllegalStateException] { RawStore.read(spark, dir, schema, "json") }
+    // shape 2: the dir reappears after its reap
+    RawStore.reap(fs, dir, 0L)
+    assert(values(RawStore.read(spark, dir, schema, "json")).size == 5)
+    Files.createDirectories(batch)
+    Files.writeString(batch.resolve("part-rogue.json"),
+      """{"series":"cpu","ts":"2024-01-01T07:00:00Z","value":7.0}""" + "\n")
+    intercept[IllegalStateException] { RawStore.read(spark, dir, schema, "json") }
+  }
+
+  test("per-series retention takes the graceful path too") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("rawstore_perseries").toString
+    val rows = Seq(
+      ("cpu", Timestamp.valueOf("2024-01-01 05:00:00"), 1.0, 0L),
+      ("mem", Timestamp.valueOf("2024-01-01 05:00:00"), 10.0, 0L),
+      ("cpu", Timestamp.valueOf("2024-01-02 05:00:00"), 2.0, 1L),
+      ("cpu", Timestamp.valueOf("2024-01-02 18:00:00"), 3.0, 1L),
+      ("mem", Timestamp.valueOf("2024-01-02 05:00:00"), 20.0, 1L)
+    ).toDF("series", "ts", "value", "batch_id")
+      .withColumn("p_date", to_date(col("ts")))
+    rows.write.mode("overwrite").partitionBy("p_date", "batch_id").json(dir)
+    val inflight = RawStore.read(spark, dir, schema, "json")
+    val (d, r) = Retention.enforcePerSeries(spark, dir, Map(
+      "cpu" -> Timestamp.valueOf("2024-01-02 12:00:00"),
+      "mem" -> Timestamp.valueOf("2024-01-01 00:00:00")),
+      format = "json", grace = Some(3600_000L))
+    // no day is before EVERY cutoff → no drops; both days mixed-rewritten
+    assert(d == 0 && r == 2)
+    assert(values(RawStore.read(spark, dir, schema, "json")) == Seq(3.0, 10.0, 20.0))
+    assert(values(inflight) == Seq(1.0, 2.0, 3.0, 10.0, 20.0))
   }
 
   test("resolver preserves unparseable partition dirs that graceful " +
