@@ -183,14 +183,28 @@ object RawStore {
     (plain ++ gens).sortBy(_._1)
   }
 
+  /** Memoized generation legs: a generation dir is IMMUTABLE from
+    * commit to reap, so its resolved DataFrame (file listing included)
+    * can be reused across requests — re-listing and re-planning it per
+    * read is the resolver's main latency cost (soak runs 3-4: ~+160 ms
+    * raw-path p50 vs the bare read). Entries for generations no longer
+    * active are dropped on the next read of the same table; plain-day
+    * legs are NEVER cached (the collector appends to them between
+    * requests, so their file listing must stay per-request fresh).
+    */
+  private[streaming] val genCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String, String, String), DataFrame]()
+
   /** Resolve the manifest and read the table's ACTIVE state. `schema`
     * is the full table schema including `p_date` and any sub-partition
     * columns (the caller knows it; this is the collector-sink read
     * path). Generation dirs carry no `p_date=` path component, so the
     * day is restored as a literal column per generation.
+    * `cacheGenLegs = false` rebuilds every generation leg per read —
+    * the measured-baseline switch, not a correctness dial.
     */
   def read(spark: SparkSession, dir: String, schema: String,
-           format: String): DataFrame = {
+           format: String, cacheGenLegs: Boolean = true): DataFrame = {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val m = readManifest(fs, dir)
@@ -207,17 +221,30 @@ object RawStore {
       .filter(_.getName.startsWith("p_date="))
       .filter(p => !m.retired.contains(p.getName))
       .filter(p => !m.active.contains(p.getName.stripPrefix("p_date=")))
+    def genLeg(day: String, rel: String): DataFrame =
+      spark.read.schema(schema).format(format)
+        .load(new Path(dir, rel).toString)
+        .withColumn("p_date",
+          org.apache.spark.sql.functions.lit(day).cast("date"))
+    val gens = m.active.toSeq.sortBy(_._1).map { case (day, rel) =>
+      if (cacheGenLegs)
+        genCache.computeIfAbsent((spark, dir, rel, schema, format),
+          _ => genLeg(day, rel))
+      else genLeg(day, rel)
+    }
+    if (cacheGenLegs) {
+      // evict legs of generations this table no longer serves (reaped
+      // or superseded) so the cache tracks the keep window, not history
+      val activeRels = m.active.values.toSet
+      genCache.keySet.removeIf(k =>
+        (k._1 == spark && k._2 == dir && !activeRels.contains(k._3)) ||
+          k._1.sparkContext.isStopped) // dead sessions can't re-read; drop theirs
+    }
     val parts =
       (if (plainPaths.nonEmpty)
         Seq(spark.read.schema(schema).format(format)
           .option("basePath", dir).load(plainPaths.map(_.toString): _*))
-      else Seq.empty) ++
-        m.active.toSeq.sortBy(_._1).map { case (day, rel) =>
-          spark.read.schema(schema).format(format)
-            .load(new Path(dir, rel).toString)
-            .withColumn("p_date",
-              org.apache.spark.sql.functions.lit(day).cast("date"))
-        }
+      else Seq.empty) ++ gens
     if (parts.isEmpty)
       spark.read.schema(schema).format(format).load(dir).limit(0)
     else parts.reduce(_.unionByName(_))

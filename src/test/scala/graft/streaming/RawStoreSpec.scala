@@ -2,6 +2,7 @@ package graft.streaming
 
 import java.nio.file.Files
 import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
@@ -220,6 +221,40 @@ class RawStoreSpec extends SparkSpec {
     Files.writeString(batch.resolve("part-rogue.json"),
       """{"series":"cpu","ts":"2024-01-01T07:00:00Z","value":7.0}""" + "\n")
     intercept[IllegalStateException] { RawStore.read(spark, dir, schema, "json") }
+  }
+
+  test("gen-leg cache serves fresh data after a re-swap and evicts " +
+      "superseded legs instead of accumulating them") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("rawstore_cache").toString
+    writeTable(dir)
+    val fs = fsOf(dir)
+    val day = java.time.LocalDate.parse("2024-01-01")
+    def keysHere = RawStore.genCache.keySet.asScala
+      .filter(k => k._1 == spark && k._2 == dir).map(_._3).toSet
+    // first swap populates the cache on read
+    var m = RawStore.swapDay(spark, fs, dir, RawStore.readManifest(fs, dir), day,
+      Seq(("cpu", Timestamp.valueOf("2024-01-01 05:00:00"), 100.0, -1L))
+        .toDF("series", "ts", "value", "batch_id"), "json")
+    val g0 = m.active(day.toString)
+    assert(values(RawStore.read(spark, dir, schema, "json")
+      .filter(col("p_date") === lit(day.toString).cast("date"))) == Seq(100.0))
+    assert(keysHere == Set(g0))
+    // cache HIT: the same leg instance is reused across reads
+    assert(RawStore.genCache.get((spark, dir, g0, schema, "json")) ne null)
+    val leg0 = RawStore.genCache.get((spark, dir, g0, schema, "json"))
+    RawStore.read(spark, dir, schema, "json")
+    assert(RawStore.genCache.get((spark, dir, g0, schema, "json")) eq leg0)
+    // re-swap the SAME day: the new generation's content must serve
+    // (paths never reused → new key), and g0's entry must be evicted
+    m = RawStore.swapDay(spark, fs, dir, m, day,
+      Seq(("cpu", Timestamp.valueOf("2024-01-01 05:00:00"), 200.0, -1L))
+        .toDF("series", "ts", "value", "batch_id"), "json")
+    val g1 = m.active(day.toString)
+    assert(g1 != g0)
+    assert(values(RawStore.read(spark, dir, schema, "json")
+      .filter(col("p_date") === lit(day.toString).cast("date"))) == Seq(200.0))
+    assert(keysHere == Set(g1), s"expected only $g1 cached, got $keysHere")
   }
 
   test("per-series retention takes the graceful path too") {
