@@ -195,6 +195,22 @@ object RawStore {
   private[streaming] val genCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, String, String, String), DataFrame]()
 
+  /** Safety valve, not a performance feature: realistic usage holds
+    * keep-window × tables legs (tens), but a process serving many
+    * short-lived tables that are dropped without a final read would
+    * otherwise accumulate entries until some read's same-dir eviction
+    * pass ran. Beyond the bound, ARBITRARY entries are shed (CHM
+    * iteration order) — a shed leg costs one re-listing on its next
+    * read, so fairness is irrelevant at this size.
+    */
+  private[streaming] val MaxGenLegs = 512
+
+  private[streaming] def boundGenCache(): Unit =
+    if (genCache.size > MaxGenLegs) {
+      val it = genCache.keySet.iterator
+      while (genCache.size > MaxGenLegs && it.hasNext) { it.next(); it.remove() }
+    }
+
   /** Resolve the manifest and read the table's ACTIVE state. `schema`
     * is the full table schema including `p_date` and any sub-partition
     * columns (the caller knows it; this is the collector-sink read
@@ -239,6 +255,7 @@ object RawStore {
       genCache.keySet.removeIf(k =>
         (k._1 == spark && k._2 == dir && !activeRels.contains(k._3)) ||
           k._1.sparkContext.isStopped) // dead sessions can't re-read; drop theirs
+      boundGenCache()
     }
     val parts =
       (if (plainPaths.nonEmpty)

@@ -14,11 +14,50 @@ import org.apache.spark.sql.functions._
   * per probe.
   *
   * Usage: sbt "Test/runMain graft.ops.IvfRecallProbe <sfDir> [...]"
+  * A dir argument of the form `clustered:<srcSfDir>:<N>` materializes a
+  * CLUSTERED N× synthetic corpus first (temp dir) and probes that: the
+  * soak decades' orthogonal-replica construction (ScaleCorpus) spreads
+  * the cloud near-isotropically — correct for the row-count laws, but
+  * it erases the cluster structure a coarse quantizer exists to
+  * exploit, so trained-vs-sampled converges on it (r11 measurement,
+  * deltas ≤ 0.03 at 10×). Here each replica r is pulled toward its own
+  * deterministic unit center: v' = α·v + (1−α)·center_r (cosine is
+  * scale-invariant, so no renormalization) — N genuine clusters whose
+  * within-replica neighbor structure still comes from the organic base.
   * Env: SPARK_GRAFT_IVF_K (32), SPARK_GRAFT_IVF_NPROBE (csv, "1,2,4"),
   * SPARK_GRAFT_IVF_TOPK (3), SPARK_GRAFT_IVF_PROBES (200),
-  * SPARK_GRAFT_CPUS (16).
+  * SPARK_GRAFT_IVF_ALPHA (0.5), SPARK_GRAFT_CPUS (16).
   */
 object IvfRecallProbe {
+
+  /** N-cluster corpus from an organic base: replica r's vectors are
+    * blended toward a per-replica seeded gaussian unit center. Returns
+    * a dir laid out like a testdata sfDir (embeddings.parquet only).
+    */
+  private def buildClustered(spark: SparkSession, srcDir: String, n: Int,
+                             alpha: Double): String = {
+    import spark.implicits._
+    val src = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    val dim = src.select(size(col("embedding"))).head.getInt(0)
+    val out = Files.createTempDirectory(s"ivf_clustered_${n}x").toString
+    val replicas = (0 until n).map { r =>
+      val rnd = new scala.util.Random(7_000_000L + r)
+      val raw = Array.fill(dim)(rnd.nextGaussian())
+      val norm = math.sqrt(raw.map(x => x * x).sum)
+      val center = array(raw.map(x => lit((x / norm).toFloat)): _*)
+      src.select(
+        (col("vec_id") + lit(r * 10_000_000L)).as("vec_id"),
+        zip_with(col("embedding"), center,
+          (x, c) => (x * lit(alpha) + c * lit(1 - alpha)).cast("float"))
+          .as("embedding"),
+        col("label"))
+    }
+    replicas.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    println(s"[ivf-recall] built clustered corpus: $srcDir x$n alpha=$alpha -> $out")
+    out
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: IvfRecallProbe <sfDir> [<sfDir> ...]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
@@ -38,7 +77,14 @@ object IvfRecallProbe {
     graft.functions.VectorExpressions.ensureRegistered(spark)
     import spark.implicits._
 
-    for (dir <- args) {
+    val alpha = sys.env.getOrElse("SPARK_GRAFT_IVF_ALPHA", "0.5").toDouble
+    val dirs = args.toSeq.map {
+      case a if a.startsWith("clustered:") =>
+        val Array(_, src, nStr) = a.split(":", 3)
+        buildClustered(spark, src, nStr.toInt, alpha)
+      case a => a
+    }
+    for (dir <- dirs) {
       val emb = graft.model.Tables(spark, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -255,6 +255,16 @@ class RawStoreSpec extends SparkSpec {
     assert(values(RawStore.read(spark, dir, schema, "json")
       .filter(col("p_date") === lit(day.toString).cast("date"))) == Seq(200.0))
     assert(keysHere == Set(g1), s"expected only $g1 cached, got $keysHere")
+    // safety valve: a flood of never-re-read tables stays bounded, and
+    // a shed leg is just re-listed on its next read (content unchanged)
+    val filler = spark.range(1).toDF
+    (0 until RawStore.MaxGenLegs + 50).foreach(i =>
+      RawStore.genCache.put((spark, s"/fake$i", ".gen/g0", schema, "json"), filler))
+    RawStore.boundGenCache()
+    assert(RawStore.genCache.size <= RawStore.MaxGenLegs)
+    assert(values(RawStore.read(spark, dir, schema, "json")
+      .filter(col("p_date") === lit(day.toString).cast("date"))) == Seq(200.0))
+    RawStore.genCache.keySet.removeIf(k => k._2.startsWith("/fake"))
   }
 
   test("per-series retention takes the graceful path too") {
