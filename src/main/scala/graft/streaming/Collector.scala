@@ -107,7 +107,8 @@ object Collector {
     */
   def start(spark: SparkSession, sources: Seq[SourceConfig], sinkDir: String,
             checkpointDir: String,
-            fetchBody: String => String = defaultFetch): StreamingQuery = {
+            fetchBody: String => String = defaultFetch,
+            sinkFormat: String = "json"): StreamingQuery = {
     import spark.implicits._
     val dim = spark.createDataset(sources.filter(s => s.active && s.intervalS > 0)).toDF()
     val fetch = udf(fetchBody)
@@ -123,7 +124,7 @@ object Collector {
       .trigger(Trigger.ProcessingTime("1 second"))
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        writeBatch(batch, batchId, sinkDir)
+        writeBatch(batch, batchId, sinkDir, sinkFormat)
       }
       .start()
   }
@@ -135,14 +136,25 @@ object Collector {
     * duplicates. Checkpointed source offsets + this idempotent write give
     * end-to-end exactly-once; a blind `mode(append)` here would only be
     * at-least-once.
+    *
+    * `format`: "json" mirrors the drop-dir lineage and stays
+    * human-greppable; "parquet" is the AT-SCALE sink — columnar scan,
+    * compression, and ts row-group pruning on the serving path's range
+    * filters. Measured (LifecycleSoak, 50k rows/s composed, SURVEY
+    * §8.0 runs 6 vs 8): parquet cuts raw-path query p50/p95
+    * 2222/2578 → 785/1072 ms (~2.8×) at identical ingest, with the
+    * retention/compaction cycle format-clean and reconciliation exact.
+    * The store layer downstream (RawStore / Retention / Compaction /
+    * Grafana) is already format-parametric.
     */
   private[streaming] def writeBatch(batch: DataFrame, batchId: Long,
-                                    sinkDir: String): Unit =
+                                    sinkDir: String,
+                                    format: String = "json"): Unit =
     batch.withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("p_date", "batch_id")
-      .json(sinkDir)
+      .format(format).save(sinkDir)
 
   /** Deterministic stand-in for the HTTP GET (no egress in this
     * environment): value derived from the url hash. A real deployment
@@ -167,7 +179,8 @@ object Collector {
     */
   def startFromDropDir(spark: SparkSession, dropDir: String, sinkDir: String,
                        checkpointDir: String,
-                       dedupWithin: Option[String] = None): StreamingQuery = {
+                       dedupWithin: Option[String] = None,
+                       sinkFormat: String = "json"): StreamingQuery = {
     val raw = spark.readStream
       .schema(rawSchema)
       .option("maxFilesPerTrigger", 100)
@@ -180,7 +193,7 @@ object Collector {
       .trigger(Trigger.ProcessingTime("1 second"))
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        writeBatch(batch, batchId, sinkDir)
+        writeBatch(batch, batchId, sinkDir, sinkFormat)
       }
       .start()
   }

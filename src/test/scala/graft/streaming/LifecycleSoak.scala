@@ -48,7 +48,8 @@ import org.apache.spark.sql.functions._
   *
   * Usage: sbt "Test/runMain graft.streaming.LifecycleSoak"
   * Env: SPARK_GRAFT_LC_DUR_S (900), SPARK_GRAFT_LC_RPS (10000),
-  * SPARK_GRAFT_LC_MAINT_S (30), SPARK_GRAFT_CPUS (16).
+  * SPARK_GRAFT_LC_MAINT_S (30), SPARK_GRAFT_LC_FORMAT (json|parquet),
+  * SPARK_GRAFT_CPUS (16).
   */
 object LifecycleSoak {
 
@@ -66,6 +67,9 @@ object LifecycleSoak {
     val durS = sys.env.getOrElse("SPARK_GRAFT_LC_DUR_S", "900").toInt
     val rps = sys.env.getOrElse("SPARK_GRAFT_LC_RPS", "10000").toLong
     val maintS = sys.env.getOrElse("SPARK_GRAFT_LC_MAINT_S", "30").toInt
+    // sink format dial: "json" is the lineage default; "parquet" is the
+    // at-scale sink (columnar raw-path scans — see Collector.writeBatch)
+    val fmt = sys.env.getOrElse("SPARK_GRAFT_LC_FORMAT", "json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -117,7 +121,8 @@ object LifecycleSoak {
     }, "lc-feeder")
 
     // ── streams: collector sink + rollup maintenance ────────────────────
-    val collect = Collector.startFromDropDir(spark, dropDir, sinkDir, ckptC)
+    val collect = Collector.startFromDropDir(spark, dropDir, sinkDir, ckptC,
+      sinkFormat = fmt)
     val points = Collector.transform(
       spark.readStream.schema(Collector.rawSchema)
         .option("maxFilesPerTrigger", 100).json(dropDir))
@@ -145,7 +150,7 @@ object LifecycleSoak {
               // two records) is closed, not retried around. Grace 10 s ≫
               // query p95 (~0.6 s), ≪ the 30 s maintenance cadence.
               val graceMs = 10_000L
-              val (d, r) = Retention.enforce(spark, sinkDir, cut, format = "json",
+              val (d, r) = Retention.enforce(spark, sinkDir, cut, format = fmt,
                 grace = Some(graceMs))
               // the closed frontier comes from what the COLLECTOR has
               // committed, not the feeder clock: under ingest lag the
@@ -166,7 +171,7 @@ object LifecycleSoak {
               // record's threshold of 32 never fired
               val c =
                 if (committedDays.isEmpty) 0
-                else Compaction.compact(spark, sinkDir, format = "json",
+                else Compaction.compact(spark, sinkDir, format = fmt,
                   maxFiles = 12, targetFiles = 1,
                   closedBefore = Some(committedDays.max.minusDays(1)),
                   grace = Some(graceMs))
@@ -190,7 +195,7 @@ object LifecycleSoak {
     // raw reads resolve through the RawStore manifest: a reader planned
     // against retired-but-unreaped paths completes against its pre-swap
     // snapshot instead of failing FILE_NOT_EXIST
-    def store: DataFrame = RawStore.read(spark, sinkDir, sinkSchema, "json")
+    def store: DataFrame = RawStore.read(spark, sinkDir, sinkSchema, fmt)
     val rawLat = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
     val rollLat = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
     val qFails = new AtomicLong(0L)
@@ -283,7 +288,7 @@ object LifecycleSoak {
       if (xs.isEmpty) Double.NaN
       else xs(math.min(xs.length - 1, math.max(0, math.ceil(p * xs.length).toInt - 1)))
     }
-    println(f"[lc-soak] wall=${wallS}%.0fs hours_fed=$hours rows_fed=$fed " +
+    println(f"[lc-soak] fmt=$fmt rps=$rps wall=${wallS}%.0fs hours_fed=$hours rows_fed=$fed " +
       f"stored=$stored expected=$expected match=${stored == expected} " +
       f"dropped=$dropped rewritten=$rewritten compacted=$compacted")
     println(f"[lc-soak] query raw n=${rawLat.size} p50=${pct(rawLat, 0.5)}%.0fms " +
