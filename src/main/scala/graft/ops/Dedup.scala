@@ -546,6 +546,106 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
+    // Cross-document repeated SPAN detection — dedup at SUBSTRING
+    // granularity, the signal document-level dedup (q80/q90) and
+    // near-dup pairing (q78/q85) both miss: two long documents sharing
+    // one boilerplate paragraph are not near-dups, but a training
+    // pipeline still wants that paragraph found (Lee et al. 2022,
+    // "Deduplicating Training Data Makes Language Models Better", does
+    // this with a suffix array — a global sorted structure a distributed
+    // engine replaces with stride-sampled window hashes). Semantics:
+    // 30-char windows at stride 10 per doc; a window is a HIT when its
+    // md5 occurs in >= 2 distinct documents; per doc, hits within 30
+    // chars of each other merge into maximal spans (start, end,
+    // window count). Any substring shared across docs of length >= 49
+    // (W + 2*(S-1) + 1) is guaranteed to produce at least one aligned
+    // shared window pair regardless of offset phase.
+    //
+    // Scale shape: window generation is doc-local (scan → project, no
+    // exchange); the shared-hash set is ONE map-side-combinable count
+    // over per-doc-distinct hashes (array_distinct inside the generator
+    // — the q87/r10 discipline, no pre-agg shuffle) + a LEFT SEMI back
+    // onto the positioned hits; span merge is a per-doc window —
+    // partitioned on doc_id, maximal parallelism, no task ever sees
+    // more than one document's hits. The stride divides hash volume
+    // 10× vs every-offset fingerprinting (q59 winnows instead — both
+    // sub-linear in corpus bytes shuffled).
+    "q102_dup_spans" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").filter(length(col("text")) >= 30)
+      val wins = docs
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1L, CAST(length(text) - 29 AS BIGINT), 10L), " +
+            "i -> named_struct('pos', i, 'h', md5(substring(text, CAST(i AS INT), 30))))"))
+          .as("w"))
+        .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
+      // per-doc-distinct hashes: count(*) over these rows counts DOCS
+      // per hash, so no count-distinct two-phase agg is needed
+      val dh = docs.select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1L, CAST(length(text) - 29 AS BIGINT), 10L), " +
+          "i -> md5(substring(text, CAST(i AS INT), 30)))"))).as("h"))
+      val shared = dh.groupBy(col("h"))
+        .agg(count(lit(1)).as("nd")).filter(col("nd") >= 2).select(col("h"))
+      val hits = wins.join(shared, Seq("h"), "left_semi")
+      val byDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      val spans = hits
+        .withColumn("brk",
+          when(col("pos") - lag(col("pos"), 1).over(byDoc) <= 30, lit(0L))
+            .otherwise(lit(1L)))
+        .withColumn("g", sum(col("brk")).over(byDoc))
+      spans.groupBy(col("doc_id"), col("g"))
+        .agg(min(col("pos")).as("span_start"),
+          (max(col("pos")) + lit(29L)).as("span_end"),
+          count(lit(1)).as("n_windows"))
+        .select(col("doc_id"), col("span_start"), col("span_end"),
+          col("n_windows"))
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
+    // Cluster canonical selection by QUALITY — the keep decision q100's
+    // labels set up: a real dedup pass keeps each duplicate cluster's
+    // BEST document, not its smallest id. Composes the q78 near-dup
+    // graph + q100 components with q88's quality heuristic: per
+    // cluster, keep the max-quality member (min doc_id among ties),
+    // report its quality and the cluster size. Scale shape: labels
+    // from star contraction (O(log n) rounds), one doc_id-keyed join
+    // onto the doc-local quality projection (label side carries only
+    // clustered docs — the join prunes the corpus to the dup set),
+    // then per-cluster windows: the partition key is the cluster id,
+    // sizes are component-bounded (thousands at worst, never
+    // corpus-sized), so no task sorts more than one cluster.
+    "q104_cluster_keep_quality" -> ((s, dir) => {
+      graft.functions.VectorExpressions.ensureRegistered(s)
+      val docs = Tables(s, dir, "documents")
+      val labels = connectedComponents(
+        nearDupPairs(docs, MAXHAM)
+          .select(col("doc_a").as("a"), col("doc_b").as("b")))
+      // q88's composite quality, value-identical (same rounding chain)
+      val qual = docs
+        .select(col("doc_id"),
+          filter(split(col("text"), " "), w => w =!= "").as("ws"))
+        .select(col("doc_id"),
+          size(col("ws")).cast("long").as("n_words"),
+          size(array_distinct(col("ws"))).cast("long").as("n_uniq"))
+        .select(col("doc_id"),
+          round(
+            when(col("n_words") > 0,
+              round(col("n_uniq").cast("double") / col("n_words"), 4))
+              .otherwise(lit(0.0)) *
+              round(least(lit(1.0), col("n_words").cast("double") / 100), 4),
+            4).as("quality"))
+      val byCluster = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster")
+      val ranked = labels.join(qual, "doc_id")
+        .withColumn("rn", row_number().over(
+          byCluster.orderBy(col("quality").desc, col("doc_id"))))
+        .withColumn("n_members", count(lit(1)).over(byCluster))
+      ranked.filter(col("rn") === 1)
+        .select(col("cluster"), col("doc_id").as("kept_doc"),
+          col("quality").as("best_quality"), col("n_members"))
+        .orderBy(col("cluster"))
+    }),
+
     // Content fingerprint: md5 of the sorted distinct word set — an
     // order- and repetition-insensitive dedup key (catches shuffled /
     // re-worded duplicates that exact md5(text) misses).
@@ -698,6 +798,81 @@ object Dedup {
            |  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a)
            |SELECT src AS doc_id, least(src, min(dst)) AS cluster
            |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+      // q102: 30-char windows at stride 10 (positions 1, 11, 21, …);
+      // hashes shared by >= 2 docs mark hits; per-doc hits within 30
+      // merge into maximal spans. CASE over the NULL first-row lag
+      // falls through to ELSE 1 — same branch Spark's when().otherwise
+      // takes, so group ids agree row-for-row.
+      "q102_dup_spans" ->
+        """WITH w AS (
+          |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+          |         md5(substr(text, CAST(i AS INT), 30)) AS h
+          |  FROM documents, unnest(range(1, len(text) - 28, 10)) AS u(i)
+          |  WHERE len(text) >= 30),
+          |dd AS (SELECT DISTINCT doc_id, h FROM w),
+          |shared AS (SELECT h FROM dd GROUP BY h HAVING count(*) >= 2),
+          |hits AS (SELECT w.doc_id, w.pos FROM w JOIN shared USING (h)),
+          |brks AS (
+          |  SELECT doc_id, pos,
+          |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 30
+          |              THEN 0 ELSE 1 END AS brk
+          |  FROM hits),
+          |grps AS (
+          |  SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+          |  FROM brks)
+          |SELECT doc_id, min(pos) AS span_start, max(pos) + 29 AS span_end,
+          |       count(*) AS n_windows
+          |FROM grps GROUP BY doc_id, g ORDER BY doc_id, span_start""".stripMargin,
+      // q104: q100's label chain + q88's quality formula (identical
+      // rounding), then one row per cluster: the max-quality member
+      // (min doc_id among ties) and the cluster size
+      "q104_cluster_keep_quality" ->
+        s"""WITH RECURSIVE $simhashCtes,
+           |sig AS (
+           |  SELECT doc_id, string_agg(ch, '' ORDER BY pos) AS sh
+           |  FROM nibs GROUP BY doc_id),
+           |bands AS (
+           |  SELECT doc_id, b AS band, substr(sh, CAST(4*b + 1 AS INT), 4) AS bv
+           |  FROM sig, unnest([0,1,2,3]) AS t(b)),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+           |ham AS (
+           |  SELECT doc_a, doc_b,
+           |         CAST(list_sum(list_transform(range(1, 17), p ->
+           |           CAST(substr('0112122312232334',
+           |             xor(strpos('0123456789abcdef', substr(sa.sh, CAST(p AS INT), 1)) - 1,
+           |                 strpos('0123456789abcdef', substr(sb.sh, CAST(p AS INT), 1)) - 1) + 1, 1) AS INT))) AS BIGINT) AS hamming
+           |  FROM cand JOIN sig sa ON cand.doc_a = sa.doc_id
+           |            JOIN sig sb ON cand.doc_b = sb.doc_id),
+           |edges AS (SELECT doc_a AS a, doc_b AS b FROM ham WHERE hamming <= $MAXHAM),
+           |sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+           |reach(src, dst) AS (
+           |  SELECT a, b FROM sym
+           |  UNION
+           |  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a),
+           |labels AS (
+           |  SELECT src AS doc_id, least(src, min(dst)) AS cluster
+           |  FROM reach GROUP BY src),
+           |qual AS (
+           |  SELECT doc_id,
+           |         round(CASE WHEN n_words > 0
+           |                    THEN round(CAST(n_uniq AS DOUBLE) / n_words, 4) ELSE 0.0 END
+           |               * round(least(1.0, CAST(n_words AS DOUBLE) / 100), 4), 4) AS quality
+           |  FROM (SELECT doc_id,
+           |               CAST(len(ws) AS BIGINT) AS n_words,
+           |               CAST(len(list_distinct(ws)) AS BIGINT) AS n_uniq
+           |        FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+           |              FROM documents))),
+           |ranked AS (
+           |  SELECT l.cluster, l.doc_id, q.quality,
+           |         row_number() OVER (PARTITION BY l.cluster ORDER BY q.quality DESC, l.doc_id) AS rn,
+           |         count(*) OVER (PARTITION BY l.cluster) AS n_members
+           |  FROM labels l JOIN qual q USING (doc_id))
+           |SELECT cluster, doc_id AS kept_doc, quality AS best_quality,
+           |       CAST(n_members AS BIGINT) AS n_members
+           |FROM ranked WHERE rn = 1 ORDER BY cluster""".stripMargin,
       "q59_winnowing_fp" ->
         """WITH g AS (
           |  SELECT doc_id, i AS pos, md5(substr(text, CAST(i AS INT), 8)) AS h

@@ -523,6 +523,71 @@ object Extensions {
         .orderBy(col("lang"), col("rn"))
     }),
 
+    // Domain-mixture token-budget sampling — the "data mixing" step of a
+    // pretraining pipeline: given per-source token totals and a global
+    // budget (here: half the corpus, split uniformly across sources),
+    // accept each document by a deterministic content-independent
+    // Bernoulli draw at its source's acceptance rate. The draw is
+    // md5(doc_id) compared against the rate mapped into 48-bit hex —
+    // engine-portable, reproducible on any cluster/partitioning/day
+    // (the q98 sampler's discipline, applied per-group at a computed
+    // rate). Output is the mixing report: per source, incoming docs and
+    // tokens, the rate, and what survived. Scale shape: one token-count
+    // agg (map-side partials), a 20-row rate table broadcast back onto
+    // the corpus scan, one filtered re-agg — no corpus-sized shuffle at
+    // any point, and the accept test is a codegen'd string compare.
+    "q103_domain_sample" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(filter(split(col("text"), " "), w => w =!= ""))
+            .cast("long").as("n_tokens"))
+      val st = d.groupBy(col("source"))
+        .agg(count(lit(1)).as("docs_in"), sum(col("n_tokens")).as("tokens_in"))
+      val tot = st.agg(sum(col("tokens_in")).as("t_all"), count(lit(1)).as("n_src"))
+      val rates = st.crossJoin(broadcast(tot))
+        .select(col("source"), col("docs_in"), col("tokens_in"),
+          least(lit(1.0),
+            (col("t_all").cast("double") / (lit(2.0) * col("n_src"))) /
+              col("tokens_in").cast("double")).as("rate"))
+      // 2^48 = 281474976710656: the rate maps to a 12-hex-digit
+      // threshold, compared against the first 12 hex chars of
+      // md5(doc_id) — lexicographic compare of lowercase hex IS the
+      // numeric compare, identically in both engines
+      val kept = d.join(broadcast(rates.select(col("source"), col("rate"))), "source")
+        .filter(col("rate") >= 1.0 ||
+          substring(md5(col("doc_id").cast("string")), 1, 12) <
+            lower(lpad(hex(floor(col("rate") * lit(281474976710656.0))), 12, "0")))
+      val ks = kept.groupBy(col("source"))
+        .agg(count(lit(1)).as("docs_kept"), sum(col("n_tokens")).as("tokens_kept"))
+      rates.join(ks, Seq("source"), "left")
+        .select(col("source"), col("docs_in"), col("tokens_in"), col("rate"),
+          coalesce(col("docs_kept"), lit(0L)).as("docs_kept"),
+          coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"))
+        .orderBy(col("source"))
+    }),
+
+    // Deterministic training-order export — the LAST pipeline step: a
+    // seeded global shuffle assigning every document a shard and a
+    // position within it (shard = first hex digit of md5(seed|doc_id)
+    // mod 8, pos = rank of the md5 key within the shard). Same order on
+    // any cluster, any day — reproducible training runs. Scale shape:
+    // per-SHARD windows, never a global one (the q58/q45 discipline):
+    // each shard ranks independently — at 100 TB shards number in the
+    // thousands and each is one partition's sort; a writer would follow
+    // with partitionBy(shard) + sortWithinPartitions(pos).
+    "q106_train_order" -> ((s, dir) => {
+      val keyed = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(concat(lit("42|"), col("doc_id").cast("string"))).as("rk"))
+        .withColumn("shard",
+          conv(substring(col("rk"), 1, 1), 16, 10).cast("long") % 8)
+      val byShard = org.apache.spark.sql.expressions.Window
+        .partitionBy("shard").orderBy("rk", "doc_id")
+      keyed.withColumn("pos", row_number().over(byShard).cast("long"))
+        .select(col("shard"), col("pos"), col("doc_id"))
+        .orderBy(col("shard"), col("pos"))
+    }),
+
     // Train/eval decontamination — per eval document, how many of its
     // distinct 8-grams also occur anywhere in the train split (deterministic
     // doc_id-parity split). The overlap scan every benchmark-eval pipeline
@@ -641,6 +706,44 @@ object Extensions {
   )
 
   val oracle: Map[String, String] = Map(
+    // q103: rate = min(1, (T/2 / n_src) / tokens_s); accept iff the
+    // first 12 hex chars of md5(doc_id) sort below the rate's 48-bit
+    // hex threshold (printf %012x ≡ Spark's lower(lpad(hex(...))))
+    "q103_domain_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |st AS (SELECT source, count(*) AS docs_in, CAST(sum(n_tokens) AS BIGINT) AS tokens_in
+        |       FROM d GROUP BY source),
+        |tot AS (SELECT CAST(sum(tokens_in) AS BIGINT) AS t_all, count(*) AS n_src FROM st),
+        |rates AS (
+        |  SELECT source, docs_in, tokens_in,
+        |         least(1.0, (CAST(t_all AS DOUBLE) / (2.0 * n_src)) / CAST(tokens_in AS DOUBLE)) AS rate
+        |  FROM st CROSS JOIN tot),
+        |kept AS (
+        |  SELECT d.source, d.doc_id, d.n_tokens
+        |  FROM d JOIN rates USING (source)
+        |  WHERE rate >= 1.0
+        |     OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 12)
+        |        < printf('%012x', CAST(floor(rate * 281474976710656.0) AS BIGINT)))
+        |SELECT r.source, r.docs_in, r.tokens_in, r.rate,
+        |       count(k.doc_id) AS docs_kept,
+        |       CAST(coalesce(sum(k.n_tokens), 0) AS BIGINT) AS tokens_kept
+        |FROM rates r LEFT JOIN kept k ON r.source = k.source
+        |GROUP BY r.source, r.docs_in, r.tokens_in, r.rate
+        |ORDER BY r.source""".stripMargin,
+    "q106_train_order" ->
+      """WITH r AS (
+        |  SELECT doc_id, md5('42|' || CAST(doc_id AS VARCHAR)) AS rk FROM documents),
+        |s AS (
+        |  SELECT doc_id, rk,
+        |         CAST((strpos('0123456789abcdef', substr(rk, 1, 1)) - 1) % 8 AS BIGINT) AS shard
+        |  FROM r)
+        |SELECT shard,
+        |       CAST(row_number() OVER (PARTITION BY shard ORDER BY rk, doc_id) AS BIGINT) AS pos,
+        |       doc_id
+        |FROM s ORDER BY shard, pos""".stripMargin,
     "q64_array_fns" ->
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
         |       round(CAST(embedding[1] AS DOUBLE), 4) AS e_first,

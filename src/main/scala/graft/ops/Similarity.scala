@@ -141,6 +141,32 @@ object Similarity {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Semantic dedup — the keep/drop decision q94's pairs set up
+    // (SemDeDup-shaped: embedding-space near-dup groups, one survivor
+    // each): connected components over the cosine-threshold pair graph,
+    // every non-canonical member listed with the doc that replaces it
+    // (the component's min vec_id). The output is the DROP list a
+    // pipeline anti-joins against the corpus. Scale shape: q94's
+    // bucketed candidate join (bucket = shuffle key, candidates
+    // linear-ish in corpus size) + star contraction's O(log n) rounds
+    // — both stages are the measured 100 TB paths of their families
+    // (q94, q100); no new plan shape, just the composition.
+    "q105_semantic_dedup" -> ((s, dir) => {
+      graft.functions.VectorExpressions.ensureRegistered(s)
+      val all = bucketed(s, dir)
+      val edges = all.as("a")
+        .join(all.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("a"), col("b.vec_id").as("b"),
+          round(expr("vec_cosine(a.embedding, b.embedding)"), 3).as("sim"))
+        .filter(col("sim") >= 0.35)
+        .select(col("a"), col("b"))
+      Dedup.connectedComponents(edges)
+        .filter(col("doc_id") =!= col("cluster"))
+        .select(col("doc_id").as("vec_id"), col("cluster").as("kept"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Banded ANN near-dup — the recall-scaling variant the fixed-bucket
     // design (q94) can't reach: TWO independent 8-bit sign bands (dims
     // 1-8 and 9-16); a pair is a candidate if it collides in EITHER band
@@ -373,6 +399,38 @@ object Similarity {
         |FROM dots
         |WHERE round(dp / (sqrt(na) * sqrt(nb)), 3) >= 0.35
         |ORDER BY id_a, id_b""".stripMargin,
+    // q105: q94's edge set (same bucket/threshold CTEs) + recursive
+    // transitive closure; a row per DROPPED vector, kept = component min
+    "q105_semantic_dedup" ->
+      """WITH RECURSIVE b AS (
+        |  SELECT vec_id, embedding,
+        |         array_to_string(list_transform(embedding[1:8],
+        |             x -> CAST(CAST(x >= 0 AS INT) AS VARCHAR)), '') AS bucket
+        |  FROM embeddings),
+        |cand AS (
+        |  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+        |         a.embedding AS ea, b2.embedding AS eb
+        |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+        |elems AS (
+        |  SELECT id_a, id_b, unnest(ea) AS xa, unnest(eb) AS xb FROM cand),
+        |dots AS (
+        |  SELECT id_a, id_b,
+        |         CAST(sum(CAST(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS dp,
+        |         CAST(sum(CAST(CAST(xa AS DOUBLE) * CAST(xa AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS na,
+        |         CAST(sum(CAST(CAST(xb AS DOUBLE) * CAST(xb AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS nb
+        |  FROM elems GROUP BY id_a, id_b),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM dots
+        |  WHERE round(dp / (sqrt(na) * sqrt(nb)), 3) >= 0.35),
+        |sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM sym
+        |  UNION
+        |  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a)
+        |SELECT src AS vec_id, least(src, min(dst)) AS kept
+        |FROM reach GROUP BY src
+        |HAVING src <> least(src, min(dst))
+        |ORDER BY vec_id""".stripMargin,
     "q57_ivf_ann" ->
       """WITH cent AS (
         |  SELECT vec_id AS c_id, embedding AS c_emb

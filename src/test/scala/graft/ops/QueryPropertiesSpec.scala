@@ -183,6 +183,81 @@ class QueryPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("dup spans are long enough, stride-aligned, disjoint per doc (q102)") {
+    val spans = q("q102_dup_spans")
+    assert(spans.count() > 0) // fixtures contain near-dup docs
+    // every span covers at least one full 30-char window, and its
+    // extent is window-aligned (start/last-hit positions are 1 mod 10)
+    assert(spans.filter(col("span_end") - col("span_start") < 29).isEmpty)
+    assert(spans.filter((col("span_end") - col("span_start") - 29) % 10 =!= 0).isEmpty)
+    assert(spans.filter(col("n_windows") < 1).isEmpty)
+    // maximality: successive spans of one doc never touch (a gap <= 30
+    // between hit positions would have merged them)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("span_start")
+    val overlapping = spans
+      .withColumn("prev_end", lag("span_end", 1).over(w))
+      .filter(col("prev_end").isNotNull && col("span_start") <= col("prev_end"))
+    assert(overlapping.isEmpty)
+  }
+
+  test("domain sampling never exceeds the incoming mass (q103)") {
+    val mix = q("q103_domain_sample")
+    val docs = graft.model.Tables(spark, sf(), "documents")
+    assert(mix.count() == docs.select("source").distinct().count())
+    assert(mix.filter(col("docs_kept") > col("docs_in")).isEmpty)
+    assert(mix.filter(col("tokens_kept") > col("tokens_in")).isEmpty)
+    assert(mix.filter(col("rate") <= 0 || col("rate") > 1.0).isEmpty)
+  }
+
+  test("quality-keep selects each cluster's max-quality member (q104)") {
+    val kept = q("q104_cluster_keep_quality")
+    val labels = q("q100_dup_clusters")
+    // one row per q100 cluster, members fully accounted for
+    assert(kept.count() == labels.select("cluster").distinct().count())
+    assert(kept.agg(sum("n_members")).head().getLong(0) == labels.count())
+    // best_quality matches the max q88 quality within the cluster
+    val clusterMax = labels
+      .join(q("q88_quality_score").select("doc_id", "quality"), "doc_id")
+      .groupBy("cluster").agg(max("quality").as("max_q"))
+    assert(kept.join(clusterMax, "cluster")
+      .filter(col("best_quality") =!= col("max_q")).isEmpty)
+    // the kept doc belongs to the cluster it represents
+    val member = kept.join(
+      labels.select(col("doc_id").as("kept_doc"), col("cluster").as("lc")),
+      "kept_doc")
+    assert(member.filter(col("cluster") =!= col("lc")).isEmpty)
+  }
+
+  test("semantic dedup drops only non-canonical pair members (q105)") {
+    val dropped = q("q105_semantic_dedup")
+    // labels are component minima: kept < dropped always, and a kept
+    // survivor is never itself dropped
+    assert(dropped.filter(col("kept") >= col("vec_id")).isEmpty)
+    assert(dropped.select(col("vec_id"))
+      .join(dropped.select(col("kept").as("vec_id")), Seq("vec_id"), "left_semi")
+      .isEmpty)
+    // every dropped vector appears in at least one q94 near-dup pair
+    val pairIds = q("q94_embedding_neardup")
+      .select(col("id_a").as("vec_id"))
+      .union(q("q94_embedding_neardup").select(col("id_b").as("vec_id")))
+      .distinct()
+    assert(dropped.select("vec_id")
+      .join(pairIds, Seq("vec_id"), "left_anti").isEmpty)
+  }
+
+  test("train order is a permutation with contiguous shard positions (q106)") {
+    val ord = q("q106_train_order")
+    val docs = graft.model.Tables(spark, sf(), "documents")
+    assert(ord.count() == docs.count())
+    assert(ord.select("doc_id").distinct().count() == docs.count())
+    assert(ord.filter(col("shard") < 0 || col("shard") > 7).isEmpty)
+    // positions within each shard are 1..n with no gaps
+    val perShard = ord.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("lo"), max("pos").as("hi"))
+    assert(perShard.filter(col("lo") =!= 1 || col("hi") =!= col("n")).isEmpty)
+  }
+
   test("no declared query outputs array/map/struct columns (harness rule)") {
     // the driver's correctness harness sorts and hashes every output
     // cell with pandas, which cannot handle nested cells — the round-1
