@@ -9,9 +9,11 @@ import org.apache.spark.sql.functions._
   * corpus:
   *
   *   quality filter (q88 score) → exact dedup (q80/q73 keep-first) →
-  *   SimHash near-dup removal (q78 pairs) → eval decontamination
+  *   SimHash near-dup removal (q78 pairs; optionally q104's
+  *   cluster-keep-best-quality selection) → eval decontamination
   *   (q76 semantics, roles swapped: drop TRAIN docs overrun by eval
-  *   grams) → chunk (q97 geometry) → pack into training bins (q58).
+  *   grams) → optional domain mixing (q103 token-budget sampling) →
+  *   chunk (q97 geometry) → pack into training bins (q58).
   *
   * Every stage is the same formulation its oracle-checked query uses, so
   * the pipeline's correctness story rides on the per-operator gates; what
@@ -57,7 +59,19 @@ object TrainingPipeline {
       maxContamRatio: Double = 0.99,
       binTokens: Int = 512,
       shards: Int = 8,
-      audit: Boolean = true)
+      audit: Boolean = true,
+      // r11b: near-dup survivors chosen per CLUSTER (q104 semantics —
+      // keep each component's max-quality member, min doc_id tie-break)
+      // instead of the greedy drop-every-doc_b rule. Both guarantee
+      // pairwise non-near-dup output (any surviving pair would be an
+      // edge inside one component, which keeps exactly one member);
+      // this one keeps the BEST text where greedy keeps the smallest id
+      // — at the cost of the O(log n) component rounds
+      keepBestQuality: Boolean = false,
+      // r11b: when Some(f), q103's domain mixing runs after
+      // decontamination — per-source token budget = f·total/n_sources,
+      // deterministic md5-Bernoulli accept. Requires a `source` column.
+      mixTokenBudgetFrac: Option[Double] = None)
 
   /** Stage outputs: the surviving corpus and the packed bins, plus
     * per-stage survivor counts for the audit trail. `cleanup` unpersists
@@ -107,11 +121,41 @@ object TrainingPipeline {
     if (cfg.audit) audit += ("exact_dedup" -> exact.count())
 
     // 3. near-dup removal: q78's banded pairs (the shared
-    // Dedup.nearDupPairs), then greedily drop every doc_b — survivors
-    // are pairwise non-near-dup by construction. Persisted: feeds the
-    // gram explode AND the final anti-join.
-    val dropIds = Dedup.nearDupPairs(exact, cfg.maxHam)
-      .select(col("doc_b").as("doc_id")).distinct()
+    // Dedup.nearDupPairs), then either greedily drop every doc_b or —
+    // keepBestQuality — q104's cluster-canonical selection: connected
+    // components of the pair graph, drop everything but each cluster's
+    // max-quality member. Both ways survivors are pairwise non-near-dup
+    // by construction. Persisted: feeds the gram explode AND the final
+    // anti-join.
+    val pairs = Dedup.nearDupPairs(exact, cfg.maxHam)
+    val dropIds =
+      if (!cfg.keepBestQuality)
+        pairs.select(col("doc_b").as("doc_id")).distinct()
+      else {
+        val labels = Dedup.connectedComponents(
+          pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
+        // q88's composite quality, the same rounding chain stage 1
+        // thresholds on (recomputed doc-locally — cheaper than carrying
+        // the column through the md5 dedup window)
+        val qual = exact
+          .select(col("doc_id"), words(col("text")).as("ws"))
+          .select(col("doc_id"),
+            size(col("ws")).cast("long").as("n_words"),
+            size(array_distinct(col("ws"))).cast("long").as("n_uniq"))
+          .select(col("doc_id"),
+            round(
+              when(col("n_words") > 0,
+                round(col("n_uniq").cast("double") / col("n_words"), 4))
+                .otherwise(lit(0.0)) *
+                round(least(lit(1.0), col("n_words").cast("double") / 100), 4),
+              4).as("quality"))
+        labels.join(qual, "doc_id")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("cluster")
+              .orderBy(col("quality").desc, col("doc_id"))))
+          .filter(col("rn") > 1)
+          .select("doc_id")
+      }
     val nearDeduped = exact.join(dropIds, Seq("doc_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (cfg.audit) audit += ("near_dedup" -> nearDeduped.count())
@@ -153,9 +197,39 @@ object TrainingPipeline {
       nearDeduped.unpersist()
     }
 
+    // 4b (optional). domain mixing: q103's machinery at a configured
+    // budget fraction — per-source token totals, rate = min(1,
+    // f·T/n_src / tokens_s), deterministic md5-Bernoulli accept. One
+    // agg + a broadcast rate table back onto the cached survivors; the
+    // semi-join keeps `clean`'s persisted plan as the only corpus scan.
+    val mixed = cfg.mixTokenBudgetFrac match {
+      case None => clean
+      case Some(frac) =>
+        require(clean.columns.contains("source"),
+          "mixTokenBudgetFrac requires a `source` column on the input docs")
+        val d = clean.select(col("doc_id"), col("source"),
+          size(words(col("text"))).cast("long").as("n_tokens"))
+        val st = d.groupBy("source").agg(sum("n_tokens").as("tokens_in"))
+        val tot = st.agg(sum("tokens_in").as("t_all"),
+          count(lit(1)).as("n_src"))
+        val rates = st.crossJoin(broadcast(tot))
+          .select(col("source"),
+            least(lit(1.0),
+              (col("t_all").cast("double") * frac / col("n_src")) /
+                col("tokens_in").cast("double")).as("rate"))
+        val keep = d.join(broadcast(rates), "source")
+          .filter(col("rate") >= 1.0 ||
+            substring(md5(col("doc_id").cast("string")), 1, 12) <
+              lower(lpad(hex(floor(col("rate") * lit(281474976710656.0))), 12, "0")))
+          .select("doc_id")
+        clean.join(keep, Seq("doc_id"), "left_semi")
+    }
+    if (cfg.audit && cfg.mixTokenBudgetFrac.isDefined)
+      audit += ("mixed" -> mixed.count())
+
     // 5+6. chunk + pack: the SAME q97 geometry / q58 packing helpers the
     // oracle-checked queries run (Extensions.docChunks / packBins)
-    val chunks = Extensions.docChunks(clean)
+    val chunks = Extensions.docChunks(mixed)
       .select(col("doc_id"), col("chunk_idx"),
         size(col("chunk")).cast("long").as("n_tokens"))
     val packed = Extensions.packBins(chunks, cfg.binTokens, cfg.shards)
@@ -165,7 +239,7 @@ object TrainingPipeline {
     // caches here is harmless — one cleanup covers both modes
     val cleanup = () => Seq(exact, nearDeduped, clean)
       .foreach(_.unpersist())
-    Result(clean, packed, audit.result(), cleanup)
+    Result(mixed, packed, audit.result(), cleanup)
   }
 
 }

@@ -84,6 +84,81 @@ class TrainingPipelineSpec extends SparkSpec {
     } finally spark.catalog.clearCache()
   }
 
+  test("keepBestQuality keeps exactly each near-dup cluster's best member") {
+    val docs = graft.model.Tables(spark, sf(), "documents")
+    // arrange the input so the pipeline's first two stages are identity:
+    // non-empty docs, exact dups pre-collapsed keep-first — then the
+    // near-dup stage's input IS `train` and the expectation is directly
+    // computable from the library primitives it composes
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val train = docs
+      .filter(size(filter(split(col("text"), " "), x => x =!= "")) > 0)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    val evalEmpty = docs.filter(lit(false)).select("doc_id", "text")
+    val cfg = TrainingPipeline.Config(minQuality = 0.0, keepBestQuality = true)
+    val res = TrainingPipeline.prepare(train, evalEmpty, cfg)
+    try {
+      val survivors = res.survivors.persist()
+      // pairwise non-near-dup, same guarantee as the greedy mode
+      assert(Dedup.nearDupPairs(survivors, cfg.maxHam).isEmpty)
+      // expected drop set: per component, everything but the
+      // max-quality (min doc_id tie-break) member
+      val pairs = Dedup.nearDupPairs(train, cfg.maxHam)
+      val labels = Dedup.connectedComponents(
+        pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
+      val qual = graft.SparkEntry.queries("q88_quality_score")(spark, sf())
+        .select("doc_id", "quality")
+      val keepPerCluster = labels.join(qual, "doc_id")
+        .withColumn("k", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("cluster")
+            .orderBy(col("quality").desc, col("doc_id"))))
+        .filter(col("k") === 1).select("doc_id")
+      val expectedDrops = labels.select("doc_id")
+        .exceptAll(keepPerCluster)
+      val actualDrops = train.select("doc_id")
+        .exceptAll(survivors.select("doc_id"))
+      assert(actualDrops.exceptAll(expectedDrops).isEmpty &&
+        expectedDrops.exceptAll(actualDrops).isEmpty)
+      // cluster mode dedups at least as hard as greedy (one survivor
+      // per component vs one per doc_b-cover)
+      val greedy = TrainingPipeline.prepare(train, evalEmpty,
+        TrainingPipeline.Config(minQuality = 0.0))
+      assert(survivors.count() <= greedy.survivors.count())
+    } finally spark.catalog.clearCache()
+  }
+
+  test("domain mixing samples deterministically within per-source budgets") {
+    val docs = graft.model.Tables(spark, sf(), "documents")
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val eval_ = docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text")
+    val cfg = TrainingPipeline.Config(mixTokenBudgetFrac = Some(0.5))
+    val res = TrainingPipeline.prepare(train, eval_, cfg)
+    try {
+      // the mixing stage ran, audited, and actually sampled
+      assert(res.audit.map(_._1).last == "mixed")
+      val mixedN = res.audit.last._2
+      val cleanN = res.audit.init.last._2
+      assert(mixedN > 0 && mixedN < cleanN)
+      // deterministic: a second run keeps the identical doc set
+      val res2 = TrainingPipeline.prepare(train, eval_, cfg)
+      val a = res.survivors.select("doc_id")
+      val b = res2.survivors.select("doc_id")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+      // packing conserves the MIXED set's chunk tokens
+      val chunkTokens = res.survivors
+        .select(size(filter(split(col("text"), " "), x => x =!= ""))
+          .cast("long").as("n"))
+        .filter(col("n") > 0)
+        .select(sum(expr(
+          """aggregate(sequence(0, CAST(ceil(n / 40.0) AS INT) - 1), 0L,
+            |  (acc, i) -> acc + least(50L, n - CAST(i AS BIGINT) * 40))""".stripMargin)))
+        .head.getLong(0)
+      assert(res.packed.agg(sum("tok_total")).head.getLong(0) == chunkTokens)
+    } finally spark.catalog.clearCache()
+  }
+
   test("cleanup() releases the caches prepare() created, in non-audit mode too") {
     val docs = graft.model.Tables(spark, sf(), "documents")
     val train = docs.filter(col("doc_id") % 2 === 0)
