@@ -313,21 +313,31 @@ object Dedup {
   private[ops] def connectedComponentsWithRounds(
       edges0: DataFrame): (DataFrame, Int) = {
     val sess = edges0.sparkSession
-    // canonical child→parent orientation (a > b), loops/dups dropped —
-    // the star steps below maintain this invariant
-    // consumed exactly once (final label extraction) — checkpointing
-    // it would spend a whole materialization job to save nothing
-    val nodes = edges0.select(col("a").as("node"))
-      .union(edges0.select(col("b").as("node")))
-      .distinct()
-    var l = edges0
+    // canonical orientation (a >= b) with self-loops KEPT, materialized
+    // ONCE: both the node universe and the working edge set derive from
+    // this checkpoint, so the edge-generation subtree — for q100/q104
+    // that is the whole simhash + band + hamming pipeline — evaluates
+    // exactly once instead of three times (the pre-r11b shape computed
+    // edges0 for l's checkpoint AND once per union branch of `nodes`,
+    // with only exchange reuse within the final-labels job softening
+    // the cost). Self-loops stay so a (v, v)-only node still labels
+    // itself in the output (they drop from `l` below, as before); the
+    // callers' edge sets are already distinct, so deferring the dedup
+    // to `l` does not inflate the checkpoint in practice.
+    val canon = edges0
       .select(greatest(col("a"), col("b")).as("a"),
         least(col("a"), col("b")).as("b"))
+      .localCheckpoint(true)
+    val nodes = canon.select(col("a").as("node"))
+      .union(canon.select(col("b").as("node")))
+      .distinct()
+    var l = canon
       .filter(col("a") =!= col("b")).distinct()
       .localCheckpoint(true)
-    // the eager checkpoint above already materialized l, so this count
-    // reads cached blocks — it seeds the per-round width; every later
-    // round reuses its own count action's result
+    // l's eager checkpoint read canon's cached blocks (one cheap pass,
+    // not a re-evaluation), so this count reads l's own cache — it
+    // seeds the per-round width; every later round reuses its own
+    // count action's result
     var edgeRows = l.count()
     var converged = false
     var rounds = 0

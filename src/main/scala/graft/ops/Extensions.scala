@@ -541,8 +541,16 @@ object Extensions {
         .select(col("doc_id"), col("source"),
           size(filter(split(col("text"), " "), w => w =!= ""))
             .cast("long").as("n_tokens"))
+      // persisted (CACHE CONTRACT, SparkEntry scaladoc): st feeds both
+      // the rate table and its own grand total, and Spark has no
+      // DataFrame CTE reuse — uncached, the corpus token scan ran once
+      // per consumer (three full scans in the executed plan). st is
+      // n_src rows, so the cache is bytes; the corpus is scanned twice
+      // total (here + the accept filter below), the minimum this
+      // query's shape allows.
       val st = d.groupBy(col("source"))
         .agg(count(lit(1)).as("docs_in"), sum(col("n_tokens")).as("tokens_in"))
+        .persist()
       val tot = st.agg(sum(col("tokens_in")).as("t_all"), count(lit(1)).as("n_src"))
       val rates = st.crossJoin(broadcast(tot))
         .select(col("source"), col("docs_in"), col("tokens_in"),
@@ -559,7 +567,9 @@ object Extensions {
             lower(lpad(hex(floor(col("rate") * lit(281474976710656.0))), 12, "0")))
       val ks = kept.groupBy(col("source"))
         .agg(count(lit(1)).as("docs_kept"), sum(col("n_tokens")).as("tokens_kept"))
-      rates.join(ks, Seq("source"), "left")
+      // both sides are n_src rows; without the hint this 20-row join
+      // planned as a sort-merge
+      rates.join(broadcast(ks), Seq("source"), "left")
         .select(col("source"), col("docs_in"), col("tokens_in"), col("rate"),
           coalesce(col("docs_kept"), lit(0L)).as("docs_kept"),
           coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"))
