@@ -315,25 +315,36 @@ object Dedup {
     val sess = edges0.sparkSession
     // canonical orientation (a >= b) with self-loops KEPT, materialized
     // ONCE: both the node universe and the working edge set derive from
-    // this checkpoint, so the edge-generation subtree — for q100/q104
-    // that is the whole simhash + band + hamming pipeline — evaluates
+    // this cache, so the edge-generation subtree — for q100/q104 that
+    // is the whole simhash + band + hamming pipeline — evaluates
     // exactly once instead of three times (the pre-r11b shape computed
-    // edges0 for l's checkpoint AND once per union branch of `nodes`,
-    // with only exchange reuse within the final-labels job softening
-    // the cost). Self-loops stay so a (v, v)-only node still labels
-    // itself in the output (they drop from `l` below, as before); the
-    // callers' edge sets are already distinct, so deferring the dedup
-    // to `l` does not inflate the checkpoint in practice.
+    // edges0 for l's checkpoint AND once per union branch of `nodes`).
+    // Self-loops stay so a (v, v)-only node still labels itself in the
+    // output (they drop from `l` below, as before).
+    //
+    // r12 (ADVICE): canon is a plain PERSIST released as soon as both
+    // derivations are checkpointed — the r11 shape checkpointed canon
+    // eagerly and left its blocks to ContextCleaner GC, carrying the
+    // full raw edge set in cache for the whole contraction. `nodes` is
+    // now eagerly checkpointed too (one extra small job over canon's
+    // cache) so nothing references canon after this block.
+    //
+    // CALLER CONTRACT: canon defers dedup to `l`, so the cached set
+    // inflates by the caller's duplicate factor — pass already-distinct
+    // canonical edges (true of every current caller: the pair
+    // generators all end in a groupBy or distinct).
     val canon = edges0
       .select(greatest(col("a"), col("b")).as("a"),
         least(col("a"), col("b")).as("b"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = canon.select(col("a").as("node"))
       .union(canon.select(col("b").as("node")))
       .distinct()
+      .localCheckpoint(true)
     var l = canon
       .filter(col("a") =!= col("b")).distinct()
       .localCheckpoint(true)
+    canon.unpersist()
     // l's eager checkpoint read canon's cached blocks (one cheap pass,
     // not a re-evaluation), so this count reads l's own cache — it
     // seeds the per-round width; every later round reuses its own
@@ -567,9 +578,20 @@ object Dedup {
     // 30-char windows at stride 10 per doc; a window is a HIT when its
     // md5 occurs in >= 2 distinct documents; per doc, hits within 30
     // chars of each other merge into maximal spans (start, end,
-    // window count). Any substring shared across docs of length >= 49
-    // (W + 2*(S-1) + 1) is guaranteed to produce at least one aligned
-    // shared window pair regardless of offset phase.
+    // window count).
+    //
+    // DETECTION BOUND (corrected r12 — the r11 claim of phase-free
+    // detection at length 49 was FALSE): windows sample only positions
+    // ≡ 1 (mod 10) in each doc, so a shared substring is detected iff
+    // its start offsets in the two docs are CONGRUENT mod the stride —
+    // then any shared length >= W + 2*(S-1) + 1 = 49 guarantees an
+    // aligned window pair. At incongruent phases (9 of 10 offset
+    // pairings for non-periodic text) a shared substring is never
+    // detected at ANY length. Phase-invariant detection is what
+    // [[scrubDupSpans]]/q107 provide (content-defined chunk boundaries
+    // — offset cannot enter the boundary decision); q102 stays the
+    // cheap congruent-phase screen (e.g. shared doc PREFIXES, or
+    // corpora whose duplication is copy-from-position-0 shaped).
     //
     // Scale shape: window generation is doc-local (scan → project, no
     // exchange); the shared-hash set is ONE map-side-combinable count

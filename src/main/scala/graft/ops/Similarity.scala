@@ -89,14 +89,28 @@ object Similarity {
     })
   }
 
+  /** The adaptive width, all-integer (r12): b = clamp(ceil_log2(⌈n/64⌉),
+    * 8, dim). Mathematically identical to the old ceil(log2(n/64.0)) —
+    * for x > 1, ceil(log2 x) = ceil_log2(⌈x⌉) — but exact in integer
+    * arithmetic, so the DuckDB oracles can replay it bit-for-bit at ANY
+    * corpus size (length(bin(t-1)) is the same ceil_log2; the old float
+    * form risked a 1-ulp log divergence exactly at power-of-two corpus
+    * sizes, where the two engines' widths would silently split).
+    */
+  private[ops] def adaptiveBits(n: Long, dim: Int): Int = {
+    val t = (math.max(n, 1L) + 63L) / 64L
+    val cl2 = if (t <= 1L) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(t - 1L)
+    math.min(dim, math.max(8, cl2))
+  }
+
   private[ops] def bucketed(s: SparkSession, dir: String, bits: Int = 0): DataFrame = {
     val emb = Tables(s, dir, "embeddings")
     val b =
       if (bits > 0) bits
       else {
         val (n, dim) = embMeta(s, dir)
-        math.min(dim, math.max(8,
-          math.ceil(math.log(n / 64.0) / math.log(2.0)).toInt))
+        adaptiveBits(n, dim)
       }
     emb.withColumn("bucket",
       expr(s"array_join(transform(slice(embedding, 1, $b), x -> CAST(CAST(x >= 0 AS INT) AS STRING)), '')"))
@@ -322,9 +336,14 @@ object Similarity {
         |FROM dots, pn WHERE vec_id <> 0
         |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin,
     "q99_knn_join" ->
-      """WITH b AS (
+      """WITH meta AS (
+        |  SELECT least(min(len(embedding)), greatest(8,
+        |    CASE WHEN CAST(ceil(count(*) / 64.0) AS BIGINT) <= 1 THEN 0
+        |         ELSE length(bin(CAST(ceil(count(*) / 64.0) AS BIGINT) - 1)) END)) AS w
+        |  FROM embeddings),
+        |b AS (
         |  SELECT vec_id, embedding,
-        |         array_to_string(list_transform(embedding[1:8],
+        |         array_to_string(list_transform(embedding[1:(SELECT w FROM meta)],
         |             x -> CAST(CAST(x >= 0 AS INT) AS VARCHAR)), '') AS bucket
         |  FROM embeddings),
         |cand AS (
@@ -376,9 +395,14 @@ object Similarity {
         |WHERE round(dp / (sqrt(na) * sqrt(nb)), 3) >= 0.35
         |ORDER BY id_a, id_b""".stripMargin,
     "q94_embedding_neardup" ->
-      """WITH b AS (
+      """WITH meta AS (
+        |  SELECT least(min(len(embedding)), greatest(8,
+        |    CASE WHEN CAST(ceil(count(*) / 64.0) AS BIGINT) <= 1 THEN 0
+        |         ELSE length(bin(CAST(ceil(count(*) / 64.0) AS BIGINT) - 1)) END)) AS w
+        |  FROM embeddings),
+        |b AS (
         |  SELECT vec_id, embedding,
-        |         array_to_string(list_transform(embedding[1:8],
+        |         array_to_string(list_transform(embedding[1:(SELECT w FROM meta)],
         |             x -> CAST(CAST(x >= 0 AS INT) AS VARCHAR)), '') AS bucket
         |  FROM embeddings),
         |cand AS (
@@ -402,9 +426,14 @@ object Similarity {
     // q105: q94's edge set (same bucket/threshold CTEs) + recursive
     // transitive closure; a row per DROPPED vector, kept = component min
     "q105_semantic_dedup" ->
-      """WITH RECURSIVE b AS (
+      """WITH RECURSIVE meta AS (
+        |  SELECT least(min(len(embedding)), greatest(8,
+        |    CASE WHEN CAST(ceil(count(*) / 64.0) AS BIGINT) <= 1 THEN 0
+        |         ELSE length(bin(CAST(ceil(count(*) / 64.0) AS BIGINT) - 1)) END)) AS w
+        |  FROM embeddings),
+        |b AS (
         |  SELECT vec_id, embedding,
-        |         array_to_string(list_transform(embedding[1:8],
+        |         array_to_string(list_transform(embedding[1:(SELECT w FROM meta)],
         |             x -> CAST(CAST(x >= 0 AS INT) AS VARCHAR)), '') AS bucket
         |  FROM embeddings),
         |cand AS (
@@ -475,9 +504,14 @@ object Similarity {
         |  FROM cdots)
         |WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin,
     "q91_ann_bucketed" ->
-      """WITH b AS (
+      """WITH meta AS (
+        |  SELECT least(min(len(embedding)), greatest(8,
+        |    CASE WHEN CAST(ceil(count(*) / 64.0) AS BIGINT) <= 1 THEN 0
+        |         ELSE length(bin(CAST(ceil(count(*) / 64.0) AS BIGINT) - 1)) END)) AS w
+        |  FROM embeddings),
+        |b AS (
         |  SELECT vec_id, embedding,
-        |         array_to_string(list_transform(embedding[1:8],
+        |         array_to_string(list_transform(embedding[1:(SELECT w FROM meta)],
         |             x -> CAST(CAST(x >= 0 AS INT) AS VARCHAR)), '') AS bucket
         |  FROM embeddings),
         |probes AS (

@@ -95,6 +95,22 @@ object TrainingPipeline {
     val spark = docs.sparkSession
     graft.functions.VectorExpressions.ensureRegistered(spark)
     import spark.implicits._
+    // validate inputs against cfg BEFORE any action runs (r12, ADVICE):
+    // the per-stage requirements used to fire where the stage ran — a
+    // misconfigured mix input failed only at stage 4b, after the
+    // expensive quality/dedup/decontamination counts had all executed
+    val missing = (Seq("doc_id", "text") ++
+      (if (cfg.mixTokenBudgetFrac.isDefined) Seq("source") else Nil))
+      .filterNot(docs.columns.contains)
+    require(missing.isEmpty,
+      s"input docs lack required column(s) ${missing.mkString(", ")} " +
+        s"(have: ${docs.columns.mkString(", ")})" +
+        (if (missing.contains("source"))
+          "; mixTokenBudgetFrac requires a `source` column" else ""))
+    require(evalDocs.columns.contains("text"),
+      s"evalDocs lacks a `text` column (have: ${evalDocs.columns.mkString(", ")})")
+    cfg.mixTokenBudgetFrac.foreach(f => require(f > 0.0 && f <= 1.0,
+      s"mixTokenBudgetFrac must be in (0, 1], got $f"))
     val audit = Seq.newBuilder[(String, Long)]
     if (cfg.audit) audit += ("input" -> docs.count())
 
@@ -205,8 +221,7 @@ object TrainingPipeline {
     val mixed = cfg.mixTokenBudgetFrac match {
       case None => clean
       case Some(frac) =>
-        require(clean.columns.contains("source"),
-          "mixTokenBudgetFrac requires a `source` column on the input docs")
+        // `source` presence already validated at the top of prepare()
         val d = clean.select(col("doc_id"), col("source"),
           size(words(col("text"))).cast("long").as("n_tokens"))
         val st = d.groupBy("source").agg(sum("n_tokens").as("tokens_in"))

@@ -136,11 +136,31 @@ class TrainingPipelineSpec extends SparkSpec {
     val cfg = TrainingPipeline.Config(mixTokenBudgetFrac = Some(0.5))
     val res = TrainingPipeline.prepare(train, eval_, cfg)
     try {
-      // the mixing stage ran, audited, and actually sampled
-      assert(res.audit.map(_._1).last == "mixed")
-      val mixedN = res.audit.last._2
-      val cleanN = res.audit.init.last._2
-      assert(mixedN > 0 && mixedN < cleanN)
+      // the mixing stage ran and audited — looked up by KEY (r12,
+      // ADVICE): position-based `.last` would fail if a later audit
+      // stage is ever appended, for reasons unrelated to sampling
+      val auditMap = res.audit.toMap
+      assert(auditMap.contains("mixed"))
+      val mixedN = auditMap("mixed")
+      val cleanN = auditMap("decontaminated")
+      assert(mixedN > 0 && mixedN <= cleanN)
+      // strict shrinkage is only warranted when some source actually
+      // clamps below rate 1.0 — assert that PRECONDITION separately
+      // (from the unmixed pipeline's survivors, i.e. the mixing
+      // stage's true input) so a fixture where every source fits the
+      // budget fails here with a clear message, not inside the
+      // sampling logic's assertion
+      val unmixed = TrainingPipeline.prepare(train, eval_,
+        TrainingPipeline.Config(audit = false)).survivors
+      val st = unmixed.select(col("source"),
+          size(filter(split(col("text"), " "), x => x =!= ""))
+            .cast("long").as("n")).groupBy("source").agg(sum("n").as("tok"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val budgetPerSrc = st.values.sum * 0.5 / st.size
+      assert(st.values.exists(_ > budgetPerSrc),
+        s"fixture precondition: no source exceeds the per-source budget " +
+          s"($budgetPerSrc) — strict shrinkage below is meaningless: $st")
+      assert(mixedN < cleanN)
       // deterministic: a second run keeps the identical doc set
       val res2 = TrainingPipeline.prepare(train, eval_, cfg)
       val a = res.survivors.select("doc_id")
