@@ -516,6 +516,98 @@ object WinnowFps {
   }
 }
 
+/** Native content-defined chunker: `cdc_chunks(text, w)` →
+  * `array<struct<s:bigint, e:bigint, h:string>>` — the document cut into
+  * content-defined chunks (1-based code-point ranges [s, e], h = md5 hex
+  * of the chunk text). A chunk ends at position i iff the first hex
+  * digit of md5 of the trailing w-gram (code points i-w+1..i) is '0'
+  * (top nibble of the digest = 0 — expected boundary rate 1/16, mean
+  * chunk ~16 chars), plus a forced final boundary at len. Docs shorter
+  * than w get one chunk [1, len]; empty docs get an empty array.
+  *
+  * WHY content-defined (the rsync/LBFS boundary rule): the boundary
+  * decision depends ONLY on the w local characters, never on position —
+  * two documents sharing a substring cut it at the SAME places (except
+  * within w-1 of the shared region's edges), whatever offsets the copies
+  * sit at. That is the phase invariance q102's stride-sampled windows
+  * lack (stride sampling detects a shared span only at offsets congruent
+  * mod the stride): here the interior chunks of a shared span hash
+  * identically in both docs regardless of offset. Detection is
+  * probabilistic-but-content-deterministic — a shared span is found iff
+  * it contains at least one full common chunk, expected for spans
+  * ≳ 2×16 + w chars; a span whose text happens to contain no boundary
+  * w-gram is missed (no forced max-chunk cut: a position-based force
+  * would re-introduce phase dependence). Same engine/oracle story as the
+  * other gram expressions: md5 + code-point slicing reproduce in DuckDB
+  * exactly.
+  *
+  * WHY a custom expression: the declarative form needs md5-per-position
+  * (a HOF — always interpreted, the q59 lesson) and would hash each
+  * w-gram through UTF8String allocation; this runs one compiled pass —
+  * offsets scan, rolling window digest, zero-copy chunk slices.
+  */
+case class CdcChunks(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, literal int), got ($l, $r)")
+    }
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("s", LongType, nullable = false),
+      StructField("e", LongType, nullable = false),
+      StructField("h", StringType, nullable = false))), containsNull = false)
+  override def prettyName: String = "cdc_chunks"
+
+  override def nullSafeEval(t: Any, w: Any): Any =
+    CdcChunks.chunks(t.asInstanceOf[UTF8String], w.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, w) =>
+      s"${ev.value} = graft.functions.CdcChunks.chunks($t, $w);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CdcChunks =
+    copy(left = newLeft, right = newRight)
+}
+
+object CdcChunks {
+  def chunks(s: UTF8String, w: Int): ArrayData = {
+    if (w <= 0) return new GenericArrayData(Array.empty[Any])
+    val bytes = s.getBytes
+    val offs = Utf8CodePoints.offsets(bytes)
+    val cp = offs.length - 1
+    if (cp <= 0) return new GenericArrayData(Array.empty[Any])
+    val md = Md5Pool.get()
+    // boundary END positions (1-based, code points), always closed by cp
+    val ends = new java.util.ArrayList[Int]()
+    var i = w
+    while (i <= cp) {
+      md.update(bytes, offs(i - w), offs(i) - offs(i - w))
+      // first hex digit '0' ⟺ top nibble of digest byte 0 is zero —
+      // no hex string is built on the per-position path
+      if ((md.digest()(0) & 0xf0) == 0) ends.add(i)
+      i += 1
+    }
+    if (ends.isEmpty || ends.get(ends.size - 1) != cp) ends.add(cp)
+    val out = new Array[Any](ends.size)
+    var prev = 0
+    var j = 0
+    while (j < ends.size) {
+      val e = ends.get(j)
+      md.update(bytes, offs(prev), offs(e) - offs(prev))
+      out(j) = org.apache.spark.sql.catalyst.InternalRow(
+        prev + 1L, e.toLong, UTF8String.fromString(HexBytes.lower(md.digest())))
+      prev = e
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object TextShingles {
   /** One compiled pass: space positions → shingle byte ranges. Safe on
     * UTF-8 bytes (0x20 never occurs inside a multi-byte sequence).

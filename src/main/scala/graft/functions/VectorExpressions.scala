@@ -101,6 +101,7 @@ object VectorExpressions {
   val topkMinFnName = "topk_min_agg"
   val earliestKFnName = "earliest_k_agg"
   val cmsEstimateFnName = "cms_estimate"
+  val cdcChunksFnName = "cdc_chunks"
 
   private[functions] def bloomAggBuilder(children: Seq[Expression]): Expression = {
     require(children.length == 3, s"$bloomAggFnName expects 3 arguments")
@@ -181,6 +182,13 @@ object VectorExpressions {
           require(children.length == 3, s"$winnowFnName expects 3 arguments")
           WinnowFps(children.head, children(1), children(2))
         })
+    if (!reg.functionExists(FunctionIdentifier(cdcChunksFnName)))
+      reg.registerFunction(FunctionIdentifier(cdcChunksFnName),
+        new ExpressionInfo(classOf[CdcChunks].getName, cdcChunksFnName),
+        { children =>
+          require(children.length == 2, s"$cdcChunksFnName expects 2 arguments")
+          CdcChunks(children.head, children(1))
+        })
     if (!reg.functionExists(FunctionIdentifier(minhashFnName)))
       reg.registerFunction(FunctionIdentifier(minhashFnName),
         new ExpressionInfo(classOf[MinHashAgg].getName, minhashFnName),
@@ -252,6 +260,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WinnowFps].getName,
         VectorExpressions.winnowFnName),
       exprs => WinnowFps(exprs.head, exprs(1), exprs(2))))
+    ext.injectFunction((FunctionIdentifier(VectorExpressions.cdcChunksFnName),
+      new ExpressionInfo(classOf[CdcChunks].getName,
+        VectorExpressions.cdcChunksFnName),
+      exprs => CdcChunks(exprs.head, exprs(1))))
     ext.injectFunction((FunctionIdentifier(VectorExpressions.minhashFnName),
       new ExpressionInfo(classOf[MinHashAgg].getName,
         VectorExpressions.minhashFnName),

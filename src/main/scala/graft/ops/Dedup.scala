@@ -422,7 +422,122 @@ object Dedup {
     (labels, rounds)
   }
 
+  /** Cross-document repeated-span SCRUB — the REMOVAL step q102's
+    * detection has no consumer for (r11 verdict #1): cut every
+    * cross-doc repeated span of >= minSpan chars out of each
+    * non-canonical document, keeping exactly one occurrence corpus-wide
+    * (the Lee et al. 2022 move: cut the shared boilerplate, keep the
+    * document — where the pipeline's near-dup stage drops whole docs).
+    *
+    * Semantics (q107's declared contract; w = 8, minSpan = 50):
+    *  - each doc cuts into CONTENT-DEFINED chunks (native `cdc_chunks`:
+    *    boundary after position i iff md5 of the trailing w-gram starts
+    *    with hex '0'; forced final boundary at len; mean chunk ~16
+    *    chars). Boundaries depend only on local content, never position
+    *    — the phase invariance q102's stride sampling lacks: copies of
+    *    a span chunk identically at ANY offsets.
+    *  - a chunk is FOREIGN in doc d iff its hash occurs in >= 2 docs
+    *    and d is not the min doc_id holding it (chunk-granular
+    *    canonical keep — the min doc keeps its copy).
+    *  - per doc, maximal runs of adjacent foreign chunks whose combined
+    *    length >= minSpan are CUT; the scrubbed text is the ordered
+    *    concatenation of what remains (non-span text byte-preserved).
+    *
+    * Output: the input rows with `scrubbed` (rewritten text) and
+    * `n_spans_cut` appended — row count unchanged (a doc with no cut
+    * carries its original text and 0).
+    *
+    * Scale shape: chunk generation is doc-local compiled codegen (scan →
+    * project, like q59); the only corpus-wide exchanges are ONE hash
+    * groupBy (count docs per chunk hash over per-doc-distinct rows —
+    * map-side combinable) and ONE chunk⋈dup-hash join pinned SHUFFLE_HASH
+    * (the dup-hash table is corpus-proportional in the worst case — the
+    * r8 broadcast lesson); span merge and text rewrite are per-doc
+    * windows/aggregations partitioned on doc_id. The chunker is
+    * recomputed for its two consumers rather than persisted — the
+    * corpus-proportional-cache lesson q75 measured (scans are cheap).
+    *
+    * KNOWN NON-IDEMPOTENT SHAPE (documented, spec-pinned): cutting a
+    * middle span makes its two neighbors adjacent; if those neighbors
+    * are themselves sub-minSpan foreign runs in two docs that cut the
+    * SAME middle span, the re-joined runs can reach minSpan on a second
+    * pass. One pass removes every span the contract declares (>= minSpan
+    * of contiguous shared chunks in the ORIGINAL text); iterate to
+    * fixpoint if the stricter closure is wanted.
+    */
+  private[graft] def scrubDupSpans(docs: DataFrame, w: Int = 8,
+                                   minSpan: Int = 50): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(docs.sparkSession)
+    val base = docs.select(col("doc_id"), col("text"),
+      expr(s"cdc_chunks(text, $w)").as("cs"))
+    val chunks = base
+      .select(col("doc_id"), explode(col("cs")).as("c"))
+      .select(col("doc_id"), col("c.s").as("s"), col("c.e").as("e"),
+        col("c.h").as("h"))
+    // per-doc-distinct hashes doc-locally (array_distinct over the hash
+    // projection): a plain count over these rows counts DOCS per hash —
+    // no count-distinct two-phase agg, no pre-agg shuffle (q87/q102
+    // discipline)
+    val dh = base.select(col("doc_id"),
+      explode(array_distinct(expr("transform(cs, c -> c.h)"))).as("h"))
+    val mind = dh.groupBy(col("h"))
+      .agg(count(lit(1)).as("nd"), min(col("doc_id")).as("md"))
+      .filter(col("nd") >= 2)
+      .select(col("h"), col("md"))
+    val foreign = chunks.join(mind.hint("SHUFFLE_HASH"), Seq("h"))
+      .filter(col("doc_id") =!= col("md"))
+      .select(col("doc_id"), col("s"), col("e"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("s")
+    val spans = foreign
+      .withColumn("brk",
+        when(col("s") - lag(col("e"), 1).over(byDoc) === 1, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("g", sum(col("brk")).over(byDoc))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(min(col("s")).as("cs"), max(col("e")).as("ce"))
+      .filter(col("ce") - col("cs") + 1 >= minSpan)
+    val cuts = spans.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("cs"), col("ce")))).as("cuts"),
+        count(lit(1)).as("n_spans_cut"))
+    // rewrite: walk the sorted non-overlapping cut list once, appending
+    // the kept segment before each cut and the tail after the last
+    // (aggregate HOF — interpreted, but it runs once per CUT doc over a
+    // handful of spans, not on the per-position hot path)
+    docs.join(cuts, Seq("doc_id"), "left")
+      .withColumn("scrubbed", expr(
+        """IF(cuts IS NULL, text,
+          |  aggregate(cuts, named_struct('p', 1L, 'acc', ''),
+          |    (a, c) -> named_struct('p', c.ce + 1L,
+          |      'acc', concat(a.acc,
+          |        substring(text, CAST(a.p AS INT), CAST(c.cs - a.p AS INT)))),
+          |    a -> concat(a.acc, substring(text, CAST(a.p AS INT)))))"""
+          .stripMargin))
+      .withColumn("n_spans_cut", coalesce(col("n_spans_cut"), lit(0L)))
+      .drop("cuts")
+  }
+
   val queries: Map[String, Q] = Map(
+
+    // Cross-document repeated-span SCRUB — q102's detection turned into
+    // the removal step (Lee et al. 2022: cut the duplicated substring,
+    // keep the document), on phase-INVARIANT content-defined chunking
+    // (see [[scrubDupSpans]] — q102's stride sampling only detects
+    // offset-congruent copies; CDC boundaries cannot see offsets at
+    // all). Output is the per-doc scrub report: original/scrubbed
+    // lengths, spans cut, and the scrubbed text's md5 (the full rewrite
+    // rides through the hash — any byte divergence from the oracle's
+    // string_agg reconstruction fails the gate).
+    "q107_scrub_spans" -> ((s, dir) => {
+      graft.functions.VectorExpressions.ensureRegistered(s)
+      scrubDupSpans(Tables(s, dir, "documents"))
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("orig_len"),
+          length(col("scrubbed")).cast("long").as("scrub_len"),
+          col("n_spans_cut"),
+          md5(col("scrubbed")).as("scrub_md5"))
+        .orderBy(col("doc_id"))
+    }),
 
     // MinHash/LSH candidate pairs: docs sharing at least one of 4 bands
     // (band hash = md5 of its 4 signature rows). Output is the candidate
@@ -855,6 +970,76 @@ object Dedup {
           |SELECT doc_id, min(pos) AS span_start, max(pos) + 29 AS span_end,
           |       count(*) AS n_windows
           |FROM grps GROUP BY doc_id, g ORDER BY doc_id, span_start""".stripMargin,
+      // q107: the CDC scrub — chunk boundaries where md5 of the trailing
+      // 8-gram starts with hex '0' (plus a forced end-of-doc boundary),
+      // chunk hash = md5 of the chunk text; a chunk is foreign where its
+      // hash occurs in >= 2 docs and this doc is not the min holder;
+      // adjacent foreign runs >= 50 chars are cut; the scrubbed text is
+      // rebuilt as the ordered complement segments (Spark rebuilds it
+      // with an aggregate-HOF walk over the same cut list — identical
+      // pieces, identical concatenation). COALESCE(-42) on the first-row
+      // lag can never equal s - 1 (s >= 1), matching Spark's
+      // when().otherwise NULL fall-through.
+      "q107_scrub_spans" ->
+        """WITH ends0 AS (
+          |  SELECT doc_id, unnest(list_filter(range(8, len(text) + 1),
+          |         i -> substr(md5(substr(text, CAST(i AS INT) - 7, 8)), 1, 1) = '0')) AS e
+          |  FROM documents WHERE len(text) >= 8),
+          |ends AS (
+          |  SELECT DISTINCT doc_id, CAST(e AS BIGINT) AS e FROM (
+          |    SELECT doc_id, e FROM ends0
+          |    UNION ALL
+          |    SELECT doc_id, len(text) AS e FROM documents WHERE len(text) >= 1)),
+          |ch AS (
+          |  SELECT doc_id, e,
+          |         COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) + 1 AS s
+          |  FROM ends),
+          |chunks AS (
+          |  SELECT c.doc_id, c.s, c.e,
+          |         md5(substr(d.text, CAST(c.s AS INT), CAST(c.e - c.s + 1 AS INT))) AS h
+          |  FROM ch c JOIN documents d USING (doc_id)),
+          |mind AS (
+          |  SELECT h, min(doc_id) AS md
+          |  FROM (SELECT DISTINCT doc_id, h FROM chunks)
+          |  GROUP BY h HAVING count(*) >= 2),
+          |frn AS (
+          |  SELECT c.doc_id, c.s, c.e
+          |  FROM chunks c JOIN mind m USING (h) WHERE c.doc_id <> m.md),
+          |brk AS (
+          |  SELECT doc_id, s, e,
+          |         CASE WHEN s = COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY s), -42) + 1
+          |              THEN 0 ELSE 1 END AS b
+          |  FROM frn),
+          |grp AS (
+          |  SELECT doc_id, s, e,
+          |         sum(b) OVER (PARTITION BY doc_id ORDER BY s) AS g
+          |  FROM brk),
+          |spans AS (
+          |  SELECT doc_id, min(s) AS cs, max(e) AS ce
+          |  FROM grp GROUP BY doc_id, g
+          |  HAVING max(e) - min(s) + 1 >= 50),
+          |segs AS (
+          |  SELECT doc_id,
+          |         COALESCE(lag(ce) OVER (PARTITION BY doc_id ORDER BY cs), 0) + 1 AS ss,
+          |         cs - 1 AS se
+          |  FROM spans
+          |  UNION ALL
+          |  SELECT s.doc_id, max(s.ce) + 1 AS ss, len(d.text) AS se
+          |  FROM spans s JOIN documents d USING (doc_id)
+          |  GROUP BY s.doc_id, len(d.text)),
+          |scrub AS (
+          |  SELECT g.doc_id,
+          |         string_agg(substr(d.text, CAST(g.ss AS INT),
+          |                    CAST(greatest(g.se - g.ss + 1, 0) AS INT)), '' ORDER BY g.ss) AS t2
+          |  FROM segs g JOIN documents d USING (doc_id)
+          |  GROUP BY g.doc_id),
+          |nsp AS (SELECT doc_id, count(*) AS n FROM spans GROUP BY doc_id)
+          |SELECT d.doc_id, CAST(len(d.text) AS BIGINT) AS orig_len,
+          |       CAST(len(COALESCE(sc.t2, d.text)) AS BIGINT) AS scrub_len,
+          |       CAST(COALESCE(nsp.n, 0) AS BIGINT) AS n_spans_cut,
+          |       md5(COALESCE(sc.t2, d.text)) AS scrub_md5
+          |FROM documents d LEFT JOIN scrub sc USING (doc_id) LEFT JOIN nsp USING (doc_id)
+          |ORDER BY d.doc_id""".stripMargin,
       // q104: q100's label chain + q88's quality formula (identical
       // rounding), then one row per cluster: the max-quality member
       // (min doc_id among ties) and the cluster size

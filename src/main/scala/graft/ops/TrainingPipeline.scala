@@ -10,10 +10,13 @@ import org.apache.spark.sql.functions._
   *
   *   quality filter (q88 score) → exact dedup (q80/q73 keep-first) →
   *   SimHash near-dup removal (q78 pairs; optionally q104's
-  *   cluster-keep-best-quality selection) → eval decontamination
-  *   (q76 semantics, roles swapped: drop TRAIN docs overrun by eval
-  *   grams) → optional domain mixing (q103 token-budget sampling) →
-  *   chunk (q97 geometry) → pack into training bins (q58).
+  *   cluster-keep-best-quality selection) → optional cross-doc span
+  *   scrub (q107 semantics: cut repeated spans, keep the docs — the
+  *   substring-granularity step doc dropping can't express) → eval
+  *   decontamination (q76 semantics, roles swapped: drop TRAIN docs
+  *   overrun by eval grams) → optional domain mixing (q103
+  *   token-budget sampling) → chunk (q97 geometry) → pack into
+  *   training bins (q58).
   *
   * Every stage is the same formulation its oracle-checked query uses, so
   * the pipeline's correctness story rides on the per-operator gates; what
@@ -71,7 +74,17 @@ object TrainingPipeline {
       // r11b: when Some(f), q103's domain mixing runs after
       // decontamination — per-source token budget = f·total/n_sources,
       // deterministic md5-Bernoulli accept. Requires a `source` column.
-      mixTokenBudgetFrac: Option[Double] = None)
+      mixTokenBudgetFrac: Option[Double] = None,
+      // r12: when true, q107's span scrub runs after near-dup removal —
+      // cross-doc repeated spans (>= 50 chars of shared content-defined
+      // chunks) are CUT from every non-canonical doc, one occurrence
+      // kept corpus-wide (the Lee et al. 2022 substring step the
+      // doc-granular near-dup stage cannot express: shared boilerplate
+      // inside otherwise-distinct documents). Rows unchanged; `text` is
+      // rewritten (any length-derived input column, e.g. n_chars, then
+      // describes the ORIGINAL doc). Later stages — decontamination,
+      // mixing, chunking, packing — all run on the scrubbed text.
+      scrubDupSpans: Boolean = false)
 
   /** Stage outputs: the surviving corpus and the packed bins, plus
     * per-stage survivor counts for the audit trail. `cleanup` unpersists
@@ -172,9 +185,27 @@ object TrainingPipeline {
           .filter(col("rn") > 1)
           .select("doc_id")
       }
-    val nearDeduped = exact.join(dropIds, Seq("doc_id"), "left_anti")
+    val nearDedupedRaw = exact.join(dropIds, Seq("doc_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    if (cfg.audit) audit += ("near_dedup" -> nearDeduped.count())
+    if (cfg.audit) audit += ("near_dedup" -> nearDedupedRaw.count())
+
+    // 3b (optional). span scrub: q107's semantics (Dedup.scrubDupSpans)
+    // — cut cross-doc repeated spans out of non-canonical docs, keep the
+    // docs. Row count is UNCHANGED by construction, so the audit entry
+    // counts docs that were actually rewritten, not survivors. Persisted
+    // (it feeds the decontamination gram explodes AND the final
+    // anti-join, same diamond as the raw near-dedup set it replaces).
+    val scrubbedOpt =
+      if (!cfg.scrubDupSpans) None
+      else Some(Dedup.scrubDupSpans(nearDedupedRaw)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val nearDeduped = scrubbedOpt match {
+      case None => nearDedupedRaw
+      case Some(sc) =>
+        if (cfg.audit)
+          audit += ("span_scrubbed" -> sc.filter(col("n_spans_cut") > 0).count())
+        sc.withColumn("text", col("scrubbed")).drop("scrubbed", "n_spans_cut")
+    }
 
     // 4. decontamination, q76's gram machinery with roles swapped: drop
     // TRAIN docs whose distinct 8-grams are mostly present in the eval
@@ -210,7 +241,8 @@ object TrainingPipeline {
       // so the upstream persists stay for the caller's first action to
       // populate once — cleanup() releases them too.
       exact.unpersist()
-      nearDeduped.unpersist()
+      nearDedupedRaw.unpersist()
+      scrubbedOpt.foreach(_.unpersist())
     }
 
     // 4b (optional). domain mixing: q103's machinery at a configured
@@ -252,7 +284,7 @@ object TrainingPipeline {
 
     // unpersist is idempotent, so listing the already-released audit-mode
     // caches here is harmless — one cleanup covers both modes
-    val cleanup = () => Seq(exact, nearDeduped, clean)
+    val cleanup = () => (Seq(exact, nearDedupedRaw, clean) ++ scrubbedOpt)
       .foreach(_.unpersist())
     Result(mixed, packed, audit.result(), cleanup)
   }
