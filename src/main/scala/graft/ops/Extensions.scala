@@ -327,6 +327,65 @@ object Extensions {
         max(col("doc_id")).as("last_doc"))
   }
 
+  /** Deterministic training-order export over any DataFrame with a
+    * `doc_id` column — the engine API behind q106 (which pins seed="42",
+    * shards=8, keyHexDigits=1 for oracle byte-stability). shard = the
+    * first `keyHexDigits` hex digits of md5(seed|doc_id), as an integer,
+    * mod `shards`; pos = rank of the md5 key within the shard.
+    * Content-independent and partitioning-independent: the same (seed,
+    * shards) yields the same (shard, pos) for every document on any
+    * cluster, any day — reproducible training runs.
+    *
+    * Laws (TrainOrderSpec): for ANY shard count the output carries
+    * exactly the input's doc set once (shards only partition the order,
+    * never the membership); per shard, pos is the contiguous 1..n_shard
+    * ranking of the md5 keys; repeated invocation is bit-identical.
+    *
+    * Scale shape: per-SHARD windows, never a global one (the q58/q45
+    * discipline) — each shard's rank is one partition-local sort, so a
+    * 100 TB export sets shards in the thousands and every worker ranks
+    * its own shards. `keyHexDigits` bounds shard-assignment skew: the
+    * key prefix is uniform over 16^keyHexDigits values, so the modulo's
+    * bucket-size bias is ≤ shards/16^keyHexDigits (the default 12 digits
+    * = 2^48 key values — negligible for any realistic shard count, and
+    * the largest width whose conv() stays exact in a Long without sign
+    * concerns).
+    */
+  def trainOrder(docs: DataFrame, seed: String, shards: Int,
+                 keyHexDigits: Int = 12): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    require(keyHexDigits >= 1 && keyHexDigits <= 12,
+      s"keyHexDigits must be in [1, 12], got $keyHexDigits")
+    val keyed = docs
+      .select(col("doc_id"),
+        md5(concat(lit(s"$seed|"), col("doc_id").cast("string"))).as("rk"))
+      .withColumn("shard",
+        pmod(conv(substring(col("rk"), 1, keyHexDigits), 16, 10).cast("long"),
+          lit(shards.toLong)))
+    val byShard = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("rk", "doc_id")
+    keyed.withColumn("pos", row_number().over(byShard).cast("long"))
+      .select(col("shard"), col("pos"), col("doc_id"))
+  }
+
+  /** The writer q106's scaladoc promises: materialize [[trainOrder]] as
+    * one directory per shard with rows pos-ascending within every file —
+    * the layout a training loader streams sequentially without a sort.
+    * `repartition(shards, shard)` co-locates each shard's rows into one
+    * task before `sortWithinPartitions(shard, pos)`, so each task writes
+    * its shards' files already ordered (a task holding several shards
+    * still writes each shard's file pos-ascending: the per-shard
+    * subsequence of a (shard, pos)-sorted iterator is pos-ascending).
+    * TrainOrderSpec reads the layout back file-by-file and proves both
+    * the membership law and the within-file ordering.
+    */
+  def writeTrainOrder(docs: DataFrame, seed: String, shards: Int,
+                      outDir: String, keyHexDigits: Int = 12): Unit =
+    trainOrder(docs, seed, shards, keyHexDigits)
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+
   val queries: Map[String, Q] = Map(
 
     // ──────────────────────── arrays & maps ──────────────────────────────
@@ -578,25 +637,15 @@ object Extensions {
 
     // Deterministic training-order export — the LAST pipeline step: a
     // seeded global shuffle assigning every document a shard and a
-    // position within it (shard = first hex digit of md5(seed|doc_id)
-    // mod 8, pos = rank of the md5 key within the shard). Same order on
-    // any cluster, any day — reproducible training runs. Scale shape:
-    // per-SHARD windows, never a global one (the q58/q45 discipline):
-    // each shard ranks independently — at 100 TB shards number in the
-    // thousands and each is one partition's sort; a writer would follow
-    // with partitionBy(shard) + sortWithinPartitions(pos).
-    "q106_train_order" -> ((s, dir) => {
-      val keyed = Tables(s, dir, "documents")
-        .select(col("doc_id"),
-          md5(concat(lit("42|"), col("doc_id").cast("string"))).as("rk"))
-        .withColumn("shard",
-          conv(substring(col("rk"), 1, 1), 16, 10).cast("long") % 8)
-      val byShard = org.apache.spark.sql.expressions.Window
-        .partitionBy("shard").orderBy("rk", "doc_id")
-      keyed.withColumn("pos", row_number().over(byShard).cast("long"))
-        .select(col("shard"), col("pos"), col("doc_id"))
-        .orderBy(col("shard"), col("pos"))
-    }),
+    // position within it. The declared query pins the engine API's
+    // parameters (seed="42", shards=8, keyHexDigits=1 — the original
+    // first-hex-digit-mod-8 formula) for oracle byte-stability; the
+    // parameterized trainOrder/writeTrainOrder below are the production
+    // surface (thousands of shards at 100 TB, 12-hex keys).
+    "q106_train_order" -> ((s, dir) =>
+      trainOrder(Tables(s, dir, "documents").select(col("doc_id")),
+        seed = "42", shards = 8, keyHexDigits = 1)
+        .orderBy(col("shard"), col("pos"))),
 
     // Train/eval decontamination — per eval document, how many of its
     // distinct 8-grams also occur anywhere in the train split (deterministic
