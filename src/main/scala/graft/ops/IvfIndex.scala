@@ -53,10 +53,20 @@ object IvfIndex {
     * cells completely differently, and a k/dim-only check would let them
     * interleave silently. Legacy v1 files (mean only) read as
     * k = dim = trainN = -1 and empty sha; v2 files read with empty sha
-    * (identity check falls back to k/dim).
+    * (identity check falls back to k/dim). v4 adds the MEASURED recall
+    * curve ([[calibrate]]): `recall_topk` and `recall_curve` =
+    * [[nprobe, recall@topk], ...] sorted by nprobe — what turns
+    * [[searchAtRecall]]'s target into an nprobe instead of a hand dial.
     */
   final case class Meta(version: Int, k: Int, dim: Int, trainN: Long,
-                        meanAssignCosine: Double, centroidSha: String = "")
+                        meanAssignCosine: Double, centroidSha: String = "",
+                        recallTopK: Int = -1,
+                        recallCurve: Seq[(Int, Double)] = Nil)
+
+  /** Outcome of one [[calibrate]] run: the measured recall@topK per
+    * nprobe (sorted by nprobe), over `probes` store-sampled probes. */
+  final case class CalibrationReport(topK: Int, probes: Int,
+                                     curve: Seq[(Int, Double)])
 
   /** Hex SHA-256 over the centroid doubles' exact bits, in cell order —
     * the quantizer's identity. Any training difference (seed, data,
@@ -126,22 +136,7 @@ object IvfIndex {
     // identity check, same fail-before-write rule: a model whose k or
     // dimensionality disagrees with the store's recorded quantizer
     // would append under another layout's cell numbering
-    val (mk, mdim) = (model.clusterCenters.length, model.clusterCenters.head.size)
-    if (meta.k >= 0 && (mk != meta.k || mdim != meta.dim))
-      throw new IllegalStateException(
-        s"model/store mismatch at $store: store was built with k=${meta.k} " +
-          s"dim=${meta.dim} (train_n=${meta.trainN}), model has k=$mk dim=$mdim — " +
-          "appending would mix cell numberings; rebuild the store with this " +
-          "model or load the store's own model")
-    // v3 identity: same k/dim does NOT mean same quantizer — a reseeded
-    // or retrained model numbers cells differently. The centroid hash is
-    // the only check that actually pins the layout.
-    if (meta.centroidSha.nonEmpty && centroidSha(model) != meta.centroidSha)
-      throw new IllegalStateException(
-        s"model/store centroid mismatch at $store: the model's centroids " +
-          s"(k=$mk dim=$mdim) are not the ones this store was laid out " +
-          "under (same shape, different training) — appending would mix " +
-          "cell numberings; rebuild, or load the store's own model")
+    requireModelMatches(meta, model, store)
     val assigned = model.transform(
         emb.withColumn("features", array_to_vector(col("embedding"))))
       .select(col("vec_id"), col("embedding"), col("cell"))
@@ -158,6 +153,132 @@ object IvfIndex {
         retrainRecommended = meanCos < baseline - driftTolerance)
     } finally assigned.unpersist()
   }
+
+  /** The fail-before-write identity gate shared by [[append]] and
+    * [[calibrate]]: k/dim shape first (v2+ meta), then the exact
+    * centroid-bits sha (v3+) — same k/dim does NOT mean same quantizer;
+    * a reseeded or retrained model numbers cells completely differently,
+    * and the hash is the only check that actually pins the layout.
+    */
+  private def requireModelMatches(meta: Meta, model: KMeansModel,
+                                  store: String): Unit = {
+    val (mk, mdim) = (model.clusterCenters.length, model.clusterCenters.head.size)
+    if (meta.k >= 0 && (mk != meta.k || mdim != meta.dim))
+      throw new IllegalStateException(
+        s"model/store mismatch at $store: store was built with k=${meta.k} " +
+          s"dim=${meta.dim} (train_n=${meta.trainN}), model has k=$mk dim=$mdim — " +
+          "appending would mix cell numberings; rebuild the store with this " +
+          "model or load the store's own model")
+    if (meta.centroidSha.nonEmpty && centroidSha(model) != meta.centroidSha)
+      throw new IllegalStateException(
+        s"model/store centroid mismatch at $store: the model's centroids " +
+          s"(k=$mk dim=$mdim) are not the ones this store was laid out " +
+          "under (same shape, different training) — appending would mix " +
+          "cell numberings; rebuild, or load the store's own model")
+  }
+
+  /** Measure the store's OWN recall@topK curve over the given nprobe
+    * ladder and persist it into `_ivf_meta.json` (v4) — the measurement
+    * that turns [[searchAtRecall]]'s recall target into an nprobe. Probes
+    * are a deterministic md5-ordered sample of the store's own vectors
+    * (salted differently from any centroid sampling; self-matches
+    * excluded), ground truth is exact brute-force cosine top-k over the
+    * whole store, and each ladder step runs the PRODUCTION [[search]] —
+    * the curve measures exactly the machinery it later dials.
+    *
+    * Determinism: probe selection, truth and search all use total
+    * orders ((sim desc, vec_id) tie-breaks), and recall is an integer
+    * hit count over an integer denominator — two calibrations of the
+    * same store write bit-identical curves (IvfIndexSpec).
+    *
+    * Monotonicity (also spec-proven): raising nprobe only widens each
+    * probe's candidate cell set, and exact top-k over a superset can
+    * only gain truth hits (any candidate outranking a truth member IS a
+    * truth member), so the curve is non-decreasing and reaches exactly
+    * 1.0 at nprobe = k.
+    *
+    * Cost: one store scan per ladder step plus one brute-force pass,
+    * all bounded by `sampleProbes` — calibration is a build-time step,
+    * run once per (re)build, not per query.
+    */
+  def calibrate(spark: SparkSession, store: String, model: KMeansModel,
+                nprobes: Seq[Int] = Seq(1, 2, 4, 8),
+                topK: Int = 10, sampleProbes: Int = 100): CalibrationReport = {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    import spark.implicits._
+    require(nprobes.nonEmpty && nprobes.forall(_ >= 1),
+      s"nprobes must be non-empty positives, got $nprobes")
+    val meta = readMeta(spark, store)
+    requireModelMatches(meta, model, store)
+    val ladder = nprobes.distinct.sorted
+    val stored = spark.read.parquet(store)
+      .select(col("vec_id"), col("embedding")).persist()
+    val probes = stored
+      .withColumn("prk", md5(concat(col("vec_id").cast("string"), lit("|probe"))))
+      .orderBy(col("prk"), col("vec_id")).limit(sampleProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+      .persist()
+    try {
+      probes.count()
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id"))
+      val truth = stored
+        .crossJoin(broadcast(probes.select(col("probe_id"),
+          col("embedding").as("p_emb"))))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          expr("vec_cosine(embedding, p_emb)").as("sim"))
+        .withColumn("rn", row_number().over(wAll))
+        .filter(col("rn") <= topK)
+        .select("probe_id", "vec_id")
+        .as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val denom = truth.valuesIterator.map(_.size).sum
+      val curve = ladder.map { np =>
+        val got = search(spark, store, model, probes, np, topK)
+          .select("probe_id", "vec_id")
+          .as[(Long, Long)].collect()
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val hits = truth.iterator.map { case (p, t) =>
+          got.getOrElse(p, Set.empty[Long]).intersect(t).size
+        }.sum
+        np -> (if (denom == 0) 1.0 else hits.toDouble / denom)
+      }
+      writeMeta(spark, store,
+        meta.copy(version = 4, recallTopK = topK, recallCurve = curve))
+      CalibrationReport(topK, truth.size, curve)
+    } finally { probes.unpersist(); stored.unpersist() }
+  }
+
+  /** The nprobe the store's calibrated curve prescribes for a recall
+    * target: the SMALLEST measured nprobe whose recall@recall_topk meets
+    * it, or the largest calibrated nprobe when the target exceeds the
+    * best measured recall (best effort — widen [[calibrate]]'s ladder to
+    * reach further). Fails loudly on an uncalibrated store: guessing an
+    * nprobe would silently deliver unknown recall.
+    */
+  def nprobeFor(spark: SparkSession, store: String,
+                recallTarget: Double): Int = {
+    val meta = readMeta(spark, store)
+    if (meta.recallCurve.isEmpty) throw new IllegalStateException(
+      s"store $store has no recall curve — run IvfIndex.calibrate after " +
+        "build to measure recall@k per nprobe; searchAtRecall refuses to " +
+        "guess an nprobe for an unmeasured store")
+    meta.recallCurve.find(_._2 >= recallTarget).map(_._1)
+      .getOrElse(meta.recallCurve.last._1)
+  }
+
+  /** [[search]] with the nprobe dial replaced by a recall target,
+    * resolved through the store's calibrated curve ([[nprobeFor]]).
+    * The curve is measured at `recall_topk`; using a different `topK`
+    * here is the standard approximation (recall@k curves move together
+    * in k) — calibrate at the serving topK when the target is tight.
+    */
+  def searchAtRecall(spark: SparkSession, store: String, model: KMeansModel,
+                     probes: DataFrame, recallTarget: Double,
+                     topK: Int): DataFrame =
+    search(spark, store, model, probes,
+      nprobeFor(spark, store, recallTarget), topK)
 
   /** Mean exact cosine between vectors and their assigned centroids —
     * the cell-fit statistic behind the drift check. One broadcast join
@@ -184,10 +305,15 @@ object IvfIndex {
     val p = metaPath(store)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(p, true)
+    val curveJson =
+      if (meta.recallCurve.isEmpty) ""
+      else s""", "recall_topk": ${meta.recallTopK}, "recall_curve": """ +
+        meta.recallCurve.map { case (np, r) => s"[$np,$r]" }
+          .mkString("[", ",", "]")
     try out.write(
       (s"""{"version": ${meta.version}, "k": ${meta.k}, "dim": ${meta.dim}, """ +
         s""""train_n": ${meta.trainN}, "mean_assign_cosine": ${meta.meanAssignCosine}, """ +
-        s""""centroid_sha": "${meta.centroidSha}"}""")
+        s""""centroid_sha": "${meta.centroidSha}"$curveJson}""")
         .getBytes("UTF-8"))
     finally out.close()
   }
@@ -213,10 +339,20 @@ object IvfIndex {
       s"$MetaFile under $store has no mean_assign_cosine field: $json"))
     val sha = "\"centroid_sha\"\\s*:\\s*\"([0-9a-f]*)\"".r
       .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
+    // v4 curve: the only nested array in the file — [nprobe, recall]
+    // pairs after the recall_curve key, in written (nprobe-sorted) order
+    val curve = json.indexOf("\"recall_curve\"") match {
+      case -1 => Nil
+      case i =>
+        "\\[\\s*(\\d+)\\s*,\\s*(-?[0-9][0-9.eE+-]*)\\s*\\]".r
+          .findAllMatchIn(json.substring(i))
+          .map(m => (m.group(1).toInt, m.group(2).toDouble)).toSeq
+    }
     Meta(num("version").map(_.toInt).getOrElse(1),
       num("k").map(_.toInt).getOrElse(-1),
       num("dim").map(_.toInt).getOrElse(-1),
-      num("train_n").map(_.toLong).getOrElse(-1L), mean, sha)
+      num("train_n").map(_.toLong).getOrElse(-1L), mean, sha,
+      num("recall_topk").map(_.toInt).getOrElse(-1), curve)
   }
 
   /** Exact-cosine top-k search within the `nprobe` nearest cells of each

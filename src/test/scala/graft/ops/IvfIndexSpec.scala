@@ -214,6 +214,90 @@ class IvfIndexSpec extends SparkSpec {
       IvfIndex.readMeta(spark, s2).centroidSha)
   }
 
+  test("calibrate measures a monotone recall curve reaching exactly 1.0 " +
+      "at nprobe = k, persists it (meta v4), and is deterministic") {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    val emb = graft.model.Tables(spark, sf(), "embeddings")
+    val store = Files.createTempDirectory("ivf_calib").toString
+    val model = IvfIndex.build(emb, k = 8, store)
+
+    val rep = IvfIndex.calibrate(spark, store, model,
+      nprobes = Seq(1, 2, 4, 8), topK = 3, sampleProbes = 20)
+    assert(rep.topK == 3 && rep.probes == 20)
+    assert(rep.curve.map(_._1) == Seq(1, 2, 4, 8))
+    // monotone: widening the probed cells can only gain truth hits
+    assert(rep.curve.map(_._2) == rep.curve.map(_._2).sorted)
+    assert(rep.curve.forall { case (_, r) => r >= 0.0 && r <= 1.0 })
+    // nprobe = k probes every cell: the candidate restriction vanishes,
+    // so recall is exactly 1.0, not approximately
+    assert(rep.curve.last == (8, 1.0))
+
+    // persisted round-trip
+    val meta = IvfIndex.readMeta(spark, store)
+    assert(meta.version == 4 && meta.recallTopK == 3)
+    assert(meta.recallCurve == rep.curve)
+    // identity fields survive the v4 rewrite
+    assert(meta.k == 8 && meta.centroidSha.length == 64)
+
+    // bit-identical re-measurement (total orders + integer hit counts)
+    val rep2 = IvfIndex.calibrate(spark, store, model,
+      nprobes = Seq(1, 2, 4, 8), topK = 3, sampleProbes = 20)
+    assert(rep2.curve == rep.curve)
+  }
+
+  test("searchAtRecall resolves a target through the calibrated curve; " +
+      "uncalibrated stores refuse") {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    import spark.implicits._
+    val emb = graft.model.Tables(spark, sf(), "embeddings")
+    val store = Files.createTempDirectory("ivf_target").toString
+    val model = IvfIndex.build(emb, k = 8, store)
+
+    // before calibration: fail loudly, never guess an nprobe
+    val probes = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    val e = intercept[IllegalStateException] {
+      IvfIndex.searchAtRecall(spark, store, model, probes,
+        recallTarget = 0.9, topK = 3)
+    }
+    assert(e.getMessage.contains("calibrate"))
+
+    val rep = IvfIndex.calibrate(spark, store, model,
+      nprobes = Seq(1, 2, 4, 8), topK = 3, sampleProbes = 20)
+    // minimal nprobe meeting the target; unreachable target → best effort
+    assert(IvfIndex.nprobeFor(spark, store, 0.0) == 1)
+    assert(IvfIndex.nprobeFor(spark, store, 1.0) ==
+      rep.curve.find(_._2 >= 1.0).get._1)
+    assert(IvfIndex.nprobeFor(spark, store, 1.1) == 8)
+    val midTarget = rep.curve(1)._2 // exactly the nprobe=2 measured recall
+    assert(IvfIndex.nprobeFor(spark, store, midTarget) <= 2)
+
+    // the dial is sugar over search: identical rows at the resolved nprobe
+    val byTarget = IvfIndex.searchAtRecall(spark, store, model, probes,
+        recallTarget = midTarget, topK = 3)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    val byNprobe = IvfIndex.search(spark, store, model, probes,
+        nprobe = IvfIndex.nprobeFor(spark, store, midTarget), topK = 3)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    assert(byTarget == byNprobe && byTarget.nonEmpty)
+  }
+
+  test("calibrate refuses a foreign model and leaves the meta unwritten") {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    val emb = graft.model.Tables(spark, sf(), "embeddings")
+    val store = Files.createTempDirectory("ivf_calib_id").toString
+    IvfIndex.build(emb, k = 8, store, seed = 42L)
+    val otherStore = Files.createTempDirectory("ivf_calib_id_other").toString
+    val reseeded = IvfIndex.build(emb, k = 8, otherStore, seed = 43L)
+    val e = intercept[IllegalStateException] {
+      IvfIndex.calibrate(spark, store, reseeded, topK = 3, sampleProbes = 10)
+    }
+    assert(e.getMessage.contains("centroid mismatch"))
+    val meta = IvfIndex.readMeta(spark, store)
+    assert(meta.version == 3 && meta.recallCurve.isEmpty,
+      "a refused calibration must not have rewritten the meta")
+  }
+
   test("legacy v1 meta (mean only) still reads and append proceeds without the identity check") {
     graft.functions.VectorExpressions.ensureRegistered(spark)
     val emb = graft.model.Tables(spark, sf(), "embeddings")
