@@ -167,10 +167,88 @@ object TextAnalysis {
             .as("re_tokens"),
           ceil(col("n_chars").cast("double") / 4).cast("long").as("approx_bpe"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Unigram-LM log-probability scoring — the CCNet/Wikipedia-LM
+    // perplexity filter's shape with the n-gram order at 1: train the LM
+    // on the corpus itself (token → corpus frequency), score each doc by
+    // its mean token log-probability, low scores = gibberish/outlier
+    // docs. Self-contained (model trained in-query), so fully
+    // oracle-checkable — the "train then score" discipline of q87.
+    // Scale shape: ONE (lang-free) token agg builds the model; the model
+    // is VOCAB-sized (corpus-sublinear by Heaps' law — exactly why CCNet
+    // ships its LM to every worker), so scoring is a BROADCAST join that
+    // pipelines map-side inside the token-explode scan; one per-doc agg
+    // ends it. The corpus is never shuffled — the only exchanges carry
+    // (token, count) partials and per-doc partials.
+    "q108_unigram_logprob" -> ((s, dir) => {
+      val tok = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+      // persisted (CACHE CONTRACT, SparkEntry scaladoc): freq feeds both
+      // its own grand total and the scoring join; uncached, the corpus
+      // token agg would run once per consumer. Vocab-sized — bytes.
+      val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("c")).persist()
+      val tot = freq.agg(sum(col("c")).as("t"))
+      tok.join(broadcast(freq), "w")
+        .crossJoin(broadcast(tot))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          round(avg(log(col("c").cast("double") / col("t").cast("double"))), 4)
+            .as("logprob"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Vocabulary construction — the top-k corpus token table (counts +
+    // corpus share) that seeds a tokenizer build or a stopword list.
+    // The rank window is GLOBAL but over the VOCAB aggregate, not the
+    // corpus (the q67-histogram class, not the q45 global-sort class):
+    // its input is one (token, count) row per distinct token, already
+    // reduced map-side by the groupBy, and vocab is corpus-sublinear.
+    "q109_vocab_topk" -> ((s, dir) => {
+      val tok = Tables(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+      // persisted (CACHE CONTRACT): feeds the total and the ranking
+      val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("c")).persist()
+      val tot = freq.agg(sum(col("c")).as("t"))
+      val wnd = org.apache.spark.sql.expressions.Window
+        .orderBy(col("c").desc, col("w"))
+      freq.withColumn("rank", row_number().over(wnd).cast("long"))
+        .filter(col("rank") <= 50)
+        .crossJoin(broadcast(tot))
+        .select(col("rank"), col("w"), col("c"),
+          round(col("c").cast("double") / col("t").cast("double"), 6)
+            .as("share"))
+        .orderBy(col("rank"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q108_unigram_logprob" ->
+      """WITH tok AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> ''),
+        |freq AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        |tot AS (SELECT sum(c) AS t FROM freq)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       round(avg(ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE))), 4) AS logprob
+        |FROM tok JOIN freq USING (w) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q109_vocab_topk" ->
+      """WITH tok AS (
+        |  SELECT w FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> ''),
+        |freq AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        |tot AS (SELECT sum(c) AS t FROM freq),
+        |ranked AS (
+        |  SELECT w, c, row_number() OVER (ORDER BY c DESC, w) AS rank
+        |  FROM freq)
+        |SELECT rank, w, c,
+        |       round(CAST(c AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share
+        |FROM ranked CROSS JOIN tot WHERE rank <= 50 ORDER BY rank""".stripMargin,
     "q69_tfidf" ->
       """WITH words AS (
         |  SELECT doc_id, w AS term FROM (

@@ -315,7 +315,16 @@ object Rollup {
     * an in-place overwrite — they can only go stale, which for a rollup
     * dashboard read is the correct trade.
     */
-  def servedTable(spark: SparkSession, servedDir: String): DataFrame = {
+  def servedTable(spark: SparkSession, servedDir: String): DataFrame =
+    spark.read.parquet(
+      s"$servedDir/snap=${currentSnapshot(spark, servedDir)}")
+
+  /** Resolve the `_CURRENT` pointer to the published snapshot id — the
+    * cheap (one small file read) per-request freshness check a serving
+    * cache keys on ([[graft.serve.SnapshotCache]]); [[servedTable]] is
+    * this plus the snapshot read.
+    */
+  def currentSnapshot(spark: SparkSession, servedDir: String): Long = {
     import org.apache.hadoop.fs.Path
     val p = new Path(servedDir, "_CURRENT")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -333,7 +342,7 @@ object Rollup {
       var n = in.read(buf)
       while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
     } finally in.close()
-    spark.read.parquet(s"$servedDir/snap=${new String(bos.toByteArray, "UTF-8").trim}")
+    new String(bos.toByteArray, "UTF-8").trim.toLong
   }
 
   /** [[start]] + snapshot publication per committed batch: the stream

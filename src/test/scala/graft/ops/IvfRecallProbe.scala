@@ -166,6 +166,20 @@ object IvfRecallProbe {
         println(f"[ivf-recall] $dir nprobe=$np trained=$rt%.4f sampled=$rs%.4f " +
           f"delta=${rt - rs}%+.4f")
       }
+      // the production dial over the same store: calibrate persists the
+      // measured curve into the store meta (v4) and nprobeFor resolves a
+      // recall target through it. Same probe salt and count as above, so
+      // the curve measures the same probe set; small deltas vs the
+      // `trained` rows come from assignment machinery (store rows were
+      // assigned by the MLlib transform at build; the rows above re-assign
+      // by argmax cosine — semantically equal, not bit-pinned).
+      val calib = IvfIndex.calibrate(spark, store, model,
+        nprobes = nprobes, topK = topK, sampleProbes = nProbes)
+      println(s"[ivf-recall] $dir calibrated curve (recall@$topK): " +
+        calib.curve.map { case (np, r) => f"$np:$r%.4f" }.mkString(" "))
+      for (t <- Seq(0.8, 0.9, 0.95, 0.99))
+        println(f"[ivf-recall] $dir recallTarget=$t%.2f -> " +
+          s"nprobe=${IvfIndex.nprobeFor(spark, store, t)}")
       emb.unpersist(); probes.unpersist()
     }
     spark.stop()

@@ -76,6 +76,23 @@ object ServeLatencyProbe {
         .write.mode("overwrite").partitionBy("p_date").parquet(rollupDir)
       def rollup: DataFrame = spark.read.parquet(rollupDir)
 
+      // the published tier + its serving cache (VERDICT r11 #6): publish
+      // the rollup once, then measure the three rollup read shapes a
+      // thin serving layer can choose between —
+      //   rollup_*t         : read the live table dir per request
+      //   served_*t         : resolve _CURRENT + read the snapshot per
+      //                       request (the soak's isolation path)
+      //   cached_*t         : SnapshotCache — pointer read per request,
+      //                       pinned persisted frame, memoized JSON
+      //   cached_*t_nomemo  : pointer read + pinned frame, but render
+      //                       every time (isolates the plan/scan saving
+      //                       from the memo saving)
+      val servedDir = java.nio.file.Files
+        .createTempDirectory("serve_served").toString
+      graft.streaming.Rollup.publish(spark, rollupDir, servedDir)
+      val cache = SnapshotCache.forServedRollup(spark, servedDir)
+      val cacheNoMemo = SnapshotCache.forServedRollup(spark, servedDir)
+
       val configs: Seq[(String, () => String)] = Seq(
         ("raw_1t_mdp100", () => Grafana.query(metrics,
           QueryRequest(one, range, 100))),
@@ -90,7 +107,20 @@ object ServeLatencyProbe {
         ("rollup_1t", () => Grafana.queryDaily(rollup,
           QueryRequest(one, range, 100))),
         (s"rollup_${fan.size}t", () => Grafana.queryDaily(rollup,
-          QueryRequest(fan, range, 100))))
+          QueryRequest(fan, range, 100))),
+        ("served_1t", () => Grafana.queryDaily(
+          graft.streaming.Rollup.servedTable(spark, servedDir),
+          QueryRequest(one, range, 100))),
+        ("cached_1t_nomemo", () => Grafana.queryDaily(cacheNoMemo.table(),
+          QueryRequest(one, range, 100))),
+        ("cached_1t", () => {
+          val req = QueryRequest(one, range, 100)
+          cache.render(req)(df => Grafana.queryDaily(df, req))
+        }),
+        (s"cached_${fan.size}t", () => {
+          val req = QueryRequest(fan, range, 100)
+          cache.render(req)(df => Grafana.queryDaily(df, req))
+        }))
 
       for ((name, run) <- configs) {
         (1 to 3).foreach(_ => run()) // warmup (codegen, FS cache)
