@@ -33,6 +33,16 @@ object ScaleProbe {
     "q62_math_fns" -> "N", "q01_range_scan_limit" -> "1",
     "q48_downsample" -> "1", "q49_rate" -> "N", "q70_tumbling_window" -> "1")
 
+  // Round-12 additions: q101 (first canonical soak row — its r11 record
+  // was the A/B strategy comparison, not a table row), q107 (one scrub
+  // report row per doc), q108 (one score row per doc), q109 (top-50
+  // vocab — fixed cardinality; the CJK replica blocks make each
+  // replica's vocab disjoint, so the top-50 interleaves replicas but
+  // never exceeds 50 rows).
+  private val New12Family = Seq(
+    "q101_near_exact_dup" -> "N", "q107_scrub_spans" -> "N",
+    "q108_unigram_logprob" -> "N", "q109_vocab_topk" -> "<=50")
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 1, "usage: ScaleProbe <sfDir> [<sfDir2> ...]")
     // the sbt Test fork defaults to 8 GB (SPARK_DRIVER_MEM overrides);
@@ -46,10 +56,11 @@ object ScaleProbe {
       System.err.println(f"[scale-probe] WARNING: ${heapBytes / (1 << 30).toDouble}%.1f GB " +
         "heap; 100x-scale corpora need ~24 GB (SPARK_DRIVER_MEM=24g) or the cc stage OOMs")
     val family = sys.env.getOrElse("SPARK_GRAFT_FAMILY", "docs") match {
-      case "docs" => DocsFamily.map(_ -> "")
-      case "rel"  => RelFamily
-      case "all"  => DocsFamily.map(_ -> "") ++ RelFamily
-      case other  => sys.error(s"SPARK_GRAFT_FAMILY=$other (want docs|rel|all)")
+      case "docs"  => DocsFamily.map(_ -> "")
+      case "rel"   => RelFamily
+      case "new12" => New12Family
+      case "all"   => DocsFamily.map(_ -> "") ++ RelFamily ++ New12Family
+      case other   => sys.error(s"SPARK_GRAFT_FAMILY=$other (want docs|rel|new12|all)")
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     // soak protocol (settled by the r9 three-decade partition scan,
