@@ -31,6 +31,12 @@ import org.apache.spark.storage.StorageLevel
   * the snapshot files, which outlive the flip by the publish tier's own
   * keep-generations grace window — the cache adds no new lifetime
   * requirement.
+  *
+  * NOT a fit for the RAW table: RawStore's manifest seq bumps only on
+  * MAINTENANCE commits — collector appends land new files without one
+  * — so a cache keyed on it would serve appends late. The version
+  * thunk must cover ALL content changes; the published rollup snapshot
+  * (every publish bumps the pointer) is the tier with that property.
   */
 final class SnapshotCache(version: () => Long,
                           resolve: Long => DataFrame,

@@ -34,6 +34,22 @@ class PlanLintSpec extends SparkSpec {
       s"unlisted CartesianProduct in: ${offenders.mkString(", ")}")
   }
 
+  /** q108's whole scale argument is that the LM (vocab-sized) ships to
+    * the data: scoring must plan as a BROADCAST join, never a
+    * shuffle-side join of the exploded token stream — a corpus-sized
+    * exchange there is exactly the plan the query exists to avoid.
+    */
+  test("q108 scores through a broadcast LM join (token stream never shuffles to join)") {
+    val df = graft.SparkEntry.queries("q108_unigram_logprob")(spark, sf())
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q108: LM join not broadcast\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"q108: token stream shuffled into a join\n$plan")
+    spark.catalog.clearCache() // q108 persists the vocab frequency table
+  }
+
   /** Dedup.boundedPairs forks small/big branches off ONE bucket
     * aggregate and relies on exchange/stage reuse to dedup them — if
     * that reuse ever breaks (AQE version drift, a non-canonical edit),

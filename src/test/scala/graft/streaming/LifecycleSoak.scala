@@ -204,6 +204,14 @@ object LifecycleSoak {
       .atZone(java.time.ZoneOffset.UTC).toLocalDateTime
       .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
     val targets = (0 until 3).map(i => Target(s"s$i", "timeseries"))
+    // SPARK_GRAFT_LC_SERVE_CACHE=1: the rollup path serves through
+    // graft.serve.SnapshotCache instead of a per-request servedTable
+    // resolve — measures the cache under REAL publish churn (a version
+    // flip per committed batch), the regime ServeLatencyProbe's static
+    // snapshot can't show. Freshness is unchanged by construction (the
+    // cache re-reads the pointer per request).
+    val useServeCache = sys.env.get("SPARK_GRAFT_LC_SERVE_CACHE").contains("1")
+    lazy val servedCache = graft.serve.SnapshotCache.forServedRollup(spark, servedDir)
     val query = new Thread(() => {
       var flip = false
       while (!stop.get()) {
@@ -216,8 +224,12 @@ object LifecycleSoak {
         def once(): Unit =
           if (flip) { Grafana.query(store, req); () }
           else {
-            Grafana.queryDaily(Rollup.servedTable(spark, servedDir),
-              QueryRequest(targets, TimeRange(fmtTs(SimStartMs), fmtTs(nowSim)), 200))
+            val rreq = QueryRequest(targets,
+              TimeRange(fmtTs(SimStartMs), fmtTs(nowSim)), 200)
+            if (useServeCache)
+              servedCache.render(rreq)(df => Grafana.queryDaily(df, rreq))
+            else
+              Grafana.queryDaily(Rollup.servedTable(spark, servedDir), rreq)
             ()
           }
         if (flip || rollupReady) {
@@ -288,7 +300,8 @@ object LifecycleSoak {
       if (xs.isEmpty) Double.NaN
       else xs(math.min(xs.length - 1, math.max(0, math.ceil(p * xs.length).toInt - 1)))
     }
-    println(f"[lc-soak] fmt=$fmt rps=$rps wall=${wallS}%.0fs hours_fed=$hours rows_fed=$fed " +
+    println(f"[lc-soak] fmt=$fmt rps=$rps serve_cache=$useServeCache " +
+      f"wall=${wallS}%.0fs hours_fed=$hours rows_fed=$fed " +
       f"stored=$stored expected=$expected match=${stored == expected} " +
       f"dropped=$dropped rewritten=$rewritten compacted=$compacted")
     println(f"[lc-soak] query raw n=${rawLat.size} p50=${pct(rawLat, 0.5)}%.0fms " +
