@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
   *   decontamination (q76 semantics, roles swapped: drop TRAIN docs
   *   overrun by eval grams) → optional domain mixing (q103
   *   token-budget sampling) → chunk (q97 geometry) → pack into
-  *   training bins (q58).
+  *   training bins (q58) → optional deterministic training-order
+  *   export (q106's engine API over the survivors).
   *
   * Every stage is the same formulation its oracle-checked query uses, so
   * the pipeline's correctness story rides on the per-operator gates; what
@@ -84,7 +85,14 @@ object TrainingPipeline {
       // rewritten (any length-derived input column, e.g. n_chars, then
       // describes the ORIGINAL doc). Later stages — decontamination,
       // mixing, chunking, packing — all run on the scrubbed text.
-      scrubDupSpans: Boolean = false)
+      scrubDupSpans: Boolean = false,
+      // r12: when Some(seed), the pipeline ends with q106's
+      // deterministic training-order export over the survivors
+      // (Extensions.trainOrder at `exportShards` shards) — the final
+      // step a pretraining run actually consumes. Returned as
+      // Result.order; a writer follows with Extensions.writeTrainOrder.
+      exportOrderSeed: Option[String] = None,
+      exportShards: Int = 64)
 
   /** Stage outputs: the surviving corpus and the packed bins, plus
     * per-stage survivor counts for the audit trail. `cleanup` unpersists
@@ -95,7 +103,10 @@ object TrainingPipeline {
     */
   case class Result(survivors: DataFrame, packed: DataFrame,
                     audit: Seq[(String, Long)],
-                    cleanup: () => Unit = () => ())
+                    cleanup: () => Unit = () => (),
+                    // the (shard, pos, doc_id) training order over the
+                    // survivors — Some iff cfg.exportOrderSeed is set
+                    order: Option[DataFrame] = None)
 
   private def words(c: Column): Column = filter(split(c, " "), w => w =!= "")
 
@@ -282,11 +293,18 @@ object TrainingPipeline {
     val packed = Extensions.packBins(chunks, cfg.binTokens, cfg.shards)
       .select("shard", "bin", "n_chunks", "tok_total")
 
+    // 7 (optional). training-order export: q106's engine API over the
+    // survivors — same seed ⇒ same (shard, pos) on any cluster, any day
+    // (TrainOrderSpec's laws apply verbatim: exactly the survivor set,
+    // per-shard contiguous positions)
+    val order = cfg.exportOrderSeed.map(seed =>
+      Extensions.trainOrder(mixed.select(col("doc_id")), seed, cfg.exportShards))
+
     // unpersist is idempotent, so listing the already-released audit-mode
     // caches here is harmless — one cleanup covers both modes
     val cleanup = () => (Seq(exact, nearDedupedRaw, clean) ++ scrubbedOpt)
       .foreach(_.unpersist())
-    Result(mixed, packed, audit.result(), cleanup)
+    Result(mixed, packed, audit.result(), cleanup, order)
   }
 
 }

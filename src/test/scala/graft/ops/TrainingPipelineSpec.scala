@@ -179,6 +179,38 @@ class TrainingPipelineSpec extends SparkSpec {
     } finally spark.catalog.clearCache()
   }
 
+  test("export-order stage carries exactly the survivor set in a " +
+      "deterministic per-shard order") {
+    import spark.implicits._
+    val docs = graft.model.Tables(spark, sf(), "documents")
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val eval_ = docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text")
+    val cfg = TrainingPipeline.Config(audit = false,
+      exportOrderSeed = Some("run-1"), exportShards = 16)
+    val res = TrainingPipeline.prepare(train, eval_, cfg)
+    try {
+      val order = res.order.getOrElse(fail("exportOrderSeed set but no order"))
+      // membership: exactly the survivors, each exactly once
+      val a = res.survivors.select("doc_id").as[Long].collect().sorted.toSeq
+      val b = order.select("doc_id").as[Long].collect().sorted.toSeq
+      assert(a == b && a.nonEmpty)
+      // per-shard contiguity (the TrainOrderSpec law, on pipeline output)
+      assert(order.groupBy("shard")
+        .agg(count(lit(1)).as("n"), min("pos").as("lo"), max("pos").as("hi"))
+        .filter(col("lo") =!= 1L || col("hi") =!= col("n")).isEmpty)
+      // deterministic across independent prepares
+      val res2 = TrainingPipeline.prepare(train, eval_, cfg)
+      try {
+        val o1 = order.as[(Long, Long, Long)].collect().sorted.toSeq
+        val o2 = res2.order.get.as[(Long, Long, Long)].collect().sorted.toSeq
+        assert(o1 == o2)
+      } finally res2.cleanup()
+      // absent unless requested
+      assert(TrainingPipeline.prepare(train, eval_,
+        TrainingPipeline.Config(audit = false)).order.isEmpty)
+    } finally { res.cleanup(); spark.catalog.clearCache() }
+  }
+
   test("cleanup() releases the caches prepare() created, in non-audit mode too") {
     val docs = graft.model.Tables(spark, sf(), "documents")
     val train = docs.filter(col("doc_id") % 2 === 0)
