@@ -288,4 +288,80 @@ class GenerativePropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  // ─── cdc_chunks (q107's chunker) — unit-level, no Spark jobs ─────────
+
+  private val CdcW = 8
+
+  /** (s, e, h) triples straight off the expression's eval. */
+  private def cdc(text: String): Seq[(Long, Long, String)] = {
+    val arr = graft.functions.CdcChunks.chunks(
+      org.apache.spark.unsafe.types.UTF8String.fromString(text), CdcW)
+    (0 until arr.numElements()).map { i =>
+      val r = arr.getStruct(i, 3)
+      (r.getLong(0), r.getLong(1), r.getUTF8String(2).toString)
+    }
+  }
+
+  /** Code points of a string as a vector (chunk ranges are code-point
+    * based, so slicing must be too). */
+  private def cps(text: String): Vector[Int] =
+    text.codePoints().toArray.toVector
+
+  private def cpSlice(text: String, s: Long, e: Long): String = {
+    val c = cps(text)
+    new String(c.slice(s.toInt - 1, e.toInt).toArray, 0, (e - s + 1).toInt)
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  // multibyte chars included: the offsets walk is code-point based and a
+  // byte-position bug would only show on non-ASCII input
+  private val textGen: Gen[String] = Gen.chooseNum(0, 200).flatMap(n =>
+    Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', ' ', 'é', '中', '9'))
+      .map(_.mkString))
+
+  test("cdc_chunks exactly partitions any text; every hash is the chunk's md5") {
+    forAll(textGen, n = 12) { text =>
+      val ch = cdc(text)
+      val n = cps(text).length
+      if (n == 0) assert(ch.isEmpty)
+      else {
+        // contiguous 1-based cover: s1 = 1, s_{k+1} = e_k + 1, e_last = n
+        assert(ch.head._1 == 1L && ch.last._2 == n.toLong)
+        assert(ch.zip(ch.tail).forall { case ((_, e, _), (s2, _, _)) => s2 == e + 1 })
+        // reassembly is byte-exact and hashes match per chunk
+        assert(ch.map { case (s, e, _) => cpSlice(text, s, e) }.mkString == text)
+        assert(ch.forall { case (s, e, h) => h == md5hex(cpSlice(text, s, e)) })
+      }
+    }
+  }
+
+  test("cdc boundaries are phase-invariant: any prefix shifts them, never moves them") {
+    // q107's load-bearing claim, generatively: a boundary decision reads
+    // only the trailing w code points, so every boundary of `text` at
+    // position >= w reappears in `prefix + text` shifted by |prefix| —
+    // for ARBITRARY prefix lengths (stride sampling only survives this
+    // when |prefix| ≡ 0 mod the stride). Forced final boundaries are
+    // excluded on both sides (they ARE position-dependent, by design).
+    val gen = for { p <- textGen; t <- textGen } yield (p, t)
+    forAll(gen, n = 12) { case (prefix, text) =>
+      val np = cps(prefix).length
+      val nt = cps(text).length
+      whenever(nt >= CdcW) {
+        def contentEnds(s: String): Set[Long] = {
+          val n = cps(s).length
+          cdc(s).map(_._2).filter(_ < n).toSet // drop the forced final end
+        }
+        val shifted = contentEnds(prefix + text)
+          .filter(_ >= np + CdcW).map(_ - np)
+          .filter(_ < nt) // t's own forced end never qualifies either
+        val direct = contentEnds(text).filter(_ >= CdcW)
+        assert(shifted == direct,
+          s"prefix len $np moved interior boundaries: $shifted vs $direct")
+      }
+    }
+  }
 }
