@@ -18,7 +18,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2.2.
     *
-    * CACHE CONTRACT: a few queries (q57, q79, q81, q95, q101, q103) `persist()` a shared
+    * CACHE CONTRACT: a few queries (q57, q79, q81, q95, q101, q103,
+    * q108, q109, q112) `persist()` a shared
     * subplan because it feeds two consumers and Spark has no automatic
     * CTE reuse for DataFrame plans. The returned DataFrame is lazy, so
     * the query function cannot unpersist it itself — the CALLER owns

@@ -303,19 +303,28 @@ object IvfIndex {
   private def writeMeta(spark: SparkSession, store: String,
                         meta: Meta): Unit = {
     val p = metaPath(store)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(p, true)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = p.getFileSystem(conf)
     val curveJson =
       if (meta.recallCurve.isEmpty) ""
       else s""", "recall_topk": ${meta.recallTopK}, "recall_curve": """ +
         meta.recallCurve.map { case (np, r) => s"[$np,$r]" }
           .mkString("[", ",", "]")
+    // temp + atomic rename (r13, ADVICE): calibrate rewrites the meta of
+    // a LIVE store — an in-place create(overwrite) lets a concurrent
+    // readMeta observe a truncated file. Same FileContext OVERWRITE
+    // idiom as Rollup.publish's _CURRENT flip; the raw (checksum-free)
+    // FS keeps a .crc sidecar from racing the rename.
+    val tmp = new org.apache.hadoop.fs.Path(store, s".$MetaFile.tmp")
+    val out = graft.streaming.Rollup.rawFs(fs).create(tmp, true)
     try out.write(
       (s"""{"version": ${meta.version}, "k": ${meta.k}, "dim": ${meta.dim}, """ +
         s""""train_n": ${meta.trainN}, "mean_assign_cosine": ${meta.meanAssignCosine}, """ +
         s""""centroid_sha": "${meta.centroidSha}"$curveJson}""")
         .getBytes("UTF-8"))
     finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private[ops] def readMeta(spark: SparkSession, store: String): Meta = {

@@ -63,11 +63,18 @@ final class SnapshotCache(version: () => Long,
     val cur = pinned.get()
     if (cur != null && cur._1 == v) cur
     else this.synchronized {
+      // re-read the pointer INSIDE the lock (r13, ADVICE): a thread that
+      // read a pre-publish version outside the lock must not getAndSet
+      // the pin back to the older snapshot and evict the newer frame —
+      // never persistent staleness (each request re-reads the pointer),
+      // but needless re-resolve churn. The locked re-read makes the pin
+      // monotone under concurrent publishes.
+      val vNow = version()
       val again = pinned.get()
-      if (again != null && again._1 == v) again
+      if (again != null && again._1 == vNow) again
       else {
-        val df = resolve(v).persist(StorageLevel.MEMORY_AND_DISK)
-        val entry = (v, df)
+        val df = resolve(vNow).persist(StorageLevel.MEMORY_AND_DISK)
+        val entry = (vNow, df)
         val old = pinned.getAndSet(entry)
         if (old != null) old._2.unpersist(blocking = false)
         entry
@@ -77,9 +84,13 @@ final class SnapshotCache(version: () => Long,
 
   /** Memoized request rendering: `key` identifies the request shape
     * (any value with structural equality — e.g. the QueryRequest case
-    * class); `render` runs at most once per (version, key). Freshness:
-    * the version is re-read here, so a publish invalidates every
-    * memoized result at once — the spec's never-stale law.
+    * class); the result is memoized after the first COMPLETION per
+    * (version, key) — two concurrent misses on the same key may both
+    * execute `render` (harmless: rendering is a pure function of the
+    * immutable pinned frame, so both produce the same string and the
+    * second put is a no-op overwrite). Freshness: the version is re-read
+    * here, so a publish invalidates every memoized result at once — the
+    * spec's never-stale law.
     */
   def render(key: Any)(render: DataFrame => String): String = {
     val (v, df) = tableWithVersion()

@@ -60,7 +60,7 @@ object Rollup {
     * written and read through it so no .crc sidecar can race their
     * atomic rename (non-local filesystems pass through unchanged).
     */
-  private[streaming] def rawFs(fs: org.apache.hadoop.fs.FileSystem)
+  private[graft] def rawFs(fs: org.apache.hadoop.fs.FileSystem)
       : org.apache.hadoop.fs.FileSystem = fs match {
     case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
     case other => other
