@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Q
 import graft.model.Tables
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline — language ID,
@@ -16,7 +17,211 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** PII patterns — deliberately restricted to constructs where Java
+    * regex (Spark) and RE2 (DuckDB) agree exactly: literal character
+    * classes, bounded counts, ASCII `\b`. No lookaround, no backrefs
+    * (RE2 has neither). Octet ranges are NOT validated (999.999.999.999
+    * redacts) — standard for corpus scrubbing, where over-redaction is
+    * the safe side.
+    */
+  private[graft] val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[graft] val PhoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+  private[graft] val Ipv4Re =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Redact emails → phones → IPv4s (fixed order, documented: an
+    * IP-shaped octet run inside a VALID email's domain — alpha TLD,
+    * e.g. u@10.0.0.1.example.com — redacts as part of the EMAIL; a
+    * numeric-TLD address like root@10.0.0.1 is not an email, so only
+    * its IP redacts. Both engines scan leftmost non-overlapping, so
+    * the order alone pins every overlap). Idempotent: the markers
+    * contain no digits or
+    * `@`, so no pattern can match text a previous pass produced
+    * (PiiSpec proves it). Pure codegen'd map-side work — the pipeline
+    * stage costs one projection over the already-cached survivors.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(text,
+      EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), Ipv4Re, "<IP>")
+
+  /** The Gopher rule metrics (q111's body, minus the table read and the
+    * declared-determinism sort) over any (doc_id, text) frame — factored
+    * out so GopherRulesSpec can drive the line-granular paths (bullets,
+    * ellipses, duplicate lines, stopwords, symbols) on constructed
+    * multi-line docs the word-soup corpus can't produce.
+    */
+  private[graft] def gopherRules(docs: DataFrame): DataFrame = {
+    val stops = array(Seq("the", "be", "to", "of", "and", "that",
+      "have", "with").map(lit): _*)
+    docs
+      .select(col("doc_id"), col("text"),
+        filter(split(col("text"), " "), w => w =!= "").as("ws"),
+        split(col("text"), "\n").as("lines"))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("n_lines", size(col("lines")).cast("long"))
+      .withColumn("mean_word_len",
+        when(col("n_words") > 0, round(
+          aggregate(col("ws"), lit(0L), (a, w) => a + length(w).cast("long"))
+            .cast("double") / col("n_words"), 4)).otherwise(lit(0.0)))
+      .withColumn("frac_alpha",
+        when(col("n_words") > 0, round(
+          size(filter(col("ws"), w => w.rlike("[a-z]"))).cast("double") /
+            col("n_words"), 4)).otherwise(lit(0.0)))
+      .withColumn("n_stop",
+        size(array_intersect(array_distinct(col("ws")), stops)).cast("long"))
+      .withColumn("symbol_ratio",
+        when(col("n_words") > 0, round(
+          (expr("length(text) - length(replace(text, '#', ''))") +
+            expr("(length(text) - length(replace(text, '...', ''))) / 3"))
+            .cast("double") / col("n_words"), 4)).otherwise(lit(0.0)))
+      .withColumn("frac_bullet", round(
+        size(filter(col("lines"),
+          l => l.startsWith("- ") || l.startsWith("* "))).cast("double") /
+          col("n_lines"), 4))
+      .withColumn("frac_ellipsis", round(
+        size(filter(col("lines"), l => l.endsWith("..."))).cast("double") /
+          col("n_lines"), 4))
+      .withColumn("dup_line_frac", round(
+        (col("n_lines") - size(array_distinct(col("lines")))).cast("double") /
+          col("n_lines"), 4))
+      .withColumn("bg", when(size(col("ws")) >= 2, expr(
+        "transform(sequence(2, size(ws)), i -> " +
+          "concat(element_at(ws, i - 1), ' ', element_at(ws, i)))"))
+        .otherwise(expr("array()")))
+      .withColumn("dup_2gram_frac",
+        when(size(col("bg")) > 0, round(
+          (size(col("bg")) - size(array_distinct(col("bg")))).cast("double") /
+            size(col("bg")), 4)).otherwise(lit(0.0)))
+      .withColumn("n_rules_failed", (
+        when(col("n_words") < 3 || col("n_words") > 100000, 1).otherwise(0) +
+        when(col("mean_word_len") < 3 || col("mean_word_len") > 10, 1).otherwise(0) +
+        when(col("frac_alpha") < 0.8, 1).otherwise(0) +
+        when(col("n_stop") < 2, 1).otherwise(0) +
+        when(col("symbol_ratio") > 0.1, 1).otherwise(0) +
+        when(col("frac_bullet") > 0.9, 1).otherwise(0) +
+        when(col("frac_ellipsis") > 0.3, 1).otherwise(0) +
+        when(col("dup_line_frac") > 0.3, 1).otherwise(0) +
+        when(col("dup_2gram_frac") > 0.2, 1).otherwise(0)).cast("long"))
+      .withColumn("gopher_pass",
+        when(col("n_rules_failed") === 0, 1L).otherwise(0L))
+      .select("doc_id", "n_words", "mean_word_len", "frac_alpha", "n_stop",
+        "symbol_ratio", "frac_bullet", "frac_ellipsis", "dup_line_frac",
+        "dup_2gram_frac", "n_rules_failed", "gopher_pass")
+  }
+
   val queries: Map[String, Q] = Map(
+
+    // PII detection + redaction — the corpus-hygiene step every
+    // production pipeline (Dolma, ROOTS, RefinedWeb) runs before
+    // training. The testdata corpus is sanitized word soup, so the
+    // query PLANTS deterministic PII derived from doc_id (same
+    // integer-to-string construction in both engines) — the detection/
+    // redaction machinery is what's under test, and ~half the docs get
+    // no PII at all, so byte-preservation of clean text rides through
+    // the md5 gate too. Counts are stage-consistent: emails counted on
+    // the input, phones on the email-redacted text, IPs after both —
+    // each count is exactly the number of replacements its redaction
+    // pass performs (an IP-shaped string inside an email is counted
+    // once, as the email). Entirely doc-local codegen; the only
+    // exchange is the declared-determinism global sort.
+    "q110_pii_redact" -> ((s, dir) => {
+      val d = col("doc_id")
+      val aug = concat(col("text"),
+        when(d % 3 === 0, concat(lit(" contact user"), d.cast("string"),
+          lit("@mail"), (d % 7).cast("string"), lit(".example.com")))
+          .otherwise(lit("")),
+        when(d % 4 === 0, concat(lit(" call 555-"),
+          lpad((d % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad(((d * 7) % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(d % 5 === 0, concat(lit(" host 10."),
+          (d % 256).cast("string"), lit("."),
+          ((d * 3) % 256).cast("string"), lit("."),
+          (d % 100).cast("string")))
+          .otherwise(lit("")))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), aug.as("t0"))
+        .withColumn("n_emails",
+          size(regexp_extract_all(col("t0"), lit(EmailRe), lit(0))).cast("long"))
+        .withColumn("t1", regexp_replace(col("t0"), EmailRe, "<EMAIL>"))
+        .withColumn("n_phones",
+          size(regexp_extract_all(col("t1"), lit(PhoneRe), lit(0))).cast("long"))
+        .withColumn("t2", regexp_replace(col("t1"), PhoneRe, "<PHONE>"))
+        .withColumn("n_ips",
+          size(regexp_extract_all(col("t2"), lit(Ipv4Re), lit(0))).cast("long"))
+        .withColumn("redacted", regexp_replace(col("t2"), Ipv4Re, "<IP>"))
+        .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+          length(col("redacted")).cast("long").as("redacted_len"),
+          md5(col("redacted")).as("redacted_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gopher-style quality rule set (Rae et al. 2021, Appendix A) — the
+    // filter suite users actually deploy, widening q88's composite:
+    // word count, mean word length, alphabetic-word fraction, stopword
+    // coverage, symbol-to-word ratio (# and ...), bullet/ellipsis line
+    // shares, duplicate-line fraction, duplicate word-2-gram fraction.
+    // All metrics are doc-local array/HOF work over small per-doc
+    // arrays (no shuffle but the declared-determinism sort). On this
+    // single-line word-soup corpus the line-granular metrics sit at 0
+    // and the stopword rule fails for nearly every doc (vocabulary has
+    // only "the" from the Gopher stop set) — the VARIATION lives in
+    // mean_word_len / dup_2gram_frac / n_rules_failed, and
+    // GopherRulesSpec drives the line/bullet/ellipsis/stopword paths on
+    // constructed multi-line docs. Ratios round(·,4) before the
+    // threshold compare, so pass flags never ride on sub-1e-4 float
+    // noise (q69 discipline).
+    "q111_gopher_rules" -> ((s, dir) =>
+      gopherRules(Tables(s, dir, "documents")).orderBy(col("doc_id"))),
+
+    // Bigram-LM scoring with stupid backoff (Brants et al. 2007) — the
+    // CCNet filter at order 2, extending q108: train on the even-doc_id
+    // half (so unseen-bigram backoff GENUINELY fires on the held-out
+    // half — an LM trained on the full corpus would never back off),
+    // score every doc with >= 2 tokens by its mean log score,
+    //   score(w|p) = c2(p,w)/ctx(p)  if the bigram was seen,
+    //             0.4·c1(w)/T        else if w was seen,
+    //             0.4/T              else (OOV floor).
+    // Scale shape (q108's, stress-tested at a realistically larger
+    // model): bigram construction is DOC-LOCAL (sequence/element_at
+    // over the token array — no per-doc window, the corpus never
+    // shuffles); the bigram and unigram tables are Heaps-sublinear and
+    // BROADCAST into the scoring scan (PlanLintSpec gates it: a
+    // SortMerge/ShuffledHash join anywhere in q112's plan fails CI);
+    // the only exchanges carry LM-sized partials and per-doc partials.
+    // c2 is persisted (CACHE CONTRACT) — it feeds its own context
+    // marginal and the scoring join.
+    "q112_bigram_logprob" -> ((s, dir) => {
+      val ws = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          filter(split(col("text"), " "), w => w =!= "").as("ws"))
+        .filter(size(col("ws")) >= 2)
+      val bg = ws.select(col("doc_id"), explode(expr(
+        "transform(sequence(2, size(ws)), i -> struct(" +
+          "element_at(ws, i - 1) AS p, element_at(ws, i) AS w))")).as("b"))
+        .select(col("doc_id"), col("b.p").as("p"), col("b.w").as("w"))
+      val big = bg.filter(col("doc_id") % 2 === 0)
+        .groupBy("p", "w").agg(count(lit(1)).as("c2")).persist()
+      val ctx = big.groupBy("p").agg(sum(col("c2")).as("cp"))
+      val uni = ws.filter(col("doc_id") % 2 === 0)
+        .select(explode(col("ws")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c1"))
+      val tot = uni.agg(sum(col("c1")).as("t"))
+      bg.join(broadcast(big), Seq("p", "w"), "left")
+        .join(broadcast(ctx), Seq("p"), "left")
+        .join(broadcast(uni), Seq("w"), "left")
+        .crossJoin(broadcast(tot))
+        .withColumn("sc",
+          when(col("c2").isNotNull,
+            col("c2").cast("double") / col("cp").cast("double"))
+          .when(col("c1").isNotNull,
+            lit(0.4) * col("c1").cast("double") / col("t").cast("double"))
+          .otherwise(lit(0.4) / col("t").cast("double")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(log(col("sc"))), 4).as("logprob"))
+        .orderBy(col("doc_id"))
+    }),
 
     // Language ID: build top-5 marker words per language by frequency,
     // classify each doc by marker hits, argmax language (ties → lexical).
@@ -225,6 +430,141 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "q110_pii_redact" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |         text
+        |         || CASE WHEN doc_id % 3 = 0
+        |              THEN ' contact user' || CAST(doc_id AS VARCHAR)
+        |                   || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+        |              ELSE '' END
+        |         || CASE WHEN doc_id % 4 = 0
+        |              THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+        |                   || '-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+        |              ELSE '' END
+        |         || CASE WHEN doc_id % 5 = 0
+        |              THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+        |                   || '.' || CAST((doc_id * 3) % 256 AS VARCHAR)
+        |                   || '.' || CAST(doc_id % 100 AS VARCHAR)
+        |              ELSE '' END AS t0
+        |  FROM documents),
+        |s1 AS (
+        |  SELECT doc_id, t0,
+        |         CAST(len(regexp_extract_all(t0,
+        |           '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |         regexp_replace(t0, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}',
+        |           '<EMAIL>', 'g') AS t1
+        |  FROM aug),
+        |s2 AS (
+        |  SELECT doc_id, n_emails,
+        |         CAST(len(regexp_extract_all(t1,
+        |           '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_phones,
+        |         regexp_replace(t1, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b',
+        |           '<PHONE>', 'g') AS t2
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT doc_id, n_emails, n_phones,
+        |         CAST(len(regexp_extract_all(t2,
+        |           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+        |         regexp_replace(t2, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+        |           '<IP>', 'g') AS redacted
+        |  FROM s2)
+        |SELECT doc_id, n_emails, n_phones, n_ips,
+        |       CAST(length(redacted) AS BIGINT) AS redacted_len,
+        |       md5(redacted) AS redacted_md5
+        |FROM s3 ORDER BY doc_id""".stripMargin,
+    "q111_gopher_rules" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |         list_filter(string_split(text, ' '), w -> w <> '') AS ws,
+        |         string_split(text, chr(10)) AS lines
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, text, ws, lines,
+        |         CAST(len(ws) AS BIGINT) AS n_words,
+        |         CAST(len(lines) AS BIGINT) AS n_lines,
+        |         CASE WHEN len(ws) >= 2
+        |              THEN list_transform(range(2, len(ws) + 1),
+        |                     i -> ws[i-1] || ' ' || ws[i])
+        |              ELSE [] END AS bg
+        |  FROM base),
+        |r AS (
+        |  SELECT doc_id, n_words,
+        |         CASE WHEN n_words > 0 THEN round(CAST(
+        |           list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+        |           / n_words, 4) ELSE 0.0 END AS mean_word_len,
+        |         CASE WHEN n_words > 0 THEN round(CAST(
+        |           len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+        |           / n_words, 4) ELSE 0.0 END AS frac_alpha,
+        |         CAST(len(list_intersect(list_distinct(ws),
+        |           ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop,
+        |         CASE WHEN n_words > 0 THEN round(CAST(
+        |           (length(text) - length(replace(text, '#', '')))
+        |           + (length(text) - length(replace(text, '...', ''))) / 3
+        |           AS DOUBLE) / n_words, 4) ELSE 0.0 END AS symbol_ratio,
+        |         round(CAST(len(list_filter(lines,
+        |           l -> starts_with(l, '- ') OR starts_with(l, '* '))) AS DOUBLE)
+        |           / n_lines, 4) AS frac_bullet,
+        |         round(CAST(len(list_filter(lines,
+        |           l -> ends_with(l, '...'))) AS DOUBLE) / n_lines, 4) AS frac_ellipsis,
+        |         round(CAST(n_lines - len(list_distinct(lines)) AS DOUBLE)
+        |           / n_lines, 4) AS dup_line_frac,
+        |         CASE WHEN len(bg) > 0 THEN round(CAST(
+        |           len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg), 4)
+        |           ELSE 0.0 END AS dup_2gram_frac
+        |  FROM m),
+        |f AS (
+        |  SELECT *,
+        |         CAST((CASE WHEN n_words < 3 OR n_words > 100000 THEN 1 ELSE 0 END)
+        |            + (CASE WHEN mean_word_len < 3 OR mean_word_len > 10 THEN 1 ELSE 0 END)
+        |            + (CASE WHEN frac_alpha < 0.8 THEN 1 ELSE 0 END)
+        |            + (CASE WHEN n_stop < 2 THEN 1 ELSE 0 END)
+        |            + (CASE WHEN symbol_ratio > 0.1 THEN 1 ELSE 0 END)
+        |            + (CASE WHEN frac_bullet > 0.9 THEN 1 ELSE 0 END)
+        |            + (CASE WHEN frac_ellipsis > 0.3 THEN 1 ELSE 0 END)
+        |            + (CASE WHEN dup_line_frac > 0.3 THEN 1 ELSE 0 END)
+        |            + (CASE WHEN dup_2gram_frac > 0.2 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_rules_failed
+        |  FROM r)
+        |SELECT doc_id, n_words, mean_word_len, frac_alpha, n_stop, symbol_ratio,
+        |       frac_bullet, frac_ellipsis, dup_line_frac, dup_2gram_frac,
+        |       n_rules_failed,
+        |       CASE WHEN n_rules_failed = 0 THEN CAST(1 AS BIGINT)
+        |            ELSE CAST(0 AS BIGINT) END AS gopher_pass
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "q112_bigram_logprob" ->
+      """WITH ws AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |w2 AS (SELECT doc_id, ws FROM ws WHERE len(ws) >= 2),
+        |bg AS (
+        |  SELECT doc_id,
+        |         unnest(ws[1:len(ws)-1]) AS p,
+        |         unnest(ws[2:len(ws)]) AS w
+        |  FROM w2),
+        |big AS (
+        |  SELECT p, w, count(*) AS c2 FROM bg WHERE doc_id % 2 = 0 GROUP BY p, w),
+        |ctx AS (SELECT p, sum(c2) AS cp FROM big GROUP BY p),
+        |uni AS (
+        |  SELECT w, count(*) AS c1 FROM (
+        |    SELECT unnest(ws) AS w FROM w2 WHERE doc_id % 2 = 0)
+        |  GROUP BY w),
+        |tot AS (SELECT sum(c1) AS t FROM uni),
+        |scored AS (
+        |  SELECT bg.doc_id,
+        |         CASE WHEN big.c2 IS NOT NULL
+        |                THEN CAST(big.c2 AS DOUBLE) / CAST(ctx.cp AS DOUBLE)
+        |              WHEN uni.c1 IS NOT NULL
+        |                THEN 0.4 * CAST(uni.c1 AS DOUBLE) / CAST(tot.t AS DOUBLE)
+        |              ELSE 0.4 / CAST(tot.t AS DOUBLE) END AS sc
+        |  FROM bg
+        |  LEFT JOIN big ON bg.p = big.p AND bg.w = big.w
+        |  LEFT JOIN ctx ON bg.p = ctx.p
+        |  LEFT JOIN uni ON bg.w = uni.w
+        |  CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       round(avg(ln(sc)), 4) AS logprob
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q108_unigram_logprob" ->
       """WITH tok AS (
         |  SELECT doc_id, w FROM (

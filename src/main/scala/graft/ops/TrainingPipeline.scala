@@ -12,7 +12,9 @@ import org.apache.spark.sql.functions._
   *   SimHash near-dup removal (q78 pairs; optionally q104's
   *   cluster-keep-best-quality selection) → optional cross-doc span
   *   scrub (q107 semantics: cut repeated spans, keep the docs — the
-  *   substring-granularity step doc dropping can't express) → eval
+  *   substring-granularity step doc dropping can't express) → optional
+  *   PII redaction (q110 semantics: emails/phones/IPv4s → typed
+  *   markers, docs kept) → eval
   *   decontamination (q76 semantics, roles swapped: drop TRAIN docs
   *   overrun by eval grams) → optional domain mixing (q103
   *   token-budget sampling) → chunk (q97 geometry) → pack into
@@ -86,6 +88,15 @@ object TrainingPipeline {
       // describes the ORIGINAL doc). Later stages — decontamination,
       // mixing, chunking, packing — all run on the scrubbed text.
       scrubDupSpans: Boolean = false,
+      // r13: when true, q110's PII redaction (TextAnalysis.redactPii —
+      // emails/phones/IPv4s → typed markers) rewrites `text` after
+      // near-dup removal / span scrub and BEFORE decontamination, so
+      // eval-gram matching and all later stages see the text a training
+      // run would. A pure doc-local projection (three codegen'd
+      // regexes) — no persist needed; downstream consumers re-evaluate
+      // it over the already-cached survivors (the q75 scans-are-cheap
+      // lesson, at projection not explode cost).
+      redactPii: Boolean = false,
       // r12: when Some(seed), the pipeline ends with q106's
       // deterministic training-order export over the survivors
       // (Extensions.trainOrder at `exportShards` shards) — the final
@@ -210,13 +221,28 @@ object TrainingPipeline {
       if (!cfg.scrubDupSpans) None
       else Some(Dedup.scrubDupSpans(nearDedupedRaw)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val nearDeduped = scrubbedOpt match {
+    val scrubbed = scrubbedOpt match {
       case None => nearDedupedRaw
       case Some(sc) =>
         if (cfg.audit)
           audit += ("span_scrubbed" -> sc.filter(col("n_spans_cut") > 0).count())
         sc.withColumn("text", col("scrubbed")).drop("scrubbed", "n_spans_cut")
     }
+
+    // 3c (optional). PII redaction: q110's shared redactPii — the audit
+    // entry counts docs actually rewritten (rows unchanged by
+    // construction, like 3b). The count's regex pass runs over the
+    // cached upstream set, doc-local.
+    val nearDeduped =
+      if (!cfg.redactPii) scrubbed
+      else {
+        val red = scrubbed
+          .withColumn("red", TextAnalysis.redactPii(col("text")))
+        if (cfg.audit)
+          audit += ("pii_redacted" ->
+            red.filter(col("red") =!= col("text")).count())
+        red.withColumn("text", col("red")).drop("red")
+      }
 
     // 4. decontamination, q76's gram machinery with roles swapped: drop
     // TRAIN docs whose distinct 8-grams are mostly present in the eval

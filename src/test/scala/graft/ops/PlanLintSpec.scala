@@ -50,6 +50,23 @@ class PlanLintSpec extends SparkSpec {
     spark.catalog.clearCache() // q108 persists the vocab frequency table
   }
 
+  /** q112 extends q108's broadcast-LM architecture to a realistically
+    * larger model (bigram + context + unigram + total — FOUR joins off
+    * the exploded bigram stream). Same gate, stricter surface: every
+    * one of those joins must broadcast; any SortMerge/ShuffledHash in
+    * the plan means the corpus-sized stream shuffled to meet the LM.
+    */
+  test("q112 scores through broadcast LM joins (bigram stream never shuffles to join)") {
+    val df = graft.SparkEntry.queries("q112_bigram_logprob")(spark, sf())
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q112: LM joins not broadcast\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"q112: bigram stream shuffled into a join\n$plan")
+    spark.catalog.clearCache() // q112 persists the bigram count table
+  }
+
   /** Dedup.boundedPairs forks small/big branches off ONE bucket
     * aggregate and relies on exchange/stage reuse to dedup them — if
     * that reuse ever breaks (AQE version drift, a non-canonical edit),
