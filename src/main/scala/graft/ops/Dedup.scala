@@ -517,6 +517,85 @@ object Dedup {
       .drop("cuts")
   }
 
+  /** Iterate [[scrubDupSpans]] to its fixpoint (r13, VERDICT #5 — the
+    * stricter closure the one-pass scaladoc promises on request): after
+    * the returned text, a further scrub pass cuts NOTHING — no
+    * qualifying span survives in the FINAL corpus, not just none from
+    * the original text.
+    *
+    * Termination argument: every productive pass cuts at least one span
+    * of >= minSpan chars, so total corpus length strictly decreases by
+    * >= minSpan per round; the loop therefore ends in at most
+    * totalChars/minSpan rounds, and `maxRounds` bounds it defensively
+    * far below that. Organic corpora converge immediately — the
+    * re-adjacency shape needs cut spans whose CDC boundaries align
+    * exactly with their sub-minSpan foreign neighbors in a second doc
+    * (ScrubFixpointSpec measures rounds == 1 on the fixture corpus:
+    * pass 1 cuts, pass 2 verifies dry).
+    *
+    * Memory contract: each round's output is persisted, counted (the
+    * convergence check doubles as materialization), and the PREVIOUS
+    * round's backing released; the final frame and the cumulative
+    * count accumulator stay cached for the caller's action — caller
+    * owns cleanup (`spark.catalog.clearCache()` or unpersist via the
+    * cache manager), same as the SparkEntry CACHE CONTRACT.
+    *
+    * Returns (scrubbed frame: input rows + `scrubbed` + CUMULATIVE
+    * `n_spans_cut`, productive round count — 0 means the input was
+    * already a fixpoint).
+    */
+  private[graft] def scrubToFixpoint(docs: DataFrame, w: Int = 8,
+                                     minSpan: Int = 50,
+                                     maxRounds: Int = 8): (DataFrame, Int) = {
+    import org.apache.spark.storage.StorageLevel
+    var cur = docs.select(col("doc_id"), col("text"))
+    var curBacking: DataFrame = null // previous round's persisted output
+    var acc: DataFrame = null        // (doc_id, n_spans_cut) cumulative
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxRounds) {
+      val out = scrubDupSpans(cur, w, minSpan)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val cut = out.agg(coalesce(sum(col("n_spans_cut")), lit(0L)))
+        .head().getLong(0)
+      if (cut == 0L) {
+        out.unpersist()
+        done = true
+      } else {
+        rounds += 1
+        val roundCounts = out.select(col("doc_id"),
+          col("n_spans_cut").as("r"))
+        val nextAcc =
+          (if (acc == null) roundCounts.select(col("doc_id"), col("r").as("n_spans_cut"))
+           else acc.join(roundCounts, Seq("doc_id"))
+             .select(col("doc_id"),
+               (col("n_spans_cut") + col("r")).as("n_spans_cut")))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        nextAcc.count() // materialize off the old acc before releasing it
+        if (acc != null) acc.unpersist()
+        acc = nextAcc
+        // next round's input is a projection of THIS round's cached
+        // output; the round before it served its consumers and releases
+        if (curBacking != null) curBacking.unpersist()
+        curBacking = out
+        cur = out.select(col("doc_id"), col("scrubbed").as("text"))
+      }
+    }
+    val result =
+      if (rounds == 0)
+        docs.withColumn("scrubbed", col("text"))
+          .withColumn("n_spans_cut", lit(0L))
+      else
+        // docs keeps its ORIGINAL text column; `scrubbed` is the final
+        // round's text; acc covers every doc (scrubDupSpans preserves
+        // rows), so the joins are total
+        docs.join(
+          cur.select(col("doc_id"), col("text").as("scrubbed"))
+            .join(acc, Seq("doc_id")),
+          Seq("doc_id"))
+    (result, rounds)
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Cross-document repeated-span SCRUB — q102's detection turned into

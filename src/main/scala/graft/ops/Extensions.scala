@@ -152,6 +152,26 @@ object Extensions {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Threshold-keyed dispatch between the two measured candidate
+    * strategies (r13, VERDICT #6 — callers stop hand-picking): the
+    * inverted-index EXPANSION ([[capJaccardPairs]]) wins the low
+    * thresholds (t ≤ 0.5: prefix measured 1.6-1.9× SLOWER at 100×,
+    * fresh-JVM); the PPJoin PREFIX ([[capJaccardPairsPrefix]]) wins the
+    * high ones (t = 0.85: ~1.3× faster at 100×) — the two scaladocs
+    * carry the full measurement provenance. The crossover is dispatched
+    * at t ≥ 0.7: the prefix keeps ~0.3·n+1 grams there (vs ~0.5·n+1 at
+    * the measured losing point and ~0.15·n+1 at the measured winning
+    * point), the midpoint of the measured regimes; neither path has
+    * been measured AT 0.7, so the cut sits where both extrapolations
+    * stay safe. Dispatch can never change RESULTS, only plans — the two
+    * paths are byte-equivalent by generative property spec
+    * (GenerativePropertiesSpec) across thresholds 0.0-0.75.
+    */
+  private[graft] def capJaccardPairsAuto(docDistinctGrams: DataFrame, gram: String,
+                                         maxDf: Int, minJac: Double): DataFrame =
+    if (minJac >= 0.7) capJaccardPairsPrefix(docDistinctGrams, gram, maxDf, minJac)
+    else capJaccardPairs(docDistinctGrams, gram, maxDf, minJac)
+
   /** Shared DF-capped set-Jaccard pipeline behind q81 (word shingles) and
     * q95 (char n-grams): inverted-index pair expansion over under-cap
     * grams, then per-pair intersection counts ([[jaccardFromKept]]).
@@ -470,8 +490,9 @@ object Extensions {
       val sh = Tables(s, dir, "documents")
         .select(col("doc_id"),
           explode(array_distinct(expr("text_shingles(text)"))).as("sh"))
-      // maxDf = 50: stop-shingle bound, mirrored in the oracle HAVING
-      capJaccardPairs(sh, "sh", maxDf = 50, minJac = 0.3)
+      // maxDf = 50: stop-shingle bound, mirrored in the oracle HAVING.
+      // Auto-dispatch (r13): t = 0.3 resolves to the expansion path.
+      capJaccardPairsAuto(sh, "sh", maxDf = 50, minJac = 0.3)
     }),
 
     // Character n-gram Jaccard near-dup (the n-gram variant of q81:
@@ -485,7 +506,8 @@ object Extensions {
       val sh = Tables(s, dir, "documents")
         .select(col("doc_id"),
           explode(array_distinct(expr("char_ngrams(text, 8)"))).as("g"))
-      capJaccardPairs(sh, "g", maxDf = 50, minJac = 0.5)
+      // Auto-dispatch (r13): t = 0.5 resolves to the expansion path.
+      capJaccardPairsAuto(sh, "g", maxDf = 50, minJac = 0.5)
     }),
 
     // NEAR-EXACT duplicate pairs (t = 0.85): q95's semantics in the
@@ -503,7 +525,8 @@ object Extensions {
       val sh = Tables(s, dir, "documents")
         .select(col("doc_id"),
           explode(array_distinct(expr("char_ngrams(text, 8)"))).as("g"))
-      capJaccardPairsPrefix(sh, "g", maxDf = 50, minJac = 0.85)
+      // Auto-dispatch (r13): t = 0.85 resolves to the prefix path.
+      capJaccardPairsAuto(sh, "g", maxDf = 50, minJac = 0.85)
     }),
 
     // ─────────────────────── similarity search ───────────────────────────

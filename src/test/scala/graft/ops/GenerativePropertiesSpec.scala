@@ -245,6 +245,24 @@ class GenerativePropertiesSpec extends SparkSpec {
     }
   }
 
+  test("capJaccardPairsAuto dispatches by threshold: prefix plan at t >= 0.7, expansion below") {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    import spark.implicits._
+    val grams = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b")).toDF("doc_id", "g")
+    // the prefix path is identifiable by its skew-capped topk_min_agg
+    // doc-list aggregate; the expansion path has no such node
+    val lo = Extensions.capJaccardPairsAuto(grams, "g", 5, 0.5)
+    val mid = Extensions.capJaccardPairsAuto(grams, "g", 5, 0.7)
+    assert(!lo.queryExecution.analyzed.toString.contains("topk_min_agg"),
+      "t=0.5 must dispatch to the expansion path")
+    assert(mid.queryExecution.analyzed.toString.contains("topk_min_agg"),
+      "t=0.7 must dispatch to the prefix path")
+    // and the dispatched results agree regardless of branch
+    assert(Extensions.capJaccardPairsAuto(grams, "g", 5, 0.85).collect().toSeq ==
+      Extensions.capJaccardPairsPrefix(grams, "g", 5, 0.85).collect().toSeq)
+    spark.catalog.clearCache() // the prefix helper persists docArr
+  }
+
   test("capJaccardPairs input contract: non-per-doc-distinct rows miscount " +
       "df (the violation is DETECTABLE, not silently absorbed)") {
     // Guard for the r10 contract change: the helpers no longer self-dedup,
