@@ -102,6 +102,7 @@ object VectorExpressions {
   val earliestKFnName = "earliest_k_agg"
   val cmsEstimateFnName = "cms_estimate"
   val cdcChunksFnName = "cdc_chunks"
+  val gearChunksFnName = "cdc_chunks_gear"
 
   private[functions] def bloomAggBuilder(children: Seq[Expression]): Expression = {
     require(children.length == 3, s"$bloomAggFnName expects 3 arguments")
@@ -188,6 +189,13 @@ object VectorExpressions {
         { children =>
           require(children.length == 2, s"$cdcChunksFnName expects 2 arguments")
           CdcChunks(children.head, children(1))
+        })
+    if (!reg.functionExists(FunctionIdentifier(gearChunksFnName)))
+      reg.registerFunction(FunctionIdentifier(gearChunksFnName),
+        new ExpressionInfo(classOf[GearChunks].getName, gearChunksFnName),
+        { children =>
+          require(children.length == 1, s"$gearChunksFnName expects 1 argument")
+          GearChunks(children.head)
         })
     if (!reg.functionExists(FunctionIdentifier(minhashFnName)))
       reg.registerFunction(FunctionIdentifier(minhashFnName),

@@ -466,10 +466,24 @@ object Dedup {
     * fixpoint if the stricter closure is wanted.
     */
   private[graft] def scrubDupSpans(docs: DataFrame, w: Int = 8,
-                                   minSpan: Int = 50): DataFrame = {
+                                   minSpan: Int = 50,
+                                   boundary: String = "md5"): DataFrame = {
     graft.functions.VectorExpressions.ensureRegistered(docs.sparkSession)
+    // pluggable boundary rule (r13, VERDICT #7): "md5" is the declared
+    // q107 chunker (oracle replays its boundary rule in DuckDB SQL);
+    // "gear" swaps the O(w)-per-position digest for the O(1) Gear
+    // rolling hash (same cut-law, different boundary SET — see
+    // GearChunks' scaladoc for the semantics delta and ChunkerAbProbe
+    // for the measured cost). Everything downstream of the chunk
+    // arrays is chunker-agnostic.
+    val chunker = boundary match {
+      case "md5" => s"cdc_chunks(text, $w)"
+      case "gear" => "cdc_chunks_gear(text)"
+      case other => throw new IllegalArgumentException(
+        s"unknown boundary rule '$other' (expected md5 | gear)")
+    }
     val base = docs.select(col("doc_id"), col("text"),
-      expr(s"cdc_chunks(text, $w)").as("cs"))
+      expr(chunker).as("cs"))
     val chunks = base
       .select(col("doc_id"), explode(col("cs")).as("c"))
       .select(col("doc_id"), col("c.s").as("s"), col("c.e").as("e"),
@@ -546,7 +560,8 @@ object Dedup {
     */
   private[graft] def scrubToFixpoint(docs: DataFrame, w: Int = 8,
                                      minSpan: Int = 50,
-                                     maxRounds: Int = 8): (DataFrame, Int) = {
+                                     maxRounds: Int = 8,
+                                     boundary: String = "md5"): (DataFrame, Int) = {
     import org.apache.spark.storage.StorageLevel
     var cur = docs.select(col("doc_id"), col("text"))
     var curBacking: DataFrame = null // previous round's persisted output
@@ -554,7 +569,7 @@ object Dedup {
     var rounds = 0
     var done = false
     while (!done && rounds < maxRounds) {
-      val out = scrubDupSpans(cur, w, minSpan)
+      val out = scrubDupSpans(cur, w, minSpan, boundary)
         .persist(StorageLevel.MEMORY_AND_DISK)
       val cut = out.agg(coalesce(sum(col("n_spans_cut")), lit(0L)))
         .head().getLong(0)

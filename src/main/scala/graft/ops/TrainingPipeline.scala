@@ -88,6 +88,12 @@ object TrainingPipeline {
       // describes the ORIGINAL doc). Later stages — decontamination,
       // mixing, chunking, packing — all run on the scrubbed text.
       scrubDupSpans: Boolean = false,
+      // r13: boundary rule for the scrub chunker — "md5" (q107's
+      // declared, oracle-parity rule) or "gear" (the O(1) rolling
+      // boundary for production runs; same cut-law, different boundary
+      // set — GearChunks scaladoc carries the delta, ChunkerAbProbe
+      // the measured cost).
+      scrubBoundary: String = "md5",
       // r13: when true, q110's PII redaction (TextAnalysis.redactPii —
       // emails/phones/IPv4s → typed markers) rewrites `text` after
       // near-dup removal / span scrub and BEFORE decontamination, so
@@ -219,7 +225,7 @@ object TrainingPipeline {
     // anti-join, same diamond as the raw near-dedup set it replaces).
     val scrubbedOpt =
       if (!cfg.scrubDupSpans) None
-      else Some(Dedup.scrubDupSpans(nearDedupedRaw)
+      else Some(Dedup.scrubDupSpans(nearDedupedRaw, boundary = cfg.scrubBoundary)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val scrubbed = scrubbedOpt match {
       case None => nearDedupedRaw

@@ -32,15 +32,23 @@ import org.apache.spark.storage.StorageLevel
   * keep-generations grace window — the cache adds no new lifetime
   * requirement.
   *
-  * NOT a fit for the RAW table: RawStore's manifest seq bumps only on
-  * MAINTENANCE commits — collector appends land new files without one
-  * — so a cache keyed on it would serve appends late. The version
-  * thunk must cover ALL content changes; the published rollup snapshot
-  * (every publish bumps the pointer) is the tier with that property.
+  * The RAW table qualifies since r13: [[graft.streaming.RawStore
+  * .versionStamp]] covers ALL content changes (maintenance commits via
+  * the manifest seq, ingest batches via the `_LAST_BATCH` counter
+  * [[graft.streaming.Collector.writeBatch]] bumps post-write), so
+  * [[SnapshotCache.forRawStore]] gives the raw path the same
+  * never-stale contract. Two raw-specific dials: the pin is
+  * PLAN-ONLY (`persistPinned = false` — the raw tier is corpus-sized,
+  * so the win is skipping the resolver's listing + planning, never
+  * caching corpus blocks), and the regime note from versionStamp's
+  * scaladoc applies — live 1 Hz ingest flips the stamp per second,
+  * putting the cache in its measured losing regime; it pays off over
+  * quiesced or slow-batch stores.
   */
 final class SnapshotCache(version: () => Long,
                           resolve: Long => DataFrame,
-                          maxResults: Int = 64) {
+                          maxResults: Int = 64,
+                          persistPinned: Boolean = true) {
 
   private val pinned = new AtomicReference[(Long, DataFrame)](null)
 
@@ -73,10 +81,12 @@ final class SnapshotCache(version: () => Long,
       val again = pinned.get()
       if (again != null && again._1 == vNow) again
       else {
-        val df = resolve(vNow).persist(StorageLevel.MEMORY_AND_DISK)
+        val df =
+          if (persistPinned) resolve(vNow).persist(StorageLevel.MEMORY_AND_DISK)
+          else resolve(vNow)
         val entry = (vNow, df)
         val old = pinned.getAndSet(entry)
-        if (old != null) old._2.unpersist(blocking = false)
+        if (old != null && persistPinned) old._2.unpersist(blocking = false)
         entry
       }
     }
@@ -119,4 +129,23 @@ object SnapshotCache {
       () => graft.streaming.Rollup.currentSnapshot(spark, servedDir),
       v => spark.read.parquet(s"$servedDir/snap=$v"),
       maxResults)
+
+  /** Cache over the RAW tier (r13): version =
+    * [[graft.streaming.RawStore.versionStamp]] (append-visible — see
+    * its regime note), resolve = the manifest-consistent
+    * [[graft.streaming.RawStore.read]]. PLAN-ONLY pinning: the raw
+    * table is corpus-sized, so the pinned DataFrame is reused (skipping
+    * the resolver's manifest read, listings, and plan building — the
+    * ~160 ms/request the genCache measurement attributed to resolution)
+    * but its blocks are never persisted.
+    */
+  def forRawStore(spark: SparkSession, dir: String, schema: String,
+                  format: String, maxResults: Int = 64): SnapshotCache = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    new SnapshotCache(
+      () => graft.streaming.RawStore.versionStamp(fs, dir),
+      _ => graft.streaming.RawStore.read(spark, dir, schema, format),
+      maxResults, persistPinned = false)
+  }
 }

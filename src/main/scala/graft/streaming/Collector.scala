@@ -147,14 +147,22 @@ object Collector {
     * The store layer downstream (RawStore / Retention / Compaction /
     * Grafana) is already format-parametric.
     */
-  private[streaming] def writeBatch(batch: DataFrame, batchId: Long,
-                                    sinkDir: String,
-                                    format: String = "json"): Unit =
+  private[graft] def writeBatch(batch: DataFrame, batchId: Long,
+                                sinkDir: String,
+                                format: String = "json"): Unit = {
     batch.withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("p_date", "batch_id")
       .format(format).save(sinkDir)
+    // append-visible version bump (r13): AFTER the data lands, so a
+    // version reader never observes the new stamp with the batch still
+    // writing — the raw tier's half of RawStore.versionStamp
+    val root = new org.apache.hadoop.fs.Path(sinkDir)
+    RawStore.bumpLastBatch(
+      root.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration),
+      sinkDir, batchId)
+  }
 
   /** Deterministic stand-in for the HTTP GET (no egress in this
     * environment): value derived from the url hash. A real deployment

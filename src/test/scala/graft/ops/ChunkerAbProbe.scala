@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** md5-vs-gear boundary-rule A/B (test-scoped main) — prices the r12
+  * verdict's flagged hot loop: CdcChunks computes a full md5 digest per
+  * code-point position, GearChunks a one-shift rolling hash. Two
+  * measurements per decade dir:
+  *
+  *  - `chunk-*`: the raw chunker — explode + count + total chunk chars
+  *    (isolates the per-position boundary cost from the scrub's joins);
+  *  - `scrub-*`: the full scrubDupSpans pass under each boundary rule
+  *    (what the pipeline stage actually pays).
+  *
+  * Usage: sbt "Test/runMain graft.ops.ChunkerAbProbe <dir> [<dir> ...]"
+  * — or fresh-JVM via the verify-skill classpath recipe for the
+  * SURVEY-quality rows.
+  */
+object ChunkerAbProbe {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: ChunkerAbProbe <sfDir> [<sfDir> ...]")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    def docs(dir: String) = graft.model.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val chunkers = Map("md5" -> "cdc_chunks(text, 8)",
+      "gear" -> "cdc_chunks_gear(text)")
+    for (dir <- args; b <- Seq("md5", "gear"); rep <- 1 to 3) {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val r = docs(dir)
+        .select(explode(expr(chunkers(b))).as("c"))
+        .agg(count(lit(1)), sum(col("c.e") - col("c.s") + 1)).head()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[chunker-ab] $dir chunk-$b rep$rep chunks=${r.getLong(0)} " +
+        f"chars=${r.getLong(1)} sec=$sec%.2f")
+    }
+    for (dir <- args; b <- Seq("md5", "gear"); rep <- 1 to 2) {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val r = Dedup.scrubDupSpans(docs(dir), boundary = b)
+        .agg(sum(col("n_spans_cut")), sum(length(col("scrubbed")))).head()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[chunker-ab] $dir scrub-$b rep$rep spans=${r.getLong(0)} " +
+        f"chars=${r.getLong(1)} sec=$sec%.2f")
+    }
+    spark.stop()
+  }
+}

@@ -91,6 +91,36 @@ class ScrubSpansSpec extends SparkSpec {
       "fixture invariant: stride sampling must be blind to this phase pair")
   }
 
+  test("gear boundary: same cut-law on a margin-respecting fixture (canonical kept, span cut, complement exact)") {
+    // gear's invariance margin is the 64-BYTE shift register (vs md5's
+    // w-1 = 7 chars): only boundaries with >= 64 shared trailing bytes
+    // are guaranteed common, so the 120-char boilerplate the md5 test
+    // uses leaves < minSpan of guaranteed-shared interior. The gear
+    // fixture uses a 300-char span — the regime the scaladoc prescribes
+    // (production scrub spans, e.g. Lee et al.'s 50 TOKENS ≈ 250+
+    // chars, dwarf the register; tiny minSpan values belong to the md5
+    // rule).
+    val gBoiler = junk(29, 300, "abcdefgh ")
+    val gA = junk(11, 100, "xyzuvw ") + gBoiler + junk(13, 80, "pqrst ")
+    val gB = junk(17, 105, "klmno ") + gBoiler + junk(19, 90, "defgh ")
+    val docs = mk(1L -> gA, 2L -> gB, 3L -> docC)
+    val out = Dedup.scrubDupSpans(docs, boundary = "gear")
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getAs[String]("scrubbed"), r.getLong(r.fieldIndex("n_spans_cut")))).toMap
+    assert(byId(1L)._1 == gA && byId(1L)._2 == 0L)
+    assert(byId(3L)._1 == docC && byId(3L)._2 == 0L)
+    val (b2, n2) = byId(2L)
+    assert(n2 == 1L, s"expected 1 span cut in doc 2, got $n2")
+    // >= 300 - 64 - (2 chunk lengths of edge slack) must go
+    assert(b2.length < gB.length - 150,
+      s"expected >150 chars cut, got ${gB.length - b2.length}")
+    // complement law holds under any chunker: prefix + suffix of gB
+    assert((0 to b2.length).exists(i =>
+      gB.startsWith(b2.substring(0, i)) && gB.endsWith(b2.substring(i))),
+      "scrubbed text must be original minus one contiguous span")
+  }
+
   test("idempotence on constructed docs: a second pass rewrites nothing") {
     val docs = mk(1L -> docA, 2L -> docB, 3L -> docC)
     val once = Dedup.scrubDupSpans(docs)

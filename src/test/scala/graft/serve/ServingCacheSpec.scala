@@ -98,4 +98,52 @@ class ServingCacheSpec extends SparkSpec {
     render("a")
     assert(calls == 4, "post-flip (version, key) memoizes again")
   }
+
+  test("raw-tier cache (r13): appends AND maintenance commits both flip the stamp; " +
+      "pin is plan-only and reused between changes") {
+    import graft.streaming.{Collector, RawStore, Retention}
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("svc_raw").toString
+    val schema =
+      "series STRING, ts TIMESTAMP, value DOUBLE, p_date DATE, batch_id BIGINT"
+    def batch(ts: String, v: Double) =
+      Seq(("cpu", java.sql.Timestamp.valueOf(ts), v))
+        .toDF("series", "ts", "value")
+        .withColumn("p_date", to_date(col("ts")))
+
+    // batch 0 lands through the collector's sink (which bumps the stamp)
+    Collector.writeBatch(batch("2024-01-01 05:00:00", 1.0), 0L, dir)
+    val cache = SnapshotCache.forRawStore(spark, dir, schema, "json")
+    val t1 = cache.table()
+    assert(t1.count() == 1)
+    assert(t1 eq cache.table(), "unchanged stamp must reuse the pinned plan")
+    assert(t1.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE,
+      "raw pin must be plan-only — the raw tier is corpus-sized")
+
+    // an APPEND (new batch) is visible to the very next request
+    Collector.writeBatch(batch("2024-01-02 05:00:00", 2.0), 1L, dir)
+    val t2 = cache.table()
+    assert(!(t2 eq t1), "append must flip the stamp and re-resolve")
+    assert(t2.count() == 2)
+
+    // a MAINTENANCE commit (graceful retention drop) flips it too
+    Retention.enforce(spark, dir,
+      java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), format = "json",
+      grace = Some(3600_000L))
+    val t3 = cache.table()
+    assert(!(t3 eq t2), "manifest commit must flip the stamp")
+    assert(t3.count() == 1)
+    assert(t3.select("value").as[Double].head() == 2.0)
+
+    // and the memo invalidates across both flip kinds
+    var calls = 0
+    def render(): String = cache.render("k") { df =>
+      calls += 1; df.count().toString
+    }
+    assert(render() == "1" && render() == "1" && calls == 1)
+    Collector.writeBatch(batch("2024-01-03 05:00:00", 3.0), 2L, dir)
+    assert(render() == "2" && calls == 2)
+  }
 }
