@@ -349,11 +349,21 @@ object Rollup {
     * merges into the live table (exactly-once discipline unchanged) and
     * then publishes the post-merge state for racing readers. The serving
     * layer reads [[servedTable]] and never touches the live dir.
+    *
+    * `minPublishIntervalS` (r13): the publish-cadence dial the
+    * SnapshotCache regime analysis asks for — 0 publishes per committed
+    * batch (second-scale churn: maximal freshness, the cache's measured
+    * LOSING regime), N > 0 publishes at most every N seconds (the served
+    * tier lags the live table by up to N — the dashboard arrangement
+    * where snapshot lifetime ≫ request interarrival and the cache's
+    * pinned frame + memo pay off). Merging is NEVER gated — only
+    * publication; the heal-on-restart publish also bypasses the gate.
     */
   def startServed(spark: SparkSession, points: DataFrame, rollupDir: String,
                   servedDir: String, checkpointDir: String,
                   trigger: Trigger = Trigger.ProcessingTime("1 second"),
-                  granularity: String = "day", keep: Int = 3): StreamingQuery = {
+                  granularity: String = "day", keep: Int = 3,
+                  minPublishIntervalS: Long = 0): StreamingQuery = {
     val merge: (DataFrame, Long) => Boolean = granularity match {
       case "day" => mergeBatch(spark, _, _, rollupDir)
       case "hour" => mergeBatchHourly(spark, _, _, rollupDir)
@@ -367,6 +377,7 @@ object Rollup {
     // the live table has data. Publishing an unchanged state is
     // harmless (a fresh snapshot of identical content).
     val healed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val lastPubMs = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
     points.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -378,7 +389,13 @@ object Rollup {
           val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
           fs.exists(root) && fs.listStatus(root).nonEmpty
         }
-        if (merged || mustHeal) publish(spark, rollupDir, servedDir, keep)
+        val now = System.currentTimeMillis()
+        val due = minPublishIntervalS <= 0 ||
+          now - lastPubMs.get() >= minPublishIntervalS * 1000
+        if (mustHeal || (merged && due)) {
+          publish(spark, rollupDir, servedDir, keep)
+          lastPubMs.set(now)
+        }
         ()
       }
       .start()

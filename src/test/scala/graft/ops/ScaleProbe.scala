@@ -43,6 +43,16 @@ object ScaleProbe {
     "q101_near_exact_dup" -> "N", "q107_scrub_spans" -> "N",
     "q108_unigram_logprob" -> "N", "q109_vocab_topk" -> "<=50")
 
+  // Round-13 additions, all exactly-N by construction: q110 emits one
+  // redaction report row per doc (the planted-PII residues shift per
+  // replica — ids offset by 10M ≢ 0 mod 3 — but that moves WHICH docs
+  // get PII, never the row count), q111 one metric row per doc, q112
+  // one score row per >= 2-token doc (each replica's empty doc is
+  // excluded identically).
+  private val New13Family = Seq(
+    "q110_pii_redact" -> "N", "q111_gopher_rules" -> "N",
+    "q112_bigram_logprob" -> "N")
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 1, "usage: ScaleProbe <sfDir> [<sfDir2> ...]")
     // the sbt Test fork defaults to 8 GB (SPARK_DRIVER_MEM overrides);
@@ -59,8 +69,9 @@ object ScaleProbe {
       case "docs"  => DocsFamily.map(_ -> "")
       case "rel"   => RelFamily
       case "new12" => New12Family
-      case "all"   => DocsFamily.map(_ -> "") ++ RelFamily ++ New12Family
-      case other   => sys.error(s"SPARK_GRAFT_FAMILY=$other (want docs|rel|new12|all)")
+      case "new13" => New13Family
+      case "all"   => DocsFamily.map(_ -> "") ++ RelFamily ++ New12Family ++ New13Family
+      case other   => sys.error(s"SPARK_GRAFT_FAMILY=$other (want docs|rel|new12|new13|all)")
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     // soak protocol (settled by the r9 three-decade partition scan,

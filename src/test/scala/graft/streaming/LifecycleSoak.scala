@@ -49,6 +49,8 @@ import org.apache.spark.sql.functions._
   * Usage: sbt "Test/runMain graft.streaming.LifecycleSoak"
   * Env: SPARK_GRAFT_LC_DUR_S (900), SPARK_GRAFT_LC_RPS (10000),
   * SPARK_GRAFT_LC_MAINT_S (30), SPARK_GRAFT_LC_FORMAT (json|parquet),
+  * SPARK_GRAFT_LC_SERVE_CACHE (0|1), SPARK_GRAFT_LC_PUBLISH_S (0 =
+  * publish per batch; N > 0 = slow churn, the cache's win regime),
   * SPARK_GRAFT_CPUS (16).
   */
 object LifecycleSoak {
@@ -130,7 +132,13 @@ object LifecycleSoak {
     // _CURRENT and never race the live table's in-place overwrites (the
     // r11 fix this soak's first run motivated: rollup reads of the live
     // dir failed FILE_NOT_EXIST through retries under the 1 s trigger)
-    val rollup = Rollup.startServed(spark, points, rollupDir, servedDir, ckptR)
+    // SPARK_GRAFT_LC_PUBLISH_S > 0: slow-churn publish cadence (the
+    // SnapshotCache WIN-regime arrangement — snapshot lifetime ≫ the
+    // query thread's ~500 ms rollup-request interarrival); 0 keeps the
+    // per-batch publish (second-scale churn, the measured losing regime)
+    val publishS = sys.env.getOrElse("SPARK_GRAFT_LC_PUBLISH_S", "0").toLong
+    val rollup = Rollup.startServed(spark, points, rollupDir, servedDir, ckptR,
+      minPublishIntervalS = publishS)
 
     // ── maintenance: retention + compaction every maintS ────────────────
     val maint = new Thread(() => {
@@ -300,7 +308,7 @@ object LifecycleSoak {
       if (xs.isEmpty) Double.NaN
       else xs(math.min(xs.length - 1, math.max(0, math.ceil(p * xs.length).toInt - 1)))
     }
-    println(f"[lc-soak] fmt=$fmt rps=$rps serve_cache=$useServeCache " +
+    println(f"[lc-soak] fmt=$fmt rps=$rps serve_cache=$useServeCache publish_s=$publishS " +
       f"wall=${wallS}%.0fs hours_fed=$hours rows_fed=$fed " +
       f"stored=$stored expected=$expected match=${stored == expected} " +
       f"dropped=$dropped rewritten=$rewritten compacted=$compacted")
