@@ -377,7 +377,11 @@ object Rollup {
     // the live table has data. Publishing an unchanged state is
     // harmless (a fresh snapshot of identical content).
     val healed = new java.util.concurrent.atomic.AtomicBoolean(false)
-    val lastPubMs = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    // epoch-0 start: the FIRST merged batch always publishes (readers
+    // need a snapshot to exist before the cadence gate matters). NOT
+    // Long.MinValue — `now - MinValue` overflows negative and the gate
+    // would never open.
+    val lastPubMs = new java.util.concurrent.atomic.AtomicLong(0L)
     points.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
