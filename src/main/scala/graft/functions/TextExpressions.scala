@@ -608,13 +608,18 @@ object CdcChunks {
   }
 }
 
-/** Gear-rolling variant of [[CdcChunks]]: `cdc_chunks_gear(text)` →
-  * the SAME `array<struct<s, e, h>>` contract (1-based code-point
-  * ranges, h = md5 hex of the chunk text), but the per-position
-  * BOUNDARY test is the Gear rolling hash (Xia et al. FastCDC / the
-  * rsync family): `h = (h << 1) + GEAR[byte]` per byte, boundary at a
-  * code-point end iff the top 4 bits of h are zero (expected rate 1/16
-  * per position — the same mean chunk ~16 chars as the md5 rule).
+/** Gear-rolling variant of [[CdcChunks]]: `cdc_chunks_gear(text
+  * [, maskBits])` → the SAME `array<struct<s, e, h>>` contract
+  * (1-based code-point ranges, h = md5 hex of the chunk text), but the
+  * per-position BOUNDARY test is the Gear rolling hash (Xia et al.
+  * FastCDC / the rsync family): `h = (h << 1) + GEAR[byte]` per byte,
+  * boundary at a code-point end iff the top `maskBits` bits of h are
+  * zero — expected rate 1/2^maskBits per position. Default 4 (rate
+  * 1/16, the same mean chunk ~16 chars as the md5 rule); the dial
+  * trades mean chunk length against short-span recall (r13 ADVICE:
+  * more bits → longer chunks → fewer boundaries inside short shared
+  * spans; fewer bits → shorter chunks → better short-span recall at
+  * more chunk rows — A/B'd at 3/4/5 bits in ChunkerAbProbe).
   *
   * WHY: CdcChunks computes a FULL md5 digest per code-point position —
   * O(w)-byte digests on the hot loop (the r12 verdict's flagged
@@ -636,29 +641,32 @@ object CdcChunks {
   * oracle replays the boundary rule in SQL (md5 exists there; a Gear
   * table does not).
   */
-case class GearChunks(child: Expression)
-  extends UnaryExpression {
+case class GearChunks(left: Expression, right: Expression)
+  extends BinaryExpression {
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires string, got $t")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, literal int), got ($l, $r)")
+    }
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("s", LongType, nullable = false),
       StructField("e", LongType, nullable = false),
       StructField("h", StringType, nullable = false))), containsNull = false)
   override def prettyName: String = "cdc_chunks_gear"
 
-  override def nullSafeEval(input: Any): Any =
-    GearChunks.chunks(input.asInstanceOf[UTF8String])
+  override def nullSafeEval(t: Any, bits: Any): Any =
+    GearChunks.chunks(t.asInstanceOf[UTF8String], bits.asInstanceOf[Int])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.GearChunks.chunks($c);")
+    nullSafeCodeGen(ctx, ev, (t, b) =>
+      s"${ev.value} = graft.functions.GearChunks.chunks($t, $b);")
 
-  override protected def withNewChildInternal(newChild: Expression): GearChunks =
-    copy(child = newChild)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GearChunks =
+    copy(left = newLeft, right = newRight)
 }
 
 object GearChunks {
@@ -676,11 +684,17 @@ object GearChunks {
       z ^ (z >>> 31)
     }
   }
-  // top-4-bit mask: boundary rate 1/16 ⇒ mean chunk ~16 chars, matching
-  // CdcChunks' md5 top-nibble rule
-  private val Mask = 0xF000000000000000L
+  /** Default mask width: boundary rate 1/16 ⇒ mean chunk ~16 chars,
+    * matching CdcChunks' md5 top-nibble rule. */
+  val DefaultMaskBits = 4
 
-  def chunks(s: UTF8String): ArrayData = {
+  def chunks(s: UTF8String): ArrayData = chunks(s, DefaultMaskBits)
+
+  def chunks(s: UTF8String, maskBits: Int): ArrayData = {
+    if (maskBits <= 0 || maskBits >= 64)
+      throw new IllegalArgumentException(
+        s"cdc_chunks_gear maskBits must be in [1, 63], got $maskBits")
+    val mask = -1L << (64 - maskBits) // top maskBits bits
     val bytes = s.getBytes
     val offs = Utf8CodePoints.offsets(bytes)
     val cp = offs.length - 1
@@ -693,7 +707,7 @@ object GearChunks {
       // multi-byte sequences never split)
       var b = offs(i - 1)
       while (b < offs(i)) { h = (h << 1) + Gear(bytes(b) & 0xff); b += 1 }
-      if ((h & Mask) == 0L && i < cp) ends.add(i)
+      if ((h & mask) == 0L && i < cp) ends.add(i)
       i += 1
     }
     ends.add(cp)

@@ -194,8 +194,12 @@ object VectorExpressions {
       reg.registerFunction(FunctionIdentifier(gearChunksFnName),
         new ExpressionInfo(classOf[GearChunks].getName, gearChunksFnName),
         { children =>
-          require(children.length == 1, s"$gearChunksFnName expects 1 argument")
-          GearChunks(children.head)
+          require(children.length == 1 || children.length == 2,
+            s"$gearChunksFnName expects (text[, maskBits])")
+          GearChunks(children.head,
+            if (children.length == 2) children(1)
+            else org.apache.spark.sql.catalyst.expressions.Literal(
+              GearChunks.DefaultMaskBits))
         })
     if (!reg.functionExists(FunctionIdentifier(minhashFnName)))
       reg.registerFunction(FunctionIdentifier(minhashFnName),

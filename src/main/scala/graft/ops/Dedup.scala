@@ -476,11 +476,13 @@ object Dedup {
     // GearChunks' scaladoc for the semantics delta and ChunkerAbProbe
     // for the measured cost). Everything downstream of the chunk
     // arrays is chunker-agnostic.
+    val GearBits = "gear:(\\d+)".r
     val chunker = boundary match {
       case "md5" => s"cdc_chunks(text, $w)"
       case "gear" => "cdc_chunks_gear(text)"
+      case GearBits(bits) => s"cdc_chunks_gear(text, $bits)"
       case other => throw new IllegalArgumentException(
-        s"unknown boundary rule '$other' (expected md5 | gear)")
+        s"unknown boundary rule '$other' (expected md5 | gear | gear:<bits>)")
     }
     val base = docs.select(col("doc_id"), col("text"),
       expr(chunker).as("cs"))
@@ -541,27 +543,31 @@ object Dedup {
     * of >= minSpan chars, so total corpus length strictly decreases by
     * >= minSpan per round; the loop therefore ends in at most
     * totalChars/minSpan rounds, and `maxRounds` bounds it defensively
-    * far below that. Organic corpora converge immediately — the
-    * re-adjacency shape needs cut spans whose CDC boundaries align
-    * exactly with their sub-minSpan foreign neighbors in a second doc
-    * (ScrubFixpointSpec measures rounds == 1 on the fixture corpus:
-    * pass 1 cuts, pass 2 verifies dry).
+    * far below that. Measured convergence (ScrubFixpointProbe, r13):
+    * the re-adjacency shape — cut spans whose CDC boundaries align
+    * exactly with sub-minSpan foreign neighbors in a second doc — is
+    * rare but OCCURS ORGANICALLY at sf0.1-scale corpora: md5 boundary
+    * takes 2 productive rounds at 1×/10×/100× (pass 2 adds 0.02-0.2%
+    * more spans), gear 1-2; the sf0.001 spec fixture converges in 1.
     *
     * Memory contract: each round's output is persisted, counted (the
     * convergence check doubles as materialization), and the PREVIOUS
-    * round's backing released; the final frame and the cumulative
-    * count accumulator stay cached for the caller's action — caller
-    * owns cleanup (`spark.catalog.clearCache()` or unpersist via the
-    * cache manager), same as the SparkEntry CACHE CONTRACT.
+    * round's backing released; the final round's backing and the
+    * cumulative count accumulator stay cached for the caller's action —
+    * released by the returned `cleanup` thunk (idempotent; call after
+    * the last action on `scrubbed`, like TrainingPipeline.Result).
     *
-    * Returns (scrubbed frame: input rows + `scrubbed` + CUMULATIVE
-    * `n_spans_cut`, productive round count — 0 means the input was
-    * already a fixpoint).
+    * Returns the scrubbed frame (input rows + `scrubbed` + CUMULATIVE
+    * `n_spans_cut`), the productive round count (0 = the input was
+    * already a fixpoint), and the cleanup thunk.
     */
+  case class FixpointResult(scrubbed: DataFrame, rounds: Int,
+                            cleanup: () => Unit)
+
   private[graft] def scrubToFixpoint(docs: DataFrame, w: Int = 8,
                                      minSpan: Int = 50,
                                      maxRounds: Int = 8,
-                                     boundary: String = "md5"): (DataFrame, Int) = {
+                                     boundary: String = "md5"): FixpointResult = {
     import org.apache.spark.storage.StorageLevel
     var cur = docs.select(col("doc_id"), col("text"))
     var curBacking: DataFrame = null // previous round's persisted output
@@ -608,7 +614,12 @@ object Dedup {
           cur.select(col("doc_id"), col("text").as("scrubbed"))
             .join(acc, Seq("doc_id")),
           Seq("doc_id"))
-    (result, rounds)
+    val finalBacking = curBacking
+    val finalAcc = acc
+    FixpointResult(result, rounds, () => {
+      if (finalBacking != null) finalBacking.unpersist()
+      if (finalAcc != null) finalAcc.unpersist()
+    })
   }
 
   val queries: Map[String, Q] = Map(

@@ -430,8 +430,13 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    // the three PII patterns are INTERPOLATED from the same Scala
+    // constants the Spark query compiles (r13 ADVICE: no parallel
+    // literals to drift — the Scala string values are already the raw
+    // pattern text, and DuckDB single-quoted strings keep backslashes
+    // literal, so the interpolation is byte-faithful)
     "q110_pii_redact" ->
-      """WITH aug AS (
+      s"""WITH aug AS (
         |  SELECT doc_id,
         |         text
         |         || CASE WHEN doc_id % 3 = 0
@@ -451,22 +456,22 @@ object TextAnalysis {
         |s1 AS (
         |  SELECT doc_id, t0,
         |         CAST(len(regexp_extract_all(t0,
-        |           '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
-        |         regexp_replace(t0, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}',
+        |           '$EmailRe')) AS BIGINT) AS n_emails,
+        |         regexp_replace(t0, '$EmailRe',
         |           '<EMAIL>', 'g') AS t1
         |  FROM aug),
         |s2 AS (
         |  SELECT doc_id, n_emails,
         |         CAST(len(regexp_extract_all(t1,
-        |           '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_phones,
-        |         regexp_replace(t1, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b',
+        |           '$PhoneRe')) AS BIGINT) AS n_phones,
+        |         regexp_replace(t1, '$PhoneRe',
         |           '<PHONE>', 'g') AS t2
         |  FROM s1),
         |s3 AS (
         |  SELECT doc_id, n_emails, n_phones,
         |         CAST(len(regexp_extract_all(t2,
-        |           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
-        |         regexp_replace(t2, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+        |           '$Ipv4Re')) AS BIGINT) AS n_ips,
+        |         regexp_replace(t2, '$Ipv4Re',
         |           '<IP>', 'g') AS redacted
         |  FROM s2)
         |SELECT doc_id, n_emails, n_phones, n_ips,

@@ -358,6 +358,14 @@ object Rollup {
     * where snapshot lifetime ≫ request interarrival and the cache's
     * pinned frame + memo pay off). Merging is NEVER gated — only
     * publication; the heal-on-restart publish also bypasses the gate.
+    *
+    * DRAIN CONTRACT (gated mode): state merged after the last publish
+    * stays unpublished until the next batch opens the gate — up to N
+    * seconds of served-tier lag persists across a drain-then-stop. A
+    * deployment that stops the stream and keeps serving flushes with
+    * one explicit [[publish]] call after `stop()` (publishing an
+    * unchanged state is harmless — a fresh snapshot of identical
+    * content, same as the heal path).
     */
   def startServed(spark: SparkSession, points: DataFrame, rollupDir: String,
                   servedDir: String, checkpointDir: String,

@@ -33,8 +33,10 @@ object ChunkerAbProbe {
     def docs(dir: String) = graft.model.Tables(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
     val chunkers = Map("md5" -> "cdc_chunks(text, 8)",
-      "gear" -> "cdc_chunks_gear(text)")
-    for (dir <- args; b <- Seq("md5", "gear"); rep <- 1 to 3) {
+      "gear" -> "cdc_chunks_gear(text)",
+      "gear3" -> "cdc_chunks_gear(text, 3)",   // 1/8 rate: shorter chunks
+      "gear5" -> "cdc_chunks_gear(text, 5)")   // 1/32 rate: longer chunks
+    for (dir <- args; b <- Seq("md5", "gear", "gear3", "gear5"); rep <- 1 to 3) {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val r = docs(dir)
@@ -44,7 +46,7 @@ object ChunkerAbProbe {
       println(f"[chunker-ab] $dir chunk-$b rep$rep chunks=${r.getLong(0)} " +
         f"chars=${r.getLong(1)} sec=$sec%.2f")
     }
-    for (dir <- args; b <- Seq("md5", "gear"); rep <- 1 to 2) {
+    for (dir <- args; b <- Seq("md5", "gear", "gear:3", "gear:5"); rep <- 1 to 2) {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val r = Dedup.scrubDupSpans(docs(dir), boundary = b)

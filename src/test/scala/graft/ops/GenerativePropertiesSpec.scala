@@ -413,6 +413,29 @@ class GenerativePropertiesSpec extends SparkSpec {
     }
   }
 
+  test("gear mask widths nest: every (k+1)-bit boundary is a k-bit boundary") {
+    // the r13 mask dial's structural law: the mask covers the TOP bits,
+    // so zeroing k+1 of them implies zeroing k — wider masks can only
+    // REMOVE boundaries (longer chunks), never move or add them. A
+    // violation would mean the dial changes the cut-law, not just rate.
+    def ends(text: String, bits: Int): Set[Long] = {
+      val arr = graft.functions.GearChunks.chunks(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text), bits)
+      (0 until arr.numElements()).map(i => arr.getStruct(i, 3).getLong(1)).toSet
+    }
+    forAll(textGen, n = 10) { text =>
+      whenever(cps(text).nonEmpty) {
+        val n = cps(text).length.toLong
+        def content(bits: Int) = ends(text, bits) - n // forced end excluded
+        assert(content(5).subsetOf(content(4)))
+        assert(content(4).subsetOf(content(3)))
+        // and the default equals 4 bits
+        assert(ends(text, 4) ==
+          gearChunks(text).map(_._2).toSet)
+      }
+    }
+  }
+
   test("gear and md5 boundary SETS differ (same cut-law, different chunker — documented)") {
     // not a defect: the semantics delta GearChunks' scaladoc declares.
     // Find at least one generated text the two rules cut differently.

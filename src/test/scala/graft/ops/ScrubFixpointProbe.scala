@@ -28,11 +28,12 @@ object ScrubFixpointProbe {
       val docs = graft.model.Tables(spark, dir, "documents")
         .select(col("doc_id"), col("text"))
       val t0 = System.nanoTime()
-      val (out, rounds) = Dedup.scrubToFixpoint(docs, boundary = b)
-      val r = out.agg(sum(col("n_spans_cut")),
+      val fx = Dedup.scrubToFixpoint(docs, boundary = b)
+      val r = fx.scrubbed.agg(sum(col("n_spans_cut")),
         sum(length(col("scrubbed"))), count(lit(1))).head()
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[fixpoint] $dir boundary=$b rounds=$rounds " +
+      fx.cleanup()
+      println(f"[fixpoint] $dir boundary=$b rounds=${fx.rounds} " +
         f"spans=${r.getLong(0)} chars=${r.getLong(1)} rows=${r.getLong(2)} " +
         f"sec=$sec%.2f")
     }

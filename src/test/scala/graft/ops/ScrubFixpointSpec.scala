@@ -27,7 +27,7 @@ class ScrubFixpointSpec extends SparkSpec {
   test("organic fixture: fixpoint reached, final text has no qualifying span") {
     val docs = graft.model.Tables(spark, sf(), "documents")
       .select("doc_id", "text")
-    val (out, rounds) = Dedup.scrubToFixpoint(docs)
+    val Dedup.FixpointResult(out, rounds, cleanup) = Dedup.scrubToFixpoint(docs)
     try {
       val o = out.persist()
       assert(o.count() == docs.count(), "rows preserved")
@@ -50,6 +50,7 @@ class ScrubFixpointSpec extends SparkSpec {
           .filter(col("n_spans_cut") =!= col("one")).isEmpty,
           "single-round cumulative counts must equal the one-pass counts")
       }
+      cleanup() // idempotent; the catalog clear below covers o's persist
     } finally spark.catalog.clearCache()
   }
 
@@ -59,7 +60,7 @@ class ScrubFixpointSpec extends SparkSpec {
       1L -> ("alpha beta gamma delta " * 5),
       2L -> ("omicron pi rho sigma " * 5),
       3L -> ("zeta eta theta iota " * 5))
-    val (out, rounds) = Dedup.scrubToFixpoint(docs)
+    val Dedup.FixpointResult(out, rounds, _) = Dedup.scrubToFixpoint(docs)
     try {
       assert(rounds == 0)
       val rows = out.orderBy("doc_id").collect()
@@ -72,13 +73,14 @@ class ScrubFixpointSpec extends SparkSpec {
   test("wrapper idempotence: fixpoint output re-enters at rounds = 0") {
     val docs = graft.model.Tables(spark, sf(), "documents")
       .select("doc_id", "text")
-    val (out, _) = Dedup.scrubToFixpoint(docs)
-    val fixed = out.select(col("doc_id"), col("scrubbed").as("text"))
+    val first = Dedup.scrubToFixpoint(docs)
+    val fixed = first.scrubbed.select(col("doc_id"), col("scrubbed").as("text"))
       .persist()
     fixed.count()
+    first.cleanup()
     try {
-      val (_, rounds2) = Dedup.scrubToFixpoint(fixed)
-      assert(rounds2 == 0, s"re-scrub of a fixpoint ran $rounds2 rounds")
+      val second = Dedup.scrubToFixpoint(fixed)
+      assert(second.rounds == 0, s"re-scrub of a fixpoint ran ${second.rounds} rounds")
     } finally spark.catalog.clearCache()
   }
 }

@@ -276,6 +276,11 @@ object LifecycleSoak {
     stop.set(true)
     maint.join(); query.join()
     collect.stop(); rollup.stop()
+    // drain contract (gated publish mode): flush the last merged state
+    // so the served tier ends current — see Rollup.startServed scaladoc
+    if (publishS > 0 && new java.io.File(rollupDir).list() != null &&
+        new java.io.File(rollupDir).list().nonEmpty)
+      Rollup.publish(spark, rollupDir, servedDir)
     val wallS = (System.nanoTime() - wall0) / 1e9
 
     // ── reconciliation ─────────────────────────────────────────────────

@@ -343,6 +343,43 @@ class RollupSpec extends SparkSpec {
       "healed snapshot must equal the live merged state (no double count)")
   }
 
+  test("gated publish: first batch publishes, the gate holds later batches, " +
+      "explicit publish flushes the drain lag") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("rollup_gate").toString
+    val (live, served, ckpt) = (s"$base/table", s"$base/served", s"$base/ckpt")
+    def currentSnap(): String =
+      Files.readString(java.nio.file.Paths.get(s"$served/_CURRENT")).trim
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Timestamp, Double)]
+    val points = input.toDS().toDF("series", "ts", "value")
+    // huge gate, ONE long-lived query: the first merged batch publishes
+    // (epoch-0 gate start), every later one is held. The gate is
+    // in-memory cadence state, so both batches must ride the SAME query.
+    val q = Rollup.startServed(spark, points, live, served, ckpt,
+      minPublishIntervalS = 3600)
+    try {
+      input.addData(("cpu", ts("2024-03-01 10:00:00"), 2.0))
+      q.processAllAvailable()
+      val snapFirst = currentSnap()
+      input.addData(("cpu", ts("2024-03-01 11:00:00"), 4.0))
+      q.processAllAvailable()
+      assert(currentSnap() == snapFirst,
+        "the gate must hold the second batch's publish")
+    } finally q.stop()
+    val snap1 = currentSnap()
+    val merged = spark.read.parquet(live)
+    assert(merged.head().getAs[Long]("cnt") == 2L,
+      "merging is never gated")
+    // drain flush: explicit publish surfaces the merged state
+    Rollup.publish(spark, live, served)
+    assert(currentSnap() != snap1, "drain publish must flip the pointer")
+    val r = Rollup.servedTable(spark, served)
+    assert(r.head().getAs[Long]("cnt") == 2L,
+      "flushed snapshot must equal the live merged state")
+  }
+
   test("rollup partitions expire through the shared Retention machinery") {
     import spark.implicits._
     // the rollup shares the p_date= layout, and day-granular rows mean a
