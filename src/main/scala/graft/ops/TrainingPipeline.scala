@@ -94,6 +94,13 @@ object TrainingPipeline {
       // set — GearChunks scaladoc carries the delta, ChunkerAbProbe
       // the measured cost).
       scrubBoundary: String = "md5",
+      // r13: when true (with scrubDupSpans), the scrub iterates to its
+      // FIXPOINT (Dedup.scrubToFixpoint) — no qualifying span survives
+      // in the final text, not just none from the pre-scrub text. The
+      // organic cost is ~1 extra productive pass + 1 dry verify pass
+      // (measured: md5 needs 2 productive rounds at sf0.1+ decades,
+      // the re-adjacency tail is 0.02-0.2% of spans).
+      scrubFixpoint: Boolean = false,
       // r13: when true, q110's PII redaction (TextAnalysis.redactPii —
       // emails/phones/IPv4s → typed markers) rewrites `text` after
       // near-dup removal / span scrub and BEFORE decontamination, so
@@ -223,10 +230,18 @@ object TrainingPipeline {
     // counts docs that were actually rewritten, not survivors. Persisted
     // (it feeds the decontamination gram explodes AND the final
     // anti-join, same diamond as the raw near-dedup set it replaces).
+    var scrubExtraCleanup: () => Unit = () => ()
     val scrubbedOpt =
       if (!cfg.scrubDupSpans) None
-      else Some(Dedup.scrubDupSpans(nearDedupedRaw, boundary = cfg.scrubBoundary)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else if (cfg.scrubFixpoint) {
+        val fx = Dedup.scrubToFixpoint(nearDedupedRaw,
+          boundary = cfg.scrubBoundary)
+        scrubExtraCleanup = fx.cleanup
+        Some(fx.scrubbed
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      } else
+        Some(Dedup.scrubDupSpans(nearDedupedRaw, boundary = cfg.scrubBoundary)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val scrubbed = scrubbedOpt match {
       case None => nearDedupedRaw
       case Some(sc) =>
@@ -286,6 +301,7 @@ object TrainingPipeline {
       exact.unpersist()
       nearDedupedRaw.unpersist()
       scrubbedOpt.foreach(_.unpersist())
+      scrubExtraCleanup() // fixpoint internals; its frame materialized above
     }
 
     // 4b (optional). domain mixing: q103's machinery at a configured
@@ -334,8 +350,10 @@ object TrainingPipeline {
 
     // unpersist is idempotent, so listing the already-released audit-mode
     // caches here is harmless — one cleanup covers both modes
-    val cleanup = () => (Seq(exact, nearDedupedRaw, clean) ++ scrubbedOpt)
-      .foreach(_.unpersist())
+    val cleanup = () => {
+      (Seq(exact, nearDedupedRaw, clean) ++ scrubbedOpt).foreach(_.unpersist())
+      scrubExtraCleanup() // fixpoint-mode internal caches (idempotent)
+    }
     Result(mixed, packed, audit.result(), cleanup, order)
   }
 

@@ -157,6 +157,26 @@ class ScrubSpansSpec extends SparkSpec {
     }
   }
 
+  test("pipeline fixpoint scrub: survivors' text carries no qualifying span") {
+    val docs = graft.model.Tables(spark, sf(), "documents")
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val eval_ = docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text")
+    val res = TrainingPipeline.prepare(train, eval_,
+      TrainingPipeline.Config(scrubDupSpans = true, scrubFixpoint = true))
+    try {
+      assert(res.audit.toMap.contains("span_scrubbed"))
+      // the fixpoint law END TO END: one more scrub pass over the
+      // surviving corpus cuts nothing (the one-pass stage can leave the
+      // organic re-adjacency tail; the fixpoint stage cannot)
+      val again = Dedup.scrubDupSpans(res.survivors.select("doc_id", "text"))
+      assert(again.filter(col("n_spans_cut") > 0).isEmpty,
+        "fixpoint-scrubbed survivors must be scrub-stable")
+    } finally {
+      res.cleanup()
+      spark.catalog.clearCache()
+    }
+  }
+
   test("pipeline scrub stage: rows kept, uncut text preserved, audit counts rewritten docs") {
     val docs = graft.model.Tables(spark, sf(), "documents")
     val train = docs.filter(col("doc_id") % 2 === 0)
