@@ -465,7 +465,13 @@ object Dedup {
     * of contiguous shared chunks in the ORIGINAL text); iterate to
     * fixpoint if the stricter closure is wanted.
     */
-  private[graft] def scrubDupSpans(docs: DataFrame, w: Int = 8,
+  /** The DETECTION half of [[scrubDupSpans]], exposed (r13): the
+    * maximal cross-doc repeated spans the scrub would cut — one row
+    * per (doc_id, cs, ce) with 1-based inclusive code-point bounds.
+    * SpanPrecisionProbe audits boundary rules against each other on
+    * this output; the scrub composes it with the rewrite walk.
+    */
+  private[graft] def dupSpanRanges(docs: DataFrame, w: Int = 8,
                                    minSpan: Int = 50,
                                    boundary: String = "md5"): DataFrame = {
     graft.functions.VectorExpressions.ensureRegistered(docs.sparkSession)
@@ -474,8 +480,9 @@ object Dedup {
     // "gear" swaps the O(w)-per-position digest for the O(1) Gear
     // rolling hash (same cut-law, different boundary SET — see
     // GearChunks' scaladoc for the semantics delta and ChunkerAbProbe
-    // for the measured cost). Everything downstream of the chunk
-    // arrays is chunker-agnostic.
+    // for the measured cost); "gear:<bits>" sets the mask width (the
+    // mean-chunk-length vs short-span-recall dial). Everything
+    // downstream of the chunk arrays is chunker-agnostic.
     val GearBits = "gear:(\\d+)".r
     val chunker = boundary match {
       case "md5" => s"cdc_chunks(text, $w)"
@@ -505,7 +512,7 @@ object Dedup {
       .select(col("doc_id"), col("s"), col("e"))
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("s")
-    val spans = foreign
+    foreign
       .withColumn("brk",
         when(col("s") - lag(col("e"), 1).over(byDoc) === 1, lit(0L))
           .otherwise(lit(1L)))
@@ -513,6 +520,13 @@ object Dedup {
       .groupBy(col("doc_id"), col("g"))
       .agg(min(col("s")).as("cs"), max(col("e")).as("ce"))
       .filter(col("ce") - col("cs") + 1 >= minSpan)
+      .select("doc_id", "cs", "ce")
+  }
+
+  private[graft] def scrubDupSpans(docs: DataFrame, w: Int = 8,
+                                   minSpan: Int = 50,
+                                   boundary: String = "md5"): DataFrame = {
+    val spans = dupSpanRanges(docs, w, minSpan, boundary)
     val cuts = spans.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("cs"), col("ce")))).as("cuts"),
         count(lit(1)).as("n_spans_cut"))
