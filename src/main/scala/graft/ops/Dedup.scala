@@ -523,10 +523,89 @@ object Dedup {
       .select("doc_id", "cs", "ce")
   }
 
+  /** Strict-contiguity confirm (r13 ADVICE close — the policy dial the
+    * span-precision audit asked for): keep only the spans of
+    * [[dupSpanRanges]] whose FULL text occurs contiguously in another
+    * document (Lee et al.'s exact-substring semantics), dropping the
+    * MOSAIC spans (runs of chunks individually duplicated but merged
+    * across DIFFERENT source docs — measured 93-97% of each rule's
+    * exclusive tail on the organic corpus).
+    *
+    * Scalable shape — no substring search: a span is a run of WHOLE
+    * chunks of its doc, so its text occurs contiguously in doc e iff e
+    * contains the same chunk-hash sequence adjacently (content-defined
+    * chunking cuts the copy identically). Confirm via ADJACENT-PAIR
+    * chaining: single-chunk spans are contiguous by foreignness
+    * definition (the chunk text verbatim occurs elsewhere — its hash is
+    * content md5 in ≥ 2 docs); a k-chunk span is confirmed iff some
+    * single other doc contains ALL of its distinct adjacent chunk-hash
+    * pairs. Pair chaining over-approximates only when a chunk hash
+    * repeats inside the candidate doc (the chain can jump between
+    * occurrences) — documented, and the audit measures confirmed spans
+    * at verbatim rate ~1.0. Cost class: one doc-local pair projection
+    * + one pair-hash join + a span-sized aggregate — the same shape as
+    * the scrub's own chunk⋈dup join, nothing quadratic.
+    */
+  private[graft] def confirmContiguous(docs: DataFrame, spans: DataFrame,
+                                       w: Int = 8,
+                                       boundary: String = "md5"): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(docs.sparkSession)
+    val GearBits = "gear:(\\d+)".r
+    val chunker = boundary match {
+      case "md5" => s"cdc_chunks(text, $w)"
+      case "gear" => "cdc_chunks_gear(text)"
+      case GearBits(bits) => s"cdc_chunks_gear(text, $bits)"
+      case other => throw new IllegalArgumentException(
+        s"unknown boundary rule '$other' (expected md5 | gear | gear:<bits>)")
+    }
+    val ch = docs.select(col("doc_id"),
+        posexplode(expr(chunker)).as(Seq("idx", "c")))
+      .select(col("doc_id"), col("idx"),
+        col("c.s").as("s"), col("c.e").as("e"), col("c.h").as("h"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("idx")
+    // adjacent chunk-hash pairs, doc-local (one per-doc window)
+    val pairs = ch
+      .withColumn("nh", lead(col("h"), 1).over(byDoc))
+      .filter(col("nh").isNotNull)
+      .select(col("doc_id"), col("idx"),
+        concat(col("h"), col("nh")).as("ph"))
+    // span → covered chunk index range (spans are unions of whole chunks)
+    val spanIdx = spans.join(ch, Seq("doc_id"))
+      .filter(col("s") >= col("cs") && col("e") <= col("ce"))
+      .groupBy("doc_id", "cs", "ce")
+      .agg(min(col("idx")).as("i1"), max(col("idx")).as("i2"))
+    val single = spanIdx.filter(col("i1") === col("i2"))
+      .select("doc_id", "cs", "ce")
+    // multi-chunk spans: distinct adjacent pairs per span, then require
+    // some OTHER doc to carry all of them
+    val spanPairs = spanIdx.filter(col("i2") > col("i1"))
+      .join(pairs, Seq("doc_id"))
+      .filter(col("idx") >= col("i1") && col("idx") < col("i2"))
+      .select(col("doc_id"), col("cs"), col("ce"), col("ph"))
+      .distinct()
+    val need = spanPairs.groupBy("doc_id", "cs", "ce")
+      .agg(count(lit(1)).as("need"))
+    val confirmedMulti = spanPairs
+      .join(pairs.select(col("doc_id").as("e_doc"), col("ph"))
+        .hint("SHUFFLE_HASH"), Seq("ph"))
+      .filter(col("e_doc") =!= col("doc_id"))
+      .groupBy(col("doc_id"), col("cs"), col("ce"), col("e_doc"))
+      .agg(count_distinct(col("ph")).as("got"))
+      .join(need, Seq("doc_id", "cs", "ce"))
+      .filter(col("got") === col("need"))
+      .select("doc_id", "cs", "ce").distinct()
+    single.unionByName(confirmedMulti)
+  }
+
   private[graft] def scrubDupSpans(docs: DataFrame, w: Int = 8,
                                    minSpan: Int = 50,
-                                   boundary: String = "md5"): DataFrame = {
-    val spans = dupSpanRanges(docs, w, minSpan, boundary)
+                                   boundary: String = "md5",
+                                   contiguousOnly: Boolean = false): DataFrame = {
+    val all = dupSpanRanges(docs, w, minSpan, boundary)
+    val spans =
+      if (!contiguousOnly) all
+      else confirmContiguous(docs, all, w, boundary)
     val cuts = spans.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("cs"), col("ce")))).as("cuts"),
         count(lit(1)).as("n_spans_cut"))
@@ -581,7 +660,8 @@ object Dedup {
   private[graft] def scrubToFixpoint(docs: DataFrame, w: Int = 8,
                                      minSpan: Int = 50,
                                      maxRounds: Int = 8,
-                                     boundary: String = "md5"): FixpointResult = {
+                                     boundary: String = "md5",
+                                     contiguousOnly: Boolean = false): FixpointResult = {
     import org.apache.spark.storage.StorageLevel
     var cur = docs.select(col("doc_id"), col("text"))
     var curBacking: DataFrame = null // previous round's persisted output
@@ -589,7 +669,7 @@ object Dedup {
     var rounds = 0
     var done = false
     while (!done && rounds < maxRounds) {
-      val out = scrubDupSpans(cur, w, minSpan, boundary)
+      val out = scrubDupSpans(cur, w, minSpan, boundary, contiguousOnly)
         .persist(StorageLevel.MEMORY_AND_DISK)
       val cut = out.agg(coalesce(sum(col("n_spans_cut")), lit(0L)))
         .head().getLong(0)

@@ -101,6 +101,13 @@ object TrainingPipeline {
       // (measured: md5 needs 2 productive rounds at sf0.1+ decades,
       // the re-adjacency tail is 0.02-0.2% of spans).
       scrubFixpoint: Boolean = false,
+      // r13: strict Lee-et-al. semantics — cut only spans whose FULL
+      // text occurs contiguously in another doc (Dedup.confirmContiguous:
+      // chunk-pair-chain confirm, no substring search), keeping the
+      // mosaic spans the default mode cuts. The span-precision audit
+      // (SURVEY §8.0) measured each rule's mosaic tail at 93-97% of its
+      // exclusive spans.
+      scrubContiguousOnly: Boolean = false,
       // r13: when true, q110's PII redaction (TextAnalysis.redactPii —
       // emails/phones/IPv4s → typed markers) rewrites `text` after
       // near-dup removal / span scrub and BEFORE decontamination, so
@@ -235,12 +242,14 @@ object TrainingPipeline {
       if (!cfg.scrubDupSpans) None
       else if (cfg.scrubFixpoint) {
         val fx = Dedup.scrubToFixpoint(nearDedupedRaw,
-          boundary = cfg.scrubBoundary)
+          boundary = cfg.scrubBoundary,
+          contiguousOnly = cfg.scrubContiguousOnly)
         scrubExtraCleanup = fx.cleanup
         Some(fx.scrubbed
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       } else
-        Some(Dedup.scrubDupSpans(nearDedupedRaw, boundary = cfg.scrubBoundary)
+        Some(Dedup.scrubDupSpans(nearDedupedRaw, boundary = cfg.scrubBoundary,
+            contiguousOnly = cfg.scrubContiguousOnly)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val scrubbed = scrubbedOpt match {
       case None => nearDedupedRaw

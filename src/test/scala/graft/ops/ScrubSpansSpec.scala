@@ -157,6 +157,67 @@ class ScrubSpansSpec extends SparkSpec {
     }
   }
 
+  test("contiguousOnly: verbatim-shared span still cut, mosaic span preserved") {
+    // MOSAIC fixture: doc 3 contains R (400 chars) contiguously; doc 1
+    // holds only R's first 260 chars, doc 2 only its last 260 (overlap
+    // 120 keeps the seam chunks foreign with full interior context) —
+    // every interior chunk of R is duplicated SOMEWHERE, so the default
+    // scrub merges ONE long run across the window seam and cuts it; but
+    // R's full run occurs contiguously in no other doc, so the strict
+    // mode must keep it. (The windows are sized so each side almost
+    // surely contributes chunks the other window lacks — a 120-char R
+    // failed here because its sparse boundary draw left window 1
+    // covering nothing beyond window 2.)
+    val R = junk(41, 400, "abcdefgh ")
+    val d1 = junk(43, 60, "xyzuvw ") + R.substring(0, 260) + junk(47, 60, "pqrst ")
+    val d2 = junk(53, 60, "klmno ") + R.substring(140) + junk(59, 60, "wxyzq ")
+    val c = junk(61, 60, "qrstu ") + R + junk(67, 60, "vutsr ")
+    // docs 4/5 reuse the verbatim boiler pair: 5 must STILL be cut in
+    // strict mode (its span occurs contiguously in doc 4)
+    val docs = mk(1L -> d1, 2L -> d2, 3L -> c, 4L -> docA, 5L -> docB)
+
+    val texts = Map(1L -> d1, 2L -> d2, 3L -> c, 4L -> docA, 5L -> docB)
+    // SPAN-LEVEL LAW (geometry-independent): every confirmed span's
+    // exact text occurs in another doc; no unconfirmed span's does.
+    // (A >= 50 sub-span of R lying inside ONE helper window is genuine
+    // contiguous duplication — strict mode rightly keeps cutting those;
+    // only the cross-window mosaic remainder must survive.)
+    val all = Dedup.dupSpanRanges(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val confirmed = Dedup.confirmContiguous(docs, Dedup.dupSpanRanges(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(confirmed.subsetOf(all))
+    assert(all.exists(_._1 == 3L), "fixture precondition: doc 3 has a detected span")
+    def verbatimElsewhere(s: (Long, Long, Long)): Boolean = {
+      val sub = texts(s._1).substring(s._2.toInt - 1, s._3.toInt)
+      texts.exists { case (id, t) => id != s._1 && t.contains(sub) }
+    }
+    confirmed.foreach(s => assert(verbatimElsewhere(s),
+      s"confirmed span $s does not occur verbatim elsewhere"))
+    val mosaic = all -- confirmed
+    assert(mosaic.nonEmpty, "fixture precondition: a mosaic span exists")
+    mosaic.foreach(s => assert(!verbatimElsewhere(s),
+      s"unconfirmed span $s DOES occur verbatim elsewhere (confirm too strict)"))
+
+    // SCRUB-LEVEL: strict cuts a subset, keeps strictly more of the
+    // mosaic doc, and still cuts the verbatim boiler pair
+    val loose = Dedup.scrubDupSpans(docs).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[String]("scrubbed"), r.getLong(r.fieldIndex("n_spans_cut")))).toMap
+    val strict = Dedup.scrubDupSpans(docs, contiguousOnly = true)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[String]("scrubbed"), r.getLong(r.fieldIndex("n_spans_cut")))).toMap
+    assert(strict(5L)._2 == 1L && strict(5L)._1.length < docB.length,
+      "strict mode must still cut the verbatim-shared span")
+    assert(texts.keys.forall(id =>
+      strict(id)._2 <= loose(id)._2 && strict(id)._1.length >= loose(id)._1.length),
+      "strict must never cut more than default")
+    if (mosaic.exists(_._1 == 3L))
+      assert(strict(3L)._1.length > loose(3L)._1.length,
+        "strict must keep the mosaic portion of doc 3")
+  }
+
   test("pipeline fixpoint scrub: survivors' text carries no qualifying span") {
     val docs = graft.model.Tables(spark, sf(), "documents")
     val train = docs.filter(col("doc_id") % 2 === 0)

@@ -59,7 +59,13 @@ object SpanPrecisionProbe {
       val all = ranges(rule)
       val common = overlap(rule, other)
       val exclusive = all.join(common, Seq("doc_id", "cs", "ce"), "left_anti")
-      for ((cls, set) <- Seq("common" -> common, "exclusive" -> exclusive)) {
+      // the r13 confirm under audit: its output should measure ~1.0
+      // verbatim (pair chaining over-approximates only via repeated
+      // chunk hashes inside one candidate doc)
+      val confirmed = Dedup.confirmContiguous(docs, all, boundary = rule)
+      val rejected = all.join(confirmed, Seq("doc_id", "cs", "ce"), "left_anti")
+      for ((cls, set) <- Seq("common" -> common, "exclusive" -> exclusive,
+          "confirmed" -> confirmed, "rejected" -> rejected)) {
         val n = set.count()
         // deterministic sample: first K by (doc_id, cs)
         val sample = set.orderBy("doc_id", "cs").limit(k)
