@@ -404,6 +404,45 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // Tokenizer application — the export step after q109's vocabulary
+    // build: assign every distinct corpus token its frequency-rank id
+    // (1-based; ties broken lexically — q109's exact ordering at full
+    // vocab width), then rewrite each doc as its ordered token-id
+    // sequence. This is what a pretraining export actually materializes
+    // (ids, not strings), completing the chain q109 vocab → THIS →
+    // q97/q58 chunk+pack → q106 order.
+    // Scale shape: the vocab table is corpus-sublinear (Heaps) and
+    // BROADCAST into the token scan (q108/q112's lint-gated
+    // architecture); per-doc sequences rebuild via sort_array over
+    // (pos, id) structs — collect_list alone has NO ordering guarantee
+    // under parallel aggregation, the sort is what makes the output
+    // deterministic. The ids ride through md5 of the joined sequence,
+    // so any id/order divergence from the oracle fails the hash gate.
+    "q113_tokenize" -> ((s, dir) => {
+      val tok = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(filter(split(col("text"), " "), w => w =!= ""))
+            .as(Seq("pos", "w")))
+      // vocab-aggregate rank window (q109's class — the window input is
+      // one row per distinct token, already reduced map-side)
+      val wnd = org.apache.spark.sql.expressions.Window
+        .orderBy(col("c").desc, col("w"))
+      val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .withColumn("id", row_number().over(wnd).cast("long"))
+        .select("w", "id")
+      tok.join(broadcast(vocab), "w")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          expr("transform(sort_array(collect_list(struct(pos, id))), x -> x.id)")
+            .as("ids"))
+        .select(col("doc_id"), col("n_tokens"),
+          md5(concat_ws(",", expr("transform(ids, i -> CAST(i AS STRING))")))
+            .as("ids_md5"),
+          expr("CAST(ids[0] AS BIGINT)").as("first_id"),
+          expr("CAST(ids[size(ids) - 1] AS BIGINT)").as("last_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Vocabulary construction — the top-k corpus token table (counts +
     // corpus share) that seeds a tokenizer build or a stopword list.
     // The rank window is GLOBAL but over the VOCAB aggregate, not the
@@ -570,6 +609,28 @@ object TextAnalysis {
         |SELECT doc_id, count(*) AS n_bigrams,
         |       round(avg(ln(sc)), 4) AS logprob
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q113_tokenize" ->
+      """WITH ws AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id,
+        |         unnest(ws) AS w,
+        |         generate_subscripts(ws, 1) AS pos
+        |  FROM ws WHERE len(ws) > 0),
+        |vocab AS (
+        |  SELECT w, row_number() OVER (ORDER BY count(*) DESC, w) AS id
+        |  FROM tok GROUP BY w),
+        |seq AS (
+        |  SELECT t.doc_id,
+        |         count(*) AS n_tokens,
+        |         md5(string_agg(CAST(v.id AS VARCHAR), ',' ORDER BY t.pos)) AS ids_md5,
+        |         CAST(arg_min(v.id, t.pos) AS BIGINT) AS first_id,
+        |         CAST(arg_max(v.id, t.pos) AS BIGINT) AS last_id
+        |  FROM tok t JOIN vocab v USING (w)
+        |  GROUP BY t.doc_id)
+        |SELECT doc_id, n_tokens, ids_md5, first_id, last_id
+        |FROM seq ORDER BY doc_id""".stripMargin,
     "q108_unigram_logprob" ->
       """WITH tok AS (
         |  SELECT doc_id, w FROM (

@@ -67,6 +67,20 @@ class PlanLintSpec extends SparkSpec {
     spark.catalog.clearCache() // q112 persists the bigram count table
   }
 
+  /** q113's scale claim is q108/q112's: the vocab (Heaps-sublinear)
+    * broadcasts into the token scan — the corpus-sized token stream
+    * must never shuffle to meet it.
+    */
+  test("q113 tokenizes through a broadcast vocab join (token stream never shuffles to join)") {
+    val df = graft.SparkEntry.queries("q113_tokenize")(spark, sf())
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q113: vocab join not broadcast\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"q113: token stream shuffled into a join\n$plan")
+  }
+
   /** Dedup.boundedPairs forks small/big branches off ONE bucket
     * aggregate and relies on exchange/stage reuse to dedup them — if
     * that reuse ever breaks (AQE version drift, a non-canonical edit),

@@ -51,7 +51,9 @@ object ScaleProbe {
   // excluded identically).
   private val New13Family = Seq(
     "q110_pii_redact" -> "N", "q111_gopher_rules" -> "N",
-    "q112_bigram_logprob" -> "N")
+    "q112_bigram_logprob" -> "N",
+    // one id-sequence row per >= 1-token doc
+    "q113_tokenize" -> "N")
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 1, "usage: ScaleProbe <sfDir> [<sfDir2> ...]")
