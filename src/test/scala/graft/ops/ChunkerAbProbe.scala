@@ -55,6 +55,17 @@ object ChunkerAbProbe {
       println(f"[chunker-ab] $dir scrub-$b rep$rep spans=${r.getLong(0)} " +
         f"chars=${r.getLong(1)} sec=$sec%.2f")
     }
+    // strict contiguous-only mode: prices the confirm join
+    // (pair projection + pair-hash join + span-sized aggregate)
+    for (dir <- args; rep <- 1 to 2) {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val r = Dedup.scrubDupSpans(docs(dir), contiguousOnly = true)
+        .agg(sum(col("n_spans_cut")), sum(length(col("scrubbed")))).head()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[chunker-ab] $dir scrub-strict-md5 rep$rep spans=${r.getLong(0)} " +
+        f"chars=${r.getLong(1)} sec=$sec%.2f")
+    }
     spark.stop()
   }
 }
