@@ -106,7 +106,11 @@ object TrainingPipeline {
       // chunk-pair-chain confirm, no substring search), keeping the
       // mosaic spans the default mode cuts. The span-precision audit
       // (SURVEY §8.0) measured each rule's mosaic tail at 93-97% of its
-      // exclusive spans.
+      // exclusive spans. COMPOSITION NOTE: combine with scrubFixpoint
+      // only deliberately — the confirm re-runs every round while
+      // rejected spans recur identically (measured round-dominated,
+      // 174 s at 1×, and OOM on an 8 GB fork); strict's natural reading
+      // is the ONE-PASS cut of the original text's contiguous dups.
       scrubContiguousOnly: Boolean = false,
       // r13: when true, q110's PII redaction (TextAnalysis.redactPii —
       // emails/phones/IPv4s → typed markers) rewrites `text` after

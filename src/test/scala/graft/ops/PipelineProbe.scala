@@ -38,22 +38,40 @@ object PipelineProbe {
       val docs = graft.model.Tables(spark, dir, "documents")
       val train = docs.filter(col("doc_id") % 2 === 0)
       val eval_ = docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text")
-      val cfg = TrainingPipeline.Config(audit = false,
-        scrubDupSpans = true, mixTokenBudgetFrac = Some(0.5),
-        exportOrderSeed = Some("probe"), exportShards = 64)
-      val t0 = System.nanoTime()
-      val res = TrainingPipeline.prepare(train, eval_, cfg)
-      val nSurv = res.survivors.count()
-      val nBins = res.packed.count()
-      val nOrder = res.order.get.count()
-      val wall = (System.nanoTime() - t0) / 1e9
-      res.cleanup()
-      spark.catalog.clearCache()
-      require(nOrder == nSurv,
-        s"export law violated: order=$nOrder survivors=$nSurv")
-      require(nSurv > 0 && nBins > 0, s"empty pipeline output at $dir")
-      println(f"[pipeline-probe] $dir wall=$wall%.1fs survivors=$nSurv " +
-        f"bins=$nBins order=$nOrder")
+      // two shapes per decade: the r12 record's stage set (replayable
+      // baseline), and the r13 surface — gear:3 boundary, fixpoint
+      // scrub, PII redaction. Strict contiguity is deliberately NOT in
+      // the fixpoint shape: composing contiguousOnly with the fixpoint
+      // re-runs the pair-chain confirm EVERY round while rejected spans
+      // recur identically — measured round-dominated (174/210 s at
+      // 1×/10×, flat across decades) and memory-heavy (OOM'd an 8 GB
+      // fork at 1×). Strict mode's natural reading is ONE-PASS (cut
+      // every contiguous-dup span of the ORIGINAL text) and it is
+      // priced separately in ChunkerAbProbe.
+      val shapes = Seq(
+        "r12" -> TrainingPipeline.Config(audit = false,
+          scrubDupSpans = true, mixTokenBudgetFrac = Some(0.5),
+          exportOrderSeed = Some("probe"), exportShards = 64),
+        "r13-full" -> TrainingPipeline.Config(audit = false,
+          scrubDupSpans = true, scrubBoundary = "gear:3",
+          scrubFixpoint = true, redactPii = true,
+          mixTokenBudgetFrac = Some(0.5),
+          exportOrderSeed = Some("probe"), exportShards = 64))
+      for ((shape, cfg) <- shapes) {
+        val t0 = System.nanoTime()
+        val res = TrainingPipeline.prepare(train, eval_, cfg)
+        val nSurv = res.survivors.count()
+        val nBins = res.packed.count()
+        val nOrder = res.order.get.count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        res.cleanup()
+        spark.catalog.clearCache()
+        require(nOrder == nSurv,
+          s"export law violated: order=$nOrder survivors=$nSurv")
+        require(nSurv > 0 && nBins > 0, s"empty pipeline output at $dir")
+        println(f"[pipeline-probe] $dir shape=$shape wall=$wall%.1fs " +
+          f"survivors=$nSurv bins=$nBins order=$nOrder")
+      }
     }
     spark.stop()
   }
