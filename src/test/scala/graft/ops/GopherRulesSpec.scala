@@ -66,6 +66,33 @@ class GopherRulesSpec extends SparkSpec {
     assert(two.getLong(two.fieldIndex("n_stop")) == 2L)
   }
 
+  test("generative laws: words match a Scala reference, ratios bounded, pass iff zero failures") {
+    // deterministic ScalaCheck sampling (the GenerativePropertiesSpec
+    // plumbing inlined — the scalatest bridge isn't in the offline cache)
+    import org.scalacheck.{Gen, rng}
+    val params = Gen.Parameters.default.withSize(60)
+    val textGen: Gen[String] = Gen.chooseNum(0, 150).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 't', 'h', 'e', ' ', '\n', '-',
+        '*', '.', '#', '9')).map(_.mkString))
+    val texts = (0 until 12)
+      .flatMap(i => textGen.apply(params, rng.Seed(i.toLong)))
+    val rows = metrics(texts: _*)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val t = texts(i)
+      val refWords = t.split(" ", -1).count(_.nonEmpty)
+      assert(r.getLong(r.fieldIndex("n_words")) == refWords,
+        s"n_words vs reference on ${t.take(40)}...")
+      for (c <- Seq("frac_alpha", "symbol_ratio", "frac_bullet",
+          "frac_ellipsis", "dup_line_frac", "dup_2gram_frac")) {
+        val v = r.getDouble(r.fieldIndex(c))
+        assert(v >= 0.0 && (c == "symbol_ratio" || v <= 1.0),
+          s"$c = $v out of range on ${t.take(40)}...")
+      }
+      assert((r.getLong(r.fieldIndex("gopher_pass")) == 1L) ==
+        (r.getLong(r.fieldIndex("n_rules_failed")) == 0L))
+    }
+  }
+
   test("degenerate inputs: empty and single-word docs don't divide by zero") {
     val rs = metrics("", "word")
     assert(rs(0).getLong(rs(0).fieldIndex("n_words")) == 0L)
