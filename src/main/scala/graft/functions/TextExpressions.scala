@@ -647,7 +647,17 @@ case class GearChunks(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (StringType, IntegerType) if right.foldable =>
-        TypeCheckResult.TypeCheckSuccess
+        // the argument is foldable by this very check, so its range is
+        // knowable at ANALYSIS time — report an out-of-range literal
+        // here as a type-check failure instead of a per-task
+        // IllegalArgumentException at execution (r13 ADVICE)
+        right.eval() match {
+          case null => TypeCheckResult.TypeCheckFailure(
+            s"$prettyName maskBits must not be null")
+          case b: Integer if b < 1 || b > 63 => TypeCheckResult.TypeCheckFailure(
+            s"$prettyName maskBits must be in [1, 63], got $b")
+          case _ => TypeCheckResult.TypeCheckSuccess
+        }
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires (string, literal int), got ($l, $r)")
     }

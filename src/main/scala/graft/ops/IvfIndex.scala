@@ -323,6 +323,12 @@ object IvfIndex {
         s""""centroid_sha": "${meta.centroidSha}"$curveJson}""")
         .getBytes("UTF-8"))
     finally out.close()
+    // stores written before the rename-based rewrite created the meta
+    // via the CHECKSUMMED fs, leaving a .crc sidecar the rename does not
+    // update — drop it so a checksummed reader never verifies new bytes
+    // against the stale sidecar (r13 ADVICE)
+    val crc = new org.apache.hadoop.fs.Path(store, s".$MetaFile.crc")
+    if (fs.exists(crc)) fs.delete(crc, false)
     org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
       .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
@@ -334,10 +340,21 @@ object IvfIndex {
       s"no $MetaFile under $store — the store was not written by " +
         "IvfIndex.build (or the meta was deleted); rebuild to restore " +
         "the drift baseline")
-    val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-    val in = fs.open(p)
-    try in.readFully(0, buf) finally in.close()
-    val json = new String(buf, "UTF-8")
+    // RAW fs open + read to EOF from one handle (the readManifest /
+    // lastBatch idiom, r13 ADVICE): the meta is written sidecar-free and
+    // rename-swapped by writeMeta, so (a) a checksummed open would
+    // verify against a stale pre-rename .crc sidecar on old stores, and
+    // (b) pre-sizing from a separate getFileStatus lets a reader
+    // straddling the swap readFully a truncated prefix of the new file —
+    // the TOCTOU the readManifest comment forbids.
+    val in = graft.streaming.Rollup.rawFs(fs).open(p)
+    val bos = new java.io.ByteArrayOutputStream()
+    try {
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+    val json = new String(bos.toByteArray, "UTF-8")
     // flat single-object file written by writeMeta — a named-field
     // regex parse keeps this free of a JSON library dependency and,
     // unlike the old positional split, survives field additions

@@ -126,6 +126,13 @@ object TextAnalysis {
     // exchange is the declared-determinism global sort.
     "q110_pii_redact" -> ((s, dir) => {
       val d = col("doc_id")
+      // DRIFT TRIPWIRE (r13 VERDICT #3): the three planted-PII CASE arms
+      // below are hand-mirrored, line for line, by the `aug` CTE of the
+      // q110 oracle SQL (search "WITH aug AS" in this file). Any edit
+      // here MUST be mirrored there — the md5 hash gate catches value
+      // drift, this comment is the cross-link that says where to look.
+      // Regenerate both from one residue list if this ever grows past
+      // three arms.
       val aug = concat(col("text"),
         when(d % 3 === 0, concat(lit(" contact user"), d.cast("string"),
           lit("@mail"), (d % 7).cast("string"), lit(".example.com")))
@@ -473,7 +480,10 @@ object TextAnalysis {
     // constants the Spark query compiles (r13 ADVICE: no parallel
     // literals to drift — the Scala string values are already the raw
     // pattern text, and DuckDB single-quoted strings keep backslashes
-    // literal, so the interpolation is byte-faithful)
+    // literal, so the interpolation is byte-faithful).
+    // DRIFT TRIPWIRE: the `aug` CTE's three CASE arms mirror the q110
+    // query's planted-PII Column chain (search "DRIFT TRIPWIRE" above)
+    // line for line — edit both together.
     "q110_pii_redact" ->
       s"""WITH aug AS (
         |  SELECT doc_id,

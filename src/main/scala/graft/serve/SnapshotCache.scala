@@ -37,7 +37,11 @@ import org.apache.spark.storage.StorageLevel
   * the manifest seq, ingest batches via the `_LAST_BATCH` counter
   * [[graft.streaming.Collector.writeBatch]] bumps post-write), so
   * [[SnapshotCache.forRawStore]] gives the raw path the same
-  * never-stale contract. Two raw-specific dials: the pin is
+  * never-stale contract — up to versionStamp's documented transient
+  * window (its two reads are not atomic with the resolver's listings;
+  * the post-resolve stamp verify below narrows the pairing race, and
+  * any residue clears on the next stamp bump). Two raw-specific dials:
+  * the pin is
   * PLAN-ONLY (`persistPinned = false` — the raw tier is corpus-sized,
   * so the win is skipping the resolver's listing + planning, never
   * caching corpus blocks), and the regime note from versionStamp's
@@ -81,13 +85,32 @@ final class SnapshotCache(version: () => Long,
       val again = pinned.get()
       if (again != null && again._1 == vNow) again
       else {
-        val df =
-          if (persistPinned) resolve(vNow).persist(StorageLevel.MEMORY_AND_DISK)
-          else resolve(vNow)
-        val entry = (vNow, df)
-        val old = pinned.getAndSet(entry)
-        if (old != null && persistPinned) old._2.unpersist(blocking = false)
-        entry
+        // resolve, then VERIFY the stamp (r14, ADVICE): the raw tier's
+        // stamp and its resolver's listings are separate filesystem
+        // reads — a commit landing between them yields a frame matching
+        // neither state. Re-read the stamp after resolving; on a flip,
+        // re-resolve once under the newer stamp; if it flipped AGAIN
+        // (live churn), serve the freshest resolve UNPINNED — correct
+        // for this request, and the next call re-resolves under a
+        // settled stamp instead of pinning a torn pairing. Rollup's
+        // resolver is a pure function of the version (snap=<v> dirs are
+        // immutable), so the verify never fires there. Residual window
+        // (documented in versionStamp): a batch whose files committed
+        // but whose counter bump hasn't landed yet still resolves under
+        // the pre-batch stamp — transient, cleared by the bump itself.
+        var v0 = vNow
+        var df = resolve(v0)
+        var vCheck = version()
+        if (vCheck != v0) { v0 = vCheck; df = resolve(v0); vCheck = version() }
+        if (vCheck != v0) (v0, df)
+        else {
+          val pdf =
+            if (persistPinned) df.persist(StorageLevel.MEMORY_AND_DISK) else df
+          val entry = (v0, pdf)
+          val old = pinned.getAndSet(entry)
+          if (old != null && persistPinned) old._2.unpersist(blocking = false)
+          entry
+        }
       }
     }
   }

@@ -261,6 +261,18 @@ object RawStore {
     * SnapshotCache soak priced (+18% p50). The win regime is a quiesced
     * or slow-batch store (dashboards over yesterday's data, paused
     * collectors), where repeat requests skip the resolver entirely.
+    *
+    * ATOMICITY (r13 ADVICE, documented contract): the stamp composes
+    * two filesystem reads (manifest listing, then `_LAST_BATCH`) and a
+    * caller pairs it with listings taken later at resolve time — a
+    * commit landing between any of those reads yields a stamp matching
+    * neither pre- nor post-commit state, and a batch whose data files
+    * committed before its counter bump resolves under the pre-batch
+    * stamp until the bump lands. Both are TRANSIENT (the very next
+    * bump/commit flips the stamp and invalidates the pairing) — never
+    * persistent staleness. [[graft.serve.SnapshotCache]] narrows the
+    * window mechanically by re-reading the stamp after resolving and
+    * declining to pin when it moved.
     */
   def versionStamp(fs: FileSystem, dir: String): Long = {
     val seqs = manifestSeqs(fs, dir)

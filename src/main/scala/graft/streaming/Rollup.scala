@@ -389,6 +389,12 @@ object Rollup {
     // need a snapshot to exist before the cadence gate matters). NOT
     // Long.MinValue — `now - MinValue` overflows negative and the gate
     // would never open.
+    // PER-PROCESS by contract (r13 VERDICT #4, closed document-only): a
+    // stream restart re-arms the gate, so the first post-restart batch
+    // always publishes. Intentional: the cadence dial exists to bound
+    // publish I/O under steady ingest, and a fresh process publishing
+    // immediately re-establishes serving freshness after downtime —
+    // persisting the gate across restarts would trade that for nothing.
     val lastPubMs = new java.util.concurrent.atomic.AtomicLong(0L)
     points.writeStream
       .outputMode("append")

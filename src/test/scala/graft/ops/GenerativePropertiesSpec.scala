@@ -436,6 +436,24 @@ class GenerativePropertiesSpec extends SparkSpec {
     }
   }
 
+  test("gear maskBits out of [1, 63] fails at ANALYSIS, not per-task (r13 ADVICE)") {
+    // the argument is required foldable, so the range is knowable at
+    // analysis time — an out-of-range literal must surface as an
+    // AnalysisException when the plan is built, never as a per-task
+    // IllegalArgumentException at execution
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    import org.apache.spark.sql.functions.expr
+    for (bad <- Seq(0, -1, 64)) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.range(1).select(expr(s"cdc_chunks_gear('abc', $bad)")).queryExecution.analyzed
+      }
+      assert(e.getMessage.contains("maskBits"), s"bits=$bad: ${e.getMessage}")
+    }
+    // the boundary values analyze and execute
+    for (ok <- Seq(1, 63))
+      spark.range(1).select(expr(s"cdc_chunks_gear('abc def ghi', $ok)")).collect()
+  }
+
   test("gear and md5 boundary SETS differ (same cut-law, different chunker — documented)") {
     // not a defect: the semantics delta GearChunks' scaladoc declares.
     // Find at least one generated text the two rules cut differently.

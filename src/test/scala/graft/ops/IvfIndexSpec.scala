@@ -322,4 +322,40 @@ class IvfIndexSpec extends SparkSpec {
     val rep = IvfIndex.append(batch, model, store)
     assert(rep.appended == 5 && !rep.retrainRecommended)
   }
+
+  test("a pre-rename store's stale .crc sidecar never poisons the meta " +
+      "(r13 ADVICE: checksum-created meta + rename rewrite)") {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    val emb = graft.model.Tables(spark, sf(), "embeddings")
+    val store = Files.createTempDirectory("ivf_crc").toString
+    val model = IvfIndex.build(emb, k = 4, store)
+
+    // simulate a store written by the pre-r13 code path: meta created
+    // through the CHECKSUMMED fs, which drops a .crc sidecar next to it
+    val p = new org.apache.hadoop.fs.Path(store, "_ivf_meta.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val body = {
+      val in = graft.streaming.Rollup.rawFs(fs).open(p)
+      val bos = new java.io.ByteArrayOutputStream()
+      try {
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      } finally in.close()
+      bos.toByteArray
+    }
+    val out = fs.create(p, true) // checksummed create → .crc sidecar
+    try out.write(body) finally out.close()
+    val crc = new org.apache.hadoop.fs.Path(store, "._ivf_meta.json.crc")
+    assert(fs.exists(crc), "precondition: checksummed create left a sidecar")
+
+    // calibrate rewrites the meta via rename — the OLD sidecar would now
+    // mismatch the new bytes; both the sidecar cleanup and the raw-fs
+    // read must keep the store's baseline readable
+    IvfIndex.calibrate(spark, store, model,
+      nprobes = Seq(1, 4), topK = 2, sampleProbes = 5)
+    assert(!fs.exists(crc), "writeMeta must drop the stale sidecar")
+    val meta = IvfIndex.readMeta(spark, store) // must not ChecksumException
+    assert(meta.recallCurve.nonEmpty && meta.version == 4)
+  }
 }
