@@ -44,6 +44,62 @@ object TextAnalysis {
     regexp_replace(regexp_replace(regexp_replace(text,
       EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), Ipv4Re, "<IP>")
 
+  /** Config key for the LM broadcast ceiling (bytes). Tests force the
+    * shuffle regime by setting it to 1; production tunes it to the
+    * cluster's driver/executor headroom. The 256 MB default sits far
+    * under Spark's 8 GB broadcast hard limit while covering any
+    * Heaps-sized vocab the testdata or a moderate corpus produces.
+    */
+  private[graft] val LmBroadcastMaxBytesKey = "spark.graft.lmBroadcastMaxBytes"
+  private[graft] val LmBroadcastMaxBytesDefault: Long = 256L << 20
+
+  private def lmBroadcastMaxBytes(s: org.apache.spark.sql.SparkSession): Long =
+    s.conf.getOption(LmBroadcastMaxBytesKey).map(_.toLong)
+      .getOrElse(LmBroadcastMaxBytesDefault)
+
+  /** Coarse materialized-size estimate of an LM/vocab AGGREGATE — one
+    * tiny aggregate action over the (persisted) table: rows × 48 B
+    * fixed per-row overhead (hash-table entry, object headers, numeric
+    * fields) + exact string content bytes. Order-of-magnitude by
+    * design: the dispatch needs "MBs vs tens of GBs", not precision —
+    * a 2× misjudgment lands both regimes safely (broadcast at 512 MB
+    * still clears the 8 GB ceiling; a needless shuffle of a small LM
+    * costs latency, not correctness).
+    *
+    * EAGER: runs one Spark job at query-construction time (the q75
+    * precedent — SparkEntry's EAGERNESS EXCEPTION). Callers pass a
+    * PERSISTED table so the estimate pass doubles as cache
+    * materialization and the corpus is never rescanned for it.
+    */
+  private[graft] def estimateLmBytes(lm: DataFrame): Long = {
+    val strCols = lm.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.StringType).map(_.name)
+    val aggs = count(lit(1)).cast("long").as("n") +:
+      strCols.map(c => coalesce(sum(length(col(c)).cast("long")), lit(0L)))
+    val row = lm.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getLong(0)
+    n * 48L + strCols.indices.map(i => row.getLong(i + 1)).sum
+  }
+
+  /** Size-gated LM shipping (r13 VERDICT #1 — capJaccardPairsAuto's
+    * regime-dispatch discipline applied to the broadcast-LM joins):
+    * BROADCAST the LM when its estimate fits the ceiling — CCNet's
+    * production architecture, the LM rides to every worker and the
+    * corpus-sized stream never shuffles — and a pinned SHUFFLE_HASH
+    * join above it, so a raw 100 TB-corpus bigram table that crosses
+    * the broadcast ceiling DEGRADES to one co-partitioned exchange
+    * instead of failing the broadcast build (and never silently
+    * sort-merges: the hint pins the hash strategy; the LM side builds).
+    * Dispatch can never change RESULTS, only plans — PlanLintSpec
+    * executes both regimes and compares bytes.
+    */
+  private[graft] def joinLm(stream: DataFrame, lm: DataFrame,
+                            keys: Seq[String], joinType: String,
+                            estBytes: Long): DataFrame =
+    if (estBytes <= lmBroadcastMaxBytes(stream.sparkSession))
+      stream.join(broadcast(lm), keys, joinType)
+    else stream.join(lm.hint("SHUFFLE_HASH"), keys, joinType)
+
   /** The Gopher rule metrics (q111's body, minus the table read and the
     * declared-determinism sort) over any (doc_id, text) frame — factored
     * out so GopherRulesSpec can drive the line-granular paths (bullets,
@@ -193,11 +249,13 @@ object TextAnalysis {
     // model): bigram construction is DOC-LOCAL (sequence/element_at
     // over the token array — no per-doc window, the corpus never
     // shuffles); the bigram and unigram tables are Heaps-sublinear and
-    // BROADCAST into the scoring scan (PlanLintSpec gates it: a
-    // SortMerge/ShuffledHash join anywhere in q112's plan fails CI);
+    // size-gate-shipped into the scoring scan (r14: broadcast under
+    // the ceiling — PlanLintSpec gates it: a SortMerge/ShuffledHash
+    // join in the default regime fails CI — with a pinned SHUFFLE_HASH
+    // fallback above it, lint-gated in the forced-shuffle regime);
     // the only exchanges carry LM-sized partials and per-doc partials.
-    // c2 is persisted (CACHE CONTRACT) — it feeds its own context
-    // marginal and the scoring join.
+    // The three LM tables are persisted (CACHE CONTRACT) — each feeds
+    // its size estimate and the scoring join.
     "q112_bigram_logprob" -> ((s, dir) => {
       val ws = Tables(s, dir, "documents")
         .select(col("doc_id"),
@@ -207,16 +265,24 @@ object TextAnalysis {
         "transform(sequence(2, size(ws)), i -> struct(" +
           "element_at(ws, i - 1) AS p, element_at(ws, i) AS w))")).as("b"))
         .select(col("doc_id"), col("b.p").as("p"), col("b.w").as("w"))
+      // all three LM tables persisted (CACHE CONTRACT): each feeds its
+      // own size estimate AND the scoring join — the estimate pass
+      // materializes the cache, so no corpus rescan; size-gated
+      // dispatch per table (r14: joinLm), lint-gated in both regimes
       val big = bg.filter(col("doc_id") % 2 === 0)
         .groupBy("p", "w").agg(count(lit(1)).as("c2")).persist()
-      val ctx = big.groupBy("p").agg(sum(col("c2")).as("cp"))
+      val estBig = estimateLmBytes(big)
+      val ctx = big.groupBy("p").agg(sum(col("c2")).as("cp")).persist()
+      val estCtx = estimateLmBytes(ctx) // scans cached big, not the corpus
       val uni = ws.filter(col("doc_id") % 2 === 0)
         .select(explode(col("ws")).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("c1"))
-      val tot = uni.agg(sum(col("c1")).as("t"))
-      bg.join(broadcast(big), Seq("p", "w"), "left")
-        .join(broadcast(ctx), Seq("p"), "left")
-        .join(broadcast(uni), Seq("w"), "left")
+        .groupBy("w").agg(count(lit(1)).as("c1")).persist()
+      val estUni = estimateLmBytes(uni)
+      val tot = uni.agg(sum(col("c1")).as("t")) // 1 row — always broadcast
+      joinLm(joinLm(joinLm(bg,
+          big, Seq("p", "w"), "left", estBig),
+          ctx, Seq("p"), "left", estCtx),
+          uni, Seq("w"), "left", estUni)
         .crossJoin(broadcast(tot))
         .withColumn("sc",
           when(col("c2").isNotNull,
@@ -401,8 +467,12 @@ object TextAnalysis {
       // its own grand total and the scoring join; uncached, the corpus
       // token agg would run once per consumer. Vocab-sized — bytes.
       val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("c")).persist()
+      // size-gated dispatch (r14): the estimate pass doubles as cache
+      // materialization; broadcast under the ceiling, pinned
+      // SHUFFLE_HASH above — the scale claim holds unconditionally
+      val est = estimateLmBytes(freq)
       val tot = freq.agg(sum(col("c")).as("t"))
-      tok.join(broadcast(freq), "w")
+      joinLm(tok, freq, Seq("w"), "inner", est)
         .crossJoin(broadcast(tot))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tokens"),
@@ -419,8 +489,9 @@ object TextAnalysis {
     // (ids, not strings), completing the chain q109 vocab → THIS →
     // q97/q58 chunk+pack → q106 order.
     // Scale shape: the vocab table is corpus-sublinear (Heaps) and
-    // BROADCAST into the token scan (q108/q112's lint-gated
-    // architecture); per-doc sequences rebuild via sort_array over
+    // size-gate-shipped into the token scan (q108/q112's lint-gated
+    // architecture — broadcast under the ceiling, pinned SHUFFLE_HASH
+    // above); per-doc sequences rebuild via sort_array over
     // (pos, id) structs — collect_list alone has NO ordering guarantee
     // under parallel aggregation, the sort is what makes the output
     // deterministic. The ids ride through md5 of the joined sequence,
@@ -430,14 +501,20 @@ object TextAnalysis {
         .select(col("doc_id"),
           posexplode(filter(split(col("text"), " "), w => w =!= ""))
             .as(Seq("pos", "w")))
-      // vocab-aggregate rank window (q109's class — the window input is
-      // one row per distinct token, already reduced map-side)
-      val wnd = org.apache.spark.sql.expressions.Window
-        .orderBy(col("c").desc, col("w"))
-      val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
-        .withColumn("id", row_number().over(wnd).cast("long"))
+      // full-width vocab rank WITHOUT a single-task window (r13 VERDICT
+      // #2): unlike q109 (which filters to rank ≤ 50), this assigns an
+      // id to EVERY distinct token — at a 100 TB web corpus the vocab
+      // is plausibly 10⁸⁺ tokens, so the rank runs range-partitioned
+      // with broadcast prefix offsets (Windows.globalRowNumber — the
+      // q45 discipline). The helper persists the range-partitioned
+      // frame (CACHE CONTRACT); vocab derives from that cache.
+      val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val vocab = Windows.globalRowNumber(freq,
+          Seq(col("c").desc, col("w").asc), "id")
         .select("w", "id")
-      tok.join(broadcast(vocab), "w")
+      // size-gated vocab shipping (r14): estimate scans the cached
+      // ranked frame, not the corpus
+      joinLm(tok, vocab, Seq("w"), "inner", estimateLmBytes(vocab))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tokens"),
           expr("transform(sort_array(collect_list(struct(pos, id))), x -> x.id)")

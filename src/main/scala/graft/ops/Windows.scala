@@ -18,6 +18,48 @@ import org.apache.spark.sql.functions._
   */
 object Windows {
 
+  /** Global `row_number` over a UNIQUE sort key WITHOUT a single-task
+    * window (r13 VERDICT #2 — q45's range-partitioned rank discipline,
+    * factored for reuse): range-partition on the key, rank locally in
+    * parallel, add broadcast per-partition prefix offsets. A naked
+    * `row_number() OVER (ORDER BY …)` funnels the ENTIRE input through
+    * one task — survivable for a top-k that never materializes past the
+    * filter, fatal when the full ranked output is consumed (q113's
+    * vocab→id assignment: a 100 TB web corpus's space-split vocab is
+    * plausibly 10⁸⁺ tokens).
+    *
+    * The range-partitioned frame MUST be persisted before both
+    * consumers read it: RangePartitioner's sampling is not stable
+    * across plan executions, so offsets from one partitioning applied
+    * to pids of another silently corrupt the global rank — q45's
+    * caught-only-at-sf0.1 lesson. The caller owns cache cleanup
+    * (CACHE CONTRACT in SparkEntry).
+    *
+    * `keys` must be a total order (unique): ties across a range
+    * boundary would otherwise rank non-deterministically.
+    */
+  private[graft] def globalRowNumber(df: org.apache.spark.sql.DataFrame,
+                                     keys: Seq[org.apache.spark.sql.Column],
+                                     out: String,
+                                     partitions: Int = 32): org.apache.spark.sql.DataFrame = {
+    val local = df.repartitionByRange(partitions, keys: _*)
+      .withColumn("_grn_pid", spark_partition_id())
+      .withColumn("_grn_lrn", row_number().over(
+        Window.partitionBy("_grn_pid").orderBy(keys: _*)).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ≤ `partitions` rows: cumulative counts per range partition,
+    // broadcast back (constant partitionBy: deliberately one tiny
+    // partition — the q45 idiom)
+    val offs = local.groupBy("_grn_pid").agg(count(lit(1)).as("_grn_c"))
+      .withColumn("_grn_off", coalesce(sum(col("_grn_c")).over(
+        Window.partitionBy(lit(0)).orderBy("_grn_pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_grn_pid", "_grn_off")
+    local.join(broadcast(offs), "_grn_pid")
+      .withColumn(out, col("_grn_off") + col("_grn_lrn"))
+      .drop("_grn_pid", "_grn_lrn", "_grn_off")
+  }
+
   val queries: Map[String, Q] = Map(
 
     // As-of join: for every purchase, the latest prior-or-equal signup of

@@ -69,7 +69,10 @@ class PlanLintSpec extends SparkSpec {
 
   /** q113's scale claim is q108/q112's: the vocab (Heaps-sublinear)
     * broadcasts into the token scan — the corpus-sized token stream
-    * must never shuffle to meet it.
+    * must never shuffle to meet it. And since r14 the full-width vocab
+    * rank must run range-partitioned (Windows.globalRowNumber), never
+    * as a single-task global window: every Window node in the plan
+    * must carry a partition spec.
     */
   test("q113 tokenizes through a broadcast vocab join (token stream never shuffles to join)") {
     val df = graft.SparkEntry.queries("q113_tokenize")(spark, sf())
@@ -79,6 +82,52 @@ class PlanLintSpec extends SparkSpec {
       s"q113: vocab join not broadcast\n$plan")
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
       s"q113: token stream shuffled into a join\n$plan")
+    // no single-partition window over DATA anywhere in q113 (the
+    // vocab-rank window partitions by range-pid; a global ORDER BY
+    // window would have an EMPTY partitionSpec) — checked on the
+    // logical tree, not by string-matching the plan dump. The ONE
+    // allowed empty-spec window is globalRowNumber's prefix-offsets
+    // cumsum: its constant partitionBy(lit(0)) folds away in the
+    // optimizer, and its input is the ≤ 32-row per-range-partition
+    // count aggregate (recognizable by its _grn_pid order key).
+    val naked = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty &&
+          !w.orderSpec.exists(_.child.references.exists(
+            _.name.startsWith("_grn_"))) => w
+    }
+    assert(naked.isEmpty,
+      s"q113: single-partition window(s) over data in the plan: $naked")
+    spark.catalog.clearCache() // q113 persists the ranked vocab
+  }
+
+  /** The LM dispatcher's other regime (r13 VERDICT #1): above the
+    * broadcast ceiling the LM joins must degrade to pinned
+    * SHUFFLE_HASH — never a failed broadcast build, never a silent
+    * sort-merge — and the dispatch must not change RESULTS. Force the
+    * shuffle branch with a 1-byte ceiling and compare collected bytes
+    * against the default (broadcast) regime.
+    */
+  test("q108/q112/q113 LM joins degrade to pinned SHUFFLE_HASH above the ceiling, results identical") {
+    for (q <- Seq("q108_unigram_logprob", "q112_bigram_logprob", "q113_tokenize")) {
+      val bcast = graft.SparkEntry.queries(q)(spark, sf()).collect().map(_.toString)
+      spark.catalog.clearCache()
+      spark.conf.set("spark.graft.lmBroadcastMaxBytes", "1")
+      try {
+        val df = graft.SparkEntry.queries(q)(spark, sf())
+        val shuf = df.collect().map(_.toString)
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("ShuffledHashJoin"),
+          s"$q: forced regime did not plan SHUFFLE_HASH\n$plan")
+        assert(!plan.contains("SortMergeJoin"),
+          s"$q: forced regime fell back to sort-merge\n$plan")
+        assert(shuf.toSeq == bcast.toSeq,
+          s"$q: dispatch changed results (${shuf.length} vs ${bcast.length} rows)")
+      } finally {
+        spark.conf.unset("spark.graft.lmBroadcastMaxBytes")
+        spark.catalog.clearCache()
+      }
+    }
   }
 
   /** Dedup.boundedPairs forks small/big branches off ONE bucket
