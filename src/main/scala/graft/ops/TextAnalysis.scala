@@ -100,6 +100,109 @@ object TextAnalysis {
       stream.join(broadcast(lm), keys, joinType)
     else stream.join(lm.hint("SHUFFLE_HASH"), keys, joinType)
 
+  /** Merge count for q114 — bounded and small: BPE quality grows with
+    * merges but the LEARNING loop is the operator under test, and 20
+    * rounds already exercises merged-symbol re-merging (merges of
+    * merges appear by round 3 on the test corpora).
+    */
+  private[graft] val BpeMerges = 20
+
+  /** Learn byte-pair-encoding merges (Sennrich et al. 2016, word-level
+    * char seeding): each distinct ALPHABETIC word becomes its character
+    * sequence; count adjacent symbol pairs weighted by word frequency;
+    * greedily merge the most frequent pair everywhere (ties → lexical
+    * (a, b)); repeat `nMerges` times. Returns (rank, a, b, merged,
+    * freq) per round.
+    *
+    * Scale shape — the reason this is tractable at 100 TB: ONE corpus
+    * pass builds the (word, freq) VOCAB aggregate (Heaps-sublinear),
+    * and the entire iterative loop runs over that vocab table — per
+    * round one pair aggregation (vocab-sized, map-side combinable) and
+    * one LIMIT-1 collect (the q100/fixpoint bounded-scalar-action
+    * discipline), with per-round persist → materialize → release-
+    * previous cache hygiene. The corpus is never rescanned.
+    *
+    * Representation (shared verbatim with the DuckDB oracle): a word's
+    * symbol sequence is the string ` s1  s2  …  sk ` — every symbol
+    * wrapped in single spaces, so adjacent symbols meet at exactly two
+    * spaces. Merging pair (a, b) is then the plain string replace
+    * ` a  b ` → ` ab `, whose left-to-right non-overlapping semantics
+    * (identical in Spark and DuckDB) IS greedy BPE pairing — `aaa`
+    * merges to (aa, a), never (a, aa) — and the wrapping invariant
+    * makes partial-token matches impossible. Pair COUNTING, by
+    * contrast, counts every adjacent position (`aaa` has (a,a) twice):
+    * the standard reference-implementation asymmetry, mirrored exactly
+    * by both engines.
+    */
+  private[graft] def learnBpeMerges(docs: DataFrame, nMerges: Int)
+      : Seq[(Long, String, String, String, Long)] = {
+    val words = docs
+      .select(explode(filter(split(col("text"), " "), w => w =!= "")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    // localCheckpoint per round, NOT persist/release-previous: Spark's
+    // CacheManager recaches dependent cached plans when a parent cache
+    // is dropped, so the persist idiom silently rebuilds each round
+    // from the round-0 lineage — measured time-DOUBLING per round
+    // before this was caught. Checkpointing truncates the lineage (the
+    // q100 star-contraction discipline); superseded round blocks are
+    // freed by the ContextCleaner once unreferenced.
+    var seqs = words.select(col("f"),
+        concat(lit(" "), rtrim(regexp_replace(col("w"), "(.)", "$1  ")),
+          lit(" ")).as("s"))
+      .localCheckpoint(true)
+    val out = Seq.newBuilder[(Long, String, String, String, Long)]
+    for (k <- 1 to nMerges) {
+      val best = seqs
+        .withColumn("tk", split(trim(col("s")), "  "))
+        .filter(size(col("tk")) >= 2)
+        .select(col("f"), explode(expr(
+          "transform(sequence(2, size(tk)), i -> struct(" +
+            "element_at(tk, i - 1) AS a, element_at(tk, i) AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("f")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      // fail loudly rather than silently diverge from the unrolled
+      // oracle: exhausting mergeable pairs inside nMerges rounds
+      // would need the whole vocab collapsed to single symbols
+      require(best.nonEmpty,
+        s"BPE: no mergeable pairs left at round $k of $nMerges")
+      val (a, b, cnt) =
+        (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+      out += ((k.toLong, a, b, a + b, cnt))
+      // a, b are ^[a-z]+$ by seeding/concatenation — safe literals
+      seqs = seqs
+        .withColumn("s", expr(s"replace(s, ' $a  $b ', ' $a$b ')"))
+        .localCheckpoint(false)
+      seqs.count() // materialize this round's truncation point
+    }
+    out.result()
+  }
+
+  /** Segment every word of `text` with learned BPE merges, applied in
+    * rank order — the q113-chain acceptance step (vocab→merges→subword
+    * sequence). Alphabetic words segment; any other word passes
+    * through whole (a real tokenizer's byte-fallback analog). Returns
+    * the ordered array of subword tokens; concatenating them
+    * reconstructs the original words exactly (BpeSpec's law).
+    */
+  private[graft] def applyBpeMerges(text: Column,
+                                    merges: Seq[(String, String)]): Column = {
+    def segment(w: Column): Column = {
+      val seed = concat(lit(" "),
+        rtrim(regexp_replace(w, "(.)", "$1  ")), lit(" "))
+      val folded = merges.foldLeft(seed) { case (s, (a, b)) =>
+        // literal pattern ([a-z ] only — no metachars); regexp_replace
+        // scans left-to-right non-overlapping, same as replace
+        regexp_replace(s, s" $a  $b ", s" $a$b ")
+      }
+      split(trim(folded), "  ")
+    }
+    flatten(transform(filter(split(text, " "), w => w =!= ""),
+      w => when(w.rlike("^[a-z]+$"), segment(w)).otherwise(array(w))))
+  }
+
   /** The Gopher rule metrics (q111's body, minus the table read and the
     * declared-determinism sort) over any (doc_id, text) frame — factored
     * out so GopherRulesSpec can drive the line-granular paths (bullets,
@@ -292,6 +395,84 @@ object TextAnalysis {
           .otherwise(lit(0.4) / col("t").cast("double")))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(log(col("sc"))), 4).as("logprob"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Trigram-LM scoring with count pruning + stupid backoff through
+    // orders 2 and 1 (r13 VERDICT #5 — the next step toward CCNet's
+    // 5-gram filter, and the realistic stress for the size-gated LM
+    // dispatcher: an unpruned trigram table is the first LM table that
+    // plausibly crosses a broadcast ceiling on a real corpus). Train on
+    // the even-doc_id half; PRUNE the trigram table to count >= 2
+    // (Brants et al. 2007's entropy-pruning shape at its cheapest: the
+    // count-1 tail is the bulk of a raw trigram table and carries the
+    // least signal — pruning is what keeps the table Heaps-sublinear);
+    // score every doc with >= 3 tokens over its trigram positions:
+    //   S(w|p2,p1) = c3/c2(p2,p1)            if the pruned trigram is seen,
+    //              = 0.4 · c2(p1,w)/c1(p1)    else if the bigram was seen,
+    //              = 0.16 · c1(w)/T           else if w was seen,
+    //              = 0.16/T                   else (OOV floor).
+    // A count-1 train trigram therefore backs off BY CONSTRUCTION —
+    // pruning makes backoff fire even inside the training half.
+    // Scale shape (q112's, one order up): trigram construction is
+    // DOC-LOCAL; the three LM tables (tri pruned, big, uni) are
+    // persisted (CACHE CONTRACT) and size-gate-shipped (joinLm) into
+    // the scoring scan — big and uni each join TWICE under different
+    // key bindings (denominator context and backoff numerator),
+    // reusing one cache; the corpus never shuffles in the broadcast
+    // regime and degrades to pinned SHUFFLE_HASH above the ceiling.
+    "q115_trigram_logprob" -> ((s, dir) => {
+      val ws = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          filter(split(col("text"), " "), w => w =!= "").as("ws"))
+        .filter(size(col("ws")) >= 3)
+      val tg = ws.select(col("doc_id"), explode(expr(
+        "transform(sequence(3, size(ws)), i -> struct(" +
+          "element_at(ws, i - 2) AS p2, element_at(ws, i - 1) AS p1, " +
+          "element_at(ws, i) AS w))")).as("t"))
+        .select(col("doc_id"), col("t.p2").as("p2"), col("t.p1").as("p1"),
+          col("t.w").as("w"))
+      val train = tg.filter(col("doc_id") % 2 === 0)
+      val tri = train.groupBy("p2", "p1", "w")
+        .agg(count(lit(1)).as("c3")).filter(col("c3") >= 2).persist()
+      val estTri = estimateLmBytes(tri)
+      // bigram counts over the SAME >= 3-token train docs (adjacent
+      // pairs, doc-local construction like q112's)
+      val big = ws.filter(col("doc_id") % 2 === 0)
+        .select(explode(expr(
+          "transform(sequence(2, size(ws)), i -> struct(" +
+            "element_at(ws, i - 1) AS p, element_at(ws, i) AS w))")).as("b"))
+        .select(col("b.p").as("p"), col("b.w").as("w"))
+        .groupBy("p", "w").agg(count(lit(1)).as("c2")).persist()
+      val estBig = estimateLmBytes(big)
+      val uni = ws.filter(col("doc_id") % 2 === 0)
+        .select(explode(col("ws")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c1")).persist()
+      val estUni = estimateLmBytes(uni)
+      val tot = uni.agg(sum(col("c1")).as("t")) // 1 row — always broadcast
+      val den = big.select(col("p").as("p2"), col("w").as("p1"),
+        col("c2").as("cden"))
+      val back = big.select(col("p").as("p1"), col("w").as("w"),
+        col("c2").as("cback"))
+      val uniCtx = uni.select(col("w").as("p1"), col("c1").as("c1p"))
+      val scored = joinLm(joinLm(joinLm(joinLm(joinLm(tg,
+          tri, Seq("p2", "p1", "w"), "left", estTri),
+          den, Seq("p2", "p1"), "left", estBig),
+          back, Seq("p1", "w"), "left", estBig),
+          uniCtx, Seq("p1"), "left", estUni),
+          uni, Seq("w"), "left", estUni)
+        .crossJoin(broadcast(tot))
+        .withColumn("sc",
+          when(col("c3").isNotNull,
+            col("c3").cast("double") / col("cden").cast("double"))
+          .when(col("cback").isNotNull,
+            lit(0.4) * col("cback").cast("double") / col("c1p").cast("double"))
+          .when(col("c1").isNotNull,
+            lit(0.16) * col("c1").cast("double") / col("t").cast("double"))
+          .otherwise(lit(0.16) / col("t").cast("double")))
+      scored.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_trigrams"),
           round(avg(log(col("sc"))), 4).as("logprob"))
         .orderBy(col("doc_id"))
     }),
@@ -527,6 +708,23 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // BPE merge learning (r13 VERDICT #3 — the missing link of the
+    // vocab→ids chain: q109 builds a vocab, q113 applies one, THIS
+    // learns the tokenizer itself). [[learnBpeMerges]] holds the
+    // algorithm + scale argument; the oracle replays the identical 20
+    // greedy rounds as UNROLLED DuckDB stages generated from the same
+    // constant (no recursive CTE — each round's argmax aggregate over
+    // the recursive term is exactly what SQL recursion disallows).
+    // EAGER by nature (the 20-round driver loop runs at construction —
+    // SparkEntry's EAGERNESS EXCEPTION); cache hygiene is internal, so
+    // no CACHE CONTRACT entry.
+    "q114_bpe_merges" -> ((s, dir) => {
+      val merges = learnBpeMerges(Tables(s, dir, "documents"), BpeMerges)
+      import s.implicits._
+      merges.toDF("merge_rank", "a", "b", "merged", "freq")
+        .orderBy("merge_rank")
+    }),
+
     // Vocabulary construction — the top-k corpus token table (counts +
     // corpus share) that seeds a tokenizer build or a stopword list.
     // The rank window is GLOBAL but over the VOCAB aggregate, not the
@@ -718,6 +916,51 @@ object TextAnalysis {
         |  GROUP BY t.doc_id)
         |SELECT doc_id, n_tokens, ids_md5, first_id, last_id
         |FROM seq ORDER BY doc_id""".stripMargin,
+    "q115_trigram_logprob" ->
+      """WITH ws AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |w3 AS (SELECT doc_id, ws FROM ws WHERE len(ws) >= 3),
+        |tg AS (
+        |  SELECT doc_id,
+        |         unnest(ws[1:len(ws)-2]) AS p2,
+        |         unnest(ws[2:len(ws)-1]) AS p1,
+        |         unnest(ws[3:len(ws)]) AS w
+        |  FROM w3),
+        |tri AS (
+        |  SELECT p2, p1, w, count(*) AS c3 FROM tg WHERE doc_id % 2 = 0
+        |  GROUP BY p2, p1, w HAVING count(*) >= 2),
+        |big AS (
+        |  SELECT p, w, count(*) AS c2 FROM (
+        |    SELECT doc_id,
+        |           unnest(ws[1:len(ws)-1]) AS p,
+        |           unnest(ws[2:len(ws)]) AS w
+        |    FROM w3)
+        |  WHERE doc_id % 2 = 0 GROUP BY p, w),
+        |uni AS (
+        |  SELECT w, count(*) AS c1 FROM (
+        |    SELECT unnest(ws) AS w FROM w3 WHERE doc_id % 2 = 0)
+        |  GROUP BY w),
+        |tot AS (SELECT sum(c1) AS t FROM uni),
+        |scored AS (
+        |  SELECT tg.doc_id,
+        |         CASE WHEN tri.c3 IS NOT NULL
+        |                THEN CAST(tri.c3 AS DOUBLE) / CAST(den.c2 AS DOUBLE)
+        |              WHEN bk.c2 IS NOT NULL
+        |                THEN 0.4 * CAST(bk.c2 AS DOUBLE) / CAST(u1.c1 AS DOUBLE)
+        |              WHEN uw.c1 IS NOT NULL
+        |                THEN 0.16 * CAST(uw.c1 AS DOUBLE) / CAST(tot.t AS DOUBLE)
+        |              ELSE 0.16 / CAST(tot.t AS DOUBLE) END AS sc
+        |  FROM tg
+        |  LEFT JOIN tri ON tg.p2 = tri.p2 AND tg.p1 = tri.p1 AND tg.w = tri.w
+        |  LEFT JOIN big den ON tg.p2 = den.p AND tg.p1 = den.w
+        |  LEFT JOIN big bk ON tg.p1 = bk.p AND tg.w = bk.w
+        |  LEFT JOIN uni u1 ON tg.p1 = u1.w
+        |  LEFT JOIN uni uw ON tg.w = uw.w
+        |  CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_trigrams,
+        |       round(avg(ln(sc)), 4) AS logprob
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q108_unigram_logprob" ->
       """WITH tok AS (
         |  SELECT doc_id, w FROM (
@@ -729,6 +972,47 @@ object TextAnalysis {
         |       round(avg(ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE))), 4) AS logprob
         |FROM tok JOIN freq USING (w) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q114's oracle: the SAME 20 greedy merge rounds, unrolled into
+    // per-round CTE triples (pair counts → argmax → replace) generated
+    // from the one BpeMerges constant the Spark loop uses. The seed
+    // representation and the replace-based merge are byte-identical to
+    // learnBpeMerges' (its scaladoc carries the shared-semantics
+    // argument); DuckDB regexp_replace backreference is \1 where
+    // Java's is $1 — the only engine-syntax difference in the chain.
+    "q114_bpe_merges" -> {
+      val stages = (1 to BpeMerges).map { k =>
+        s"""p$k AS MATERIALIZED (
+           |  SELECT a, b, sum(f) AS cnt FROM (
+           |    SELECT f, unnest(tk[1:len(tk)-1]) AS a, unnest(tk[2:len(tk)]) AS b
+           |    FROM (SELECT f, string_split(trim(s), '  ') AS tk FROM s${k - 1})
+           |    WHERE len(tk) >= 2)
+           |  GROUP BY a, b),
+           |b$k AS MATERIALIZED (
+           |  SELECT CAST($k AS BIGINT) AS merge_rank, a, b, a || b AS merged,
+           |         CAST(cnt AS BIGINT) AS freq
+           |  FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
+           |s$k AS MATERIALIZED (
+           |  SELECT f, replace(s, ' ' || a || '  ' || b || ' ',
+           |                    ' ' || a || b || ' ') AS s
+           |  FROM s${k - 1} CROSS JOIN b$k)""".stripMargin
+      }.mkString(",\n")
+      val union = (1 to BpeMerges).map(k => s"SELECT * FROM b$k")
+        .mkString("\n  UNION ALL ")
+      s"""WITH w0 AS MATERIALIZED (
+         |  SELECT w, count(*) AS f FROM (
+         |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+         |    FROM documents)
+         |  WHERE regexp_matches(w, '^[a-z]+$$')
+         |  GROUP BY w),
+         |s0 AS MATERIALIZED (
+         |  SELECT f,
+         |         ' ' || rtrim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' ' AS s
+         |  FROM w0),
+         |$stages
+         |SELECT merge_rank, a, b, merged, freq FROM (
+         |  $union)
+         |ORDER BY merge_rank""".stripMargin
+    },
     "q109_vocab_topk" ->
       """WITH tok AS (
         |  SELECT w FROM (

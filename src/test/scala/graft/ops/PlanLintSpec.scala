@@ -67,6 +67,21 @@ class PlanLintSpec extends SparkSpec {
     spark.catalog.clearCache() // q112 persists the bigram count table
   }
 
+  /** q115 extends the gate one order up — FIVE LM joins (pruned
+    * trigram, bigram twice, unigram twice) off the trigram stream,
+    * all broadcast in the default regime.
+    */
+  test("q115 scores through broadcast LM joins (trigram stream never shuffles to join)") {
+    val df = graft.SparkEntry.queries("q115_trigram_logprob")(spark, sf())
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q115: LM joins not broadcast\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"q115: trigram stream shuffled into a join\n$plan")
+    spark.catalog.clearCache() // q115 persists tri/big/uni
+  }
+
   /** q113's scale claim is q108/q112's: the vocab (Heaps-sublinear)
     * broadcasts into the token scan — the corpus-sized token stream
     * must never shuffle to meet it. And since r14 the full-width vocab
@@ -109,7 +124,8 @@ class PlanLintSpec extends SparkSpec {
     * against the default (broadcast) regime.
     */
   test("q108/q112/q113 LM joins degrade to pinned SHUFFLE_HASH above the ceiling, results identical") {
-    for (q <- Seq("q108_unigram_logprob", "q112_bigram_logprob", "q113_tokenize")) {
+    for (q <- Seq("q108_unigram_logprob", "q112_bigram_logprob",
+                  "q113_tokenize", "q115_trigram_logprob")) {
       val bcast = graft.SparkEntry.queries(q)(spark, sf()).collect().map(_.toString)
       spark.catalog.clearCache()
       spark.conf.set("spark.graft.lmBroadcastMaxBytes", "1")

@@ -258,6 +258,24 @@ class QueryPropertiesSpec extends SparkSpec {
     assert(perShard.filter(col("lo") =!= 1 || col("hi") =!= col("n")).isEmpty)
   }
 
+  test("trigram scoring covers every >= 3-token doc at exactly n-2 positions (q115)") {
+    val out = q("q115_trigram_logprob").persist()
+    val docs = graft.model.Tables(spark, sf(), "documents")
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "), w => w =!= "")).as("n"))
+      .filter(col("n") >= 3)
+    // one row per eligible doc; trigram positions are 3..n
+    assert(out.count() == docs.count())
+    val j = out.join(docs, "doc_id")
+    assert(j.filter(col("n_trigrams") =!= col("n") - 2).isEmpty,
+      "n_trigrams must equal token count - 2")
+    // scores are probabilities damped by backoff: every per-position
+    // sc is in (0, 1], so the mean log score is never positive
+    assert(out.filter(col("logprob") > 0.0).isEmpty)
+    out.unpersist()
+    spark.catalog.clearCache()
+  }
+
   test("no declared query outputs array/map/struct columns (harness rule)") {
     // the driver's correctness harness sorts and hashes every output
     // cell with pandas, which cannot handle nested cells — the round-1
