@@ -545,10 +545,28 @@ object Dedup {
     * at verbatim rate ~1.0. Cost class: one doc-local pair projection
     * + one pair-hash join + a span-sized aggregate — the same shape as
     * the scrub's own chunk⋈dup join, nothing quadratic.
+    *
+    * EDGE TOLERANCE (r13 VERDICT #4 — the recall tail): a verbatim
+    * copy's EDGE chunks can legitimately miss in the candidate doc —
+    * the boundary decision just before the copied region depends on
+    * bytes OUTSIDE the shared text, so the candidate's chunk covering
+    * the copy's start (or end) can absorb surrounding text and hash
+    * differently, killing exactly the FIRST and LAST adjacent pairs
+    * while every interior pair (both chunks fully inside the shared
+    * text, boundary context included) survives. `edgeTolerant = true`
+    * therefore requires only the INTERIOR pairs for spans of >= 4
+    * chunks (2-/3-chunk spans keep the full requirement: dropping
+    * their edge pairs leaves <= 1 interior pair — too weak a
+    * signature). Mosaics still reject: their interior pairs are
+    * adjacencies specific to the probing doc, not co-resident in any
+    * single other doc. Measured (SpanPrecisionProbe, sf0.01/sf0.1):
+    * recovered spans verbatim at the confirmed class's own rate, the
+    * numbers in the probe output and SURVEY §8.0.
     */
   private[graft] def confirmContiguous(docs: DataFrame, spans: DataFrame,
                                        w: Int = 8,
-                                       boundary: String = "md5"): DataFrame = {
+                                       boundary: String = "md5",
+                                       edgeTolerant: Boolean = true): DataFrame = {
     graft.functions.VectorExpressions.ensureRegistered(docs.sparkSession)
     val GearBits = "gear:(\\d+)".r
     val chunker = boundary match {
@@ -577,11 +595,19 @@ object Dedup {
       .agg(min(col("idx")).as("i1"), max(col("idx")).as("i2"))
     val single = spanIdx.filter(col("i1") === col("i2"))
       .select("doc_id", "cs", "ce")
-    // multi-chunk spans: distinct adjacent pairs per span, then require
-    // some OTHER doc to carry all of them
+    // multi-chunk spans: distinct REQUIRED adjacent pairs per span,
+    // then require some OTHER doc to carry all of them. Pair positions
+    // run i1..i2-1; with edge tolerance, >= 4-chunk spans (i2-i1 >= 3)
+    // drop the two edge pairs (idx == i1 and idx == i2-1) — see the
+    // scaladoc's phase argument.
+    val required =
+      if (!edgeTolerant) lit(true)
+      else col("i2") - col("i1") < 3 ||
+        (col("idx") > col("i1") && col("idx") < col("i2") - 1)
     val spanPairs = spanIdx.filter(col("i2") > col("i1"))
       .join(pairs, Seq("doc_id"))
       .filter(col("idx") >= col("i1") && col("idx") < col("i2"))
+      .filter(required)
       .select(col("doc_id"), col("cs"), col("ce"), col("ph"))
       .distinct()
     val need = spanPairs.groupBy("doc_id", "cs", "ce")
@@ -601,11 +627,12 @@ object Dedup {
   private[graft] def scrubDupSpans(docs: DataFrame, w: Int = 8,
                                    minSpan: Int = 50,
                                    boundary: String = "md5",
-                                   contiguousOnly: Boolean = false): DataFrame = {
+                                   contiguousOnly: Boolean = false,
+                                   edgeTolerant: Boolean = true): DataFrame = {
     val all = dupSpanRanges(docs, w, minSpan, boundary)
     val spans =
       if (!contiguousOnly) all
-      else confirmContiguous(docs, all, w, boundary)
+      else confirmContiguous(docs, all, w, boundary, edgeTolerant)
     val cuts = spans.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("cs"), col("ce")))).as("cuts"),
         count(lit(1)).as("n_spans_cut"))

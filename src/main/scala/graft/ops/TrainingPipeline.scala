@@ -106,7 +106,12 @@ object TrainingPipeline {
       // chunk-pair-chain confirm, no substring search), keeping the
       // mosaic spans the default mode cuts. The span-precision audit
       // (SURVEY §8.0) measured each rule's mosaic tail at 93-97% of its
-      // exclusive spans. COMPOSITION NOTE: combine with scrubFixpoint
+      // exclusive spans. r14: the confirm runs EDGE-TOLERANT (interior
+      // pairs only for >= 4-chunk spans — a verbatim copy's edge chunks
+      // can merge into the candidate doc's surrounding text), closing
+      // the r13 recall tail: rejected-class verbatim rate 0.200 → 0.000
+      // at sf0.1, confirmed-class rate at the audit's calibration
+      // ceiling. COMPOSITION NOTE: combine with scrubFixpoint
       // only deliberately — the confirm re-runs every round while
       // rejected spans recur identically (measured round-dominated,
       // 174 s at 1×, and OOM on an 8 GB fork); strict's natural reading

@@ -218,6 +218,42 @@ class ScrubSpansSpec extends SparkSpec {
         "strict must keep the mosaic portion of doc 3")
   }
 
+  test("edge tolerance laws: strict confirms a subset of tolerant; the mosaic rejects under both") {
+    // same fixture as the contiguousOnly test — the interior-pairs
+    // relaxation (r14) must only ever ADD confirmations (it weakens
+    // the required-pair set), and the cross-window mosaic must stay
+    // rejected under BOTH modes (its interior pairs are adjacencies of
+    // the probing doc, co-resident in no single other doc). The
+    // recall-gain existence claim is the probe's job on the organic
+    // corpus (SpanPrecisionProbe: rejected_tol verbatim rate 0.000 at
+    // sf0.1 vs rejected_strict 0.200) — this spec pins the laws.
+    val R = junk(41, 400, "abcdefgh ")
+    val d1 = junk(43, 60, "xyzuvw ") + R.substring(0, 260) + junk(47, 60, "pqrst ")
+    val d2 = junk(53, 60, "klmno ") + R.substring(140) + junk(59, 60, "wxyzq ")
+    val c = junk(61, 60, "qrstu ") + R + junk(67, 60, "vutsr ")
+    val docs = mk(1L -> d1, 2L -> d2, 3L -> c, 4L -> docA, 5L -> docB)
+    val texts = Map(1L -> d1, 2L -> d2, 3L -> c, 4L -> docA, 5L -> docB)
+    val all = Dedup.dupSpanRanges(docs)
+    def spanSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val strictC = spanSet(Dedup.confirmContiguous(docs, all, edgeTolerant = false))
+    val tolC = spanSet(Dedup.confirmContiguous(docs, all, edgeTolerant = true))
+    assert(strictC.subsetOf(tolC),
+      s"tolerant must confirm a superset; strict-only: ${strictC -- tolC}")
+    // the mosaic (any doc-3 span NOT verbatim elsewhere) rejects in both
+    val allSet = spanSet(all)
+    def verbatimElsewhere(s: (Long, Long, Long)): Boolean = {
+      val sub = texts(s._1).substring(s._2.toInt - 1, s._3.toInt)
+      texts.exists { case (id, t) => id != s._1 && t.contains(sub) }
+    }
+    val mosaics = allSet.filterNot(verbatimElsewhere)
+    assert(mosaics.nonEmpty, "fixture precondition: a mosaic span exists")
+    mosaics.foreach { m =>
+      assert(!tolC.contains(m), s"tolerant confirmed the mosaic $m")
+      assert(!strictC.contains(m), s"strict confirmed the mosaic $m")
+    }
+  }
+
   test("pipeline fixpoint scrub: survivors' text carries no qualifying span") {
     val docs = graft.model.Tables(spark, sf(), "documents")
     val train = docs.filter(col("doc_id") % 2 === 0)

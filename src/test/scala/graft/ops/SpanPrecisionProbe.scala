@@ -61,11 +61,22 @@ object SpanPrecisionProbe {
       val exclusive = all.join(common, Seq("doc_id", "cs", "ce"), "left_anti")
       // the r13 confirm under audit: its output should measure ~1.0
       // verbatim (pair chaining over-approximates only via repeated
-      // chunk hashes inside one candidate doc)
-      val confirmed = Dedup.confirmContiguous(docs, all, boundary = rule)
-      val rejected = all.join(confirmed, Seq("doc_id", "cs", "ce"), "left_anti")
+      // chunk hashes inside one candidate doc). r14: both edge-
+      // tolerance regimes, plus the RECOVERED class (tolerant-only
+      // confirms) — the r13 recall tail; its verbatim rate is the
+      // precision cost of the relaxation, its size vs the strict
+      // reject class's verbatim share is the recall gain.
+      val strictC = Dedup.confirmContiguous(docs, all, boundary = rule,
+        edgeTolerant = false)
+      val tolC = Dedup.confirmContiguous(docs, all, boundary = rule,
+        edgeTolerant = true)
+      val rejStrict = all.join(strictC, Seq("doc_id", "cs", "ce"), "left_anti")
+      val rejTol = all.join(tolC, Seq("doc_id", "cs", "ce"), "left_anti")
+      val recovered = tolC.join(strictC, Seq("doc_id", "cs", "ce"), "left_anti")
       for ((cls, set) <- Seq("common" -> common, "exclusive" -> exclusive,
-          "confirmed" -> confirmed, "rejected" -> rejected)) {
+          "confirmed_strict" -> strictC, "rejected_strict" -> rejStrict,
+          "confirmed_tol" -> tolC, "rejected_tol" -> rejTol,
+          "recovered" -> recovered)) {
         val n = set.count()
         // deterministic sample: first K by (doc_id, cs)
         val sample = set.orderBy("doc_id", "cs").limit(k)
