@@ -19,7 +19,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2.2.
     *
     * CACHE CONTRACT: a few queries (q57, q79, q81, q95, q101, q103,
-    * q108, q109, q112, q113) `persist()` a shared
+    * q108, q109, q112, q113, q115, q116) `persist()` a shared
     * subplan because it feeds two consumers and Spark has no automatic
     * CTE reuse for DataFrame plans. The returned DataFrame is lazy, so
     * the query function cannot unpersist it itself — the CALLER owns
@@ -30,11 +30,15 @@ object SparkEntry {
     * EAGERNESS EXCEPTION: a few CONSTRUCTORS run Spark jobs. q75 builds
     * the train-gram bloom sketch and collects it driver-side (the
     * broadcast-bloom pattern requires the sketch as a literal before
-    * the eval plan exists). The LM queries (q108, q112, q113) run one
+    * the eval plan exists). The LM queries (q108, q112, q113, q115,
+    * q116) run one
     * tiny aggregate per LM table to size-gate the broadcast-vs-shuffle
     * dispatch (TextAnalysis.joinLm) — the estimate pass doubles as
     * cache materialization of the persisted LM, so it adds no extra
-    * corpus scan. All other queries are construction-lazy.
+    * corpus scan. The BPE queries (q114, q116) run the bounded
+    * 20-round merge-learning loop at construction (one vocab-sized
+    * aggregate + one LIMIT-1 collect per round). All other queries are
+    * construction-lazy.
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Reference.queries ++ Relational.queries ++ Windows.queries ++

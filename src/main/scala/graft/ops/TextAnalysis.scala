@@ -725,6 +725,53 @@ object TextAnalysis {
         .orderBy("merge_rank")
     }),
 
+    // BPE corpus encoding (r14 — the chain's last link: q114 learns the
+    // merges, THIS encodes every document with them, the step a
+    // pretraining export actually materializes). Segmentation is
+    // applied once per word TYPE (vocab-sized work: fold the 20 learned
+    // merges over the wrapped-char seed — each a literal string
+    // replace), then the type→segmentation map is size-gate-shipped
+    // (joinLm) onto the pos-indexed token stream and docs reassemble in
+    // position order (q113's sort_array discipline); per-occurrence
+    // application would re-derive each word type's segmentation at
+    // every occurrence — type-level amortization is what a 100 TB
+    // encode needs. The md5 of the full subword sequence rides the
+    // hash gate, so any segmentation/order divergence fails. Doubly
+    // EAGER (the q114 learning loop runs first at construction).
+    "q116_bpe_encode" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val merges = learnBpeMerges(docs, BpeMerges)
+      val tok = docs.select(col("doc_id"),
+        posexplode(filter(split(col("text"), " "), w => w =!= ""))
+          .as(Seq("pos", "w")))
+      val seed = concat(lit(" "),
+        rtrim(regexp_replace(col("w"), "(.)", "$1  ")), lit(" "))
+      val folded = merges.foldLeft(seed) { case (c, m) =>
+        regexp_replace(c, s" ${m._2}  ${m._3} ", s" ${m._2}${m._3} ") }
+      val segArr = split(trim(folded), "  ")
+      val isAlpha = col("w").rlike("^[a-z]+$")
+      // persisted (CACHE CONTRACT): feeds its size estimate + the join
+      val seg = tok.select("w").distinct()
+        .select(col("w"),
+          when(isAlpha, array_join(segArr, " ")).otherwise(col("w")).as("sws"),
+          when(isAlpha, size(segArr).cast("long")).otherwise(lit(1L)).as("n_sw"))
+        .persist()
+      val agg = joinLm(tok, seg, Seq("w"), "inner", estimateLmBytes(seg))
+        .groupBy("doc_id")
+        .agg(sum(col("n_sw")).as("n_subwords"),
+          md5(concat_ws(" ", expr(
+            "transform(sort_array(collect_list(struct(pos, sws))), x -> x.sws)")))
+            .as("toks_md5"))
+      // empty-token docs re-enter with the empty encoding; pinned
+      // SHUFFLE_HASH — both sides hash on doc_id (one exchange each,
+      // no sort; the aggregate side is corpus-sized, never broadcast)
+      docs.select("doc_id").join(agg.hint("SHUFFLE_HASH"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_subwords"), lit(0L)).as("n_subwords"),
+          coalesce(col("toks_md5"), md5(lit(""))).as("toks_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Vocabulary construction — the top-k corpus token table (counts +
     // corpus share) that seeds a tokenizer build or a stopword list.
     // The rank window is GLOBAL but over the VOCAB aggregate, not the
@@ -749,6 +796,44 @@ object TextAnalysis {
         .orderBy(col("rank"))
     })
   )
+
+  /** Shared CTE prefix for the q114/q116 oracles: the corpus word-freq
+    * seed plus [[BpeMerges]] unrolled merge rounds (pair counts →
+    * argmax → replace), every stage MATERIALIZED — plain DuckDB CTEs
+    * inline at each reference, and s(k-1) is referenced twice per
+    * round, so un-materialized stages expand the 20-round chain
+    * 2^20-fold. The word `w` rides through every s-stage so q116 can
+    * read the final stage as the word → segmentation map.
+    */
+  private def bpeStagesSql(): String = {
+    val stages = (1 to BpeMerges).map { k =>
+      s"""p$k AS MATERIALIZED (
+         |  SELECT a, b, sum(f) AS cnt FROM (
+         |    SELECT f, unnest(tk[1:len(tk)-1]) AS a, unnest(tk[2:len(tk)]) AS b
+         |    FROM (SELECT f, string_split(trim(s), '  ') AS tk FROM s${k - 1})
+         |    WHERE len(tk) >= 2)
+         |  GROUP BY a, b),
+         |b$k AS MATERIALIZED (
+         |  SELECT CAST($k AS BIGINT) AS merge_rank, a, b, a || b AS merged,
+         |         CAST(cnt AS BIGINT) AS freq
+         |  FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
+         |s$k AS MATERIALIZED (
+         |  SELECT w, f, replace(s, ' ' || a || '  ' || b || ' ',
+         |                       ' ' || a || b || ' ') AS s
+         |  FROM s${k - 1} CROSS JOIN b$k)""".stripMargin
+    }.mkString(",\n")
+    s"""w0 AS MATERIALIZED (
+       |  SELECT w, count(*) AS f FROM (
+       |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+       |    FROM documents)
+       |  WHERE regexp_matches(w, '^[a-z]+$$')
+       |  GROUP BY w),
+       |s0 AS MATERIALIZED (
+       |  SELECT w, f,
+       |         ' ' || rtrim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' ' AS s
+       |  FROM w0),
+       |$stages""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     // the three PII patterns are INTERPOLATED from the same Scala
@@ -974,45 +1059,53 @@ object TextAnalysis {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // q114's oracle: the SAME 20 greedy merge rounds, unrolled into
     // per-round CTE triples (pair counts → argmax → replace) generated
-    // from the one BpeMerges constant the Spark loop uses. The seed
+    // from the one BpeMerges constant the Spark loop uses
+    // ([[bpeStagesSql]] — shared with q116's oracle). The seed
     // representation and the replace-based merge are byte-identical to
     // learnBpeMerges' (its scaladoc carries the shared-semantics
     // argument); DuckDB regexp_replace backreference is \1 where
     // Java's is $1 — the only engine-syntax difference in the chain.
     "q114_bpe_merges" -> {
-      val stages = (1 to BpeMerges).map { k =>
-        s"""p$k AS MATERIALIZED (
-           |  SELECT a, b, sum(f) AS cnt FROM (
-           |    SELECT f, unnest(tk[1:len(tk)-1]) AS a, unnest(tk[2:len(tk)]) AS b
-           |    FROM (SELECT f, string_split(trim(s), '  ') AS tk FROM s${k - 1})
-           |    WHERE len(tk) >= 2)
-           |  GROUP BY a, b),
-           |b$k AS MATERIALIZED (
-           |  SELECT CAST($k AS BIGINT) AS merge_rank, a, b, a || b AS merged,
-           |         CAST(cnt AS BIGINT) AS freq
-           |  FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
-           |s$k AS MATERIALIZED (
-           |  SELECT f, replace(s, ' ' || a || '  ' || b || ' ',
-           |                    ' ' || a || b || ' ') AS s
-           |  FROM s${k - 1} CROSS JOIN b$k)""".stripMargin
-      }.mkString(",\n")
       val union = (1 to BpeMerges).map(k => s"SELECT * FROM b$k")
         .mkString("\n  UNION ALL ")
-      s"""WITH w0 AS MATERIALIZED (
-         |  SELECT w, count(*) AS f FROM (
-         |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
-         |    FROM documents)
-         |  WHERE regexp_matches(w, '^[a-z]+$$')
-         |  GROUP BY w),
-         |s0 AS MATERIALIZED (
-         |  SELECT f,
-         |         ' ' || rtrim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' ' AS s
-         |  FROM w0),
-         |$stages
+      s"""WITH ${bpeStagesSql()}
          |SELECT merge_rank, a, b, merged, freq FROM (
          |  $union)
          |ORDER BY merge_rank""".stripMargin
     },
+    // q116's oracle: the q114 merge stages, then the application half —
+    // per word TYPE the final s-representation IS its segmentation
+    // (split the double-space separators), joined back onto the
+    // pos-indexed token stream and reassembled per doc in position
+    // order. Non-alphabetic word types are absent from the stage table
+    // and pass through whole (coalesce). Docs whose token list is
+    // empty re-enter via the documents LEFT JOIN with the empty-string
+    // md5.
+    "q116_bpe_encode" ->
+      s"""WITH ${bpeStagesSql()},
+         |seg AS MATERIALIZED (
+         |  SELECT w,
+         |         array_to_string(string_split(trim(s), '  '), ' ') AS sws,
+         |         CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n_sw
+         |  FROM s$BpeMerges),
+         |tok AS (
+         |  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos
+         |  FROM (SELECT doc_id,
+         |               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+         |        FROM documents)
+         |  WHERE len(ws) > 0),
+         |applied AS (
+         |  SELECT t.doc_id,
+         |         sum(coalesce(seg.n_sw, 1)) AS n_subwords,
+         |         md5(string_agg(coalesce(seg.sws, t.w), ' ' ORDER BY t.pos))
+         |           AS toks_md5
+         |  FROM tok t LEFT JOIN seg ON t.w = seg.w
+         |  GROUP BY t.doc_id)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(a.n_subwords, 0) AS BIGINT) AS n_subwords,
+         |       coalesce(a.toks_md5, md5('')) AS toks_md5
+         |FROM documents d LEFT JOIN applied a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "q109_vocab_topk" ->
       """WITH tok AS (
         |  SELECT w FROM (

@@ -76,6 +76,21 @@ class BpeSpec extends SparkSpec {
     assert(toks == Seq("aaab", "aa", "b", "xyz9", "b"), toks.toString)
   }
 
+  test("q116 law: subword count is bounded by words below and characters above") {
+    val out = graft.SparkEntry.queries("q116_bpe_encode")(spark, sf())
+    val counts = graft.model.Tables(spark, sf(), "documents")
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "), w => w =!= "")).cast("long")
+          .as("n_words"),
+        length(col("text")).cast("long").as("n_chars"))
+    val j = out.join(counts, "doc_id")
+    // each word maps to >= 1 subword; merging can never produce more
+    // subwords than the word has characters
+    assert(j.filter(col("n_subwords") < col("n_words")).isEmpty)
+    assert(j.filter(col("n_subwords") > col("n_chars") + 1).isEmpty)
+    spark.catalog.clearCache()
+  }
+
   test("round-trip on real docs: subword concatenation equals the original words (q113-chain acceptance)") {
     val learned = TextAnalysis.learnBpeMerges(
       graft.model.Tables(spark, sf(), "documents"), TextAnalysis.BpeMerges)
