@@ -180,6 +180,47 @@ object TextAnalysis {
     out.result()
   }
 
+  /** Encode a (doc_id, text) corpus with learned BPE merges — q116's
+    * core, shared with TrainingPipeline's export stage. TYPE-level
+    * application: segmentation is computed once per distinct word (fold
+    * the merges over the wrapped-char seed — vocab-sized work;
+    * non-alphabetic types pass through whole), then the
+    * type→segmentation map ships via the size-gated dispatcher
+    * ([[joinLm]]) onto the pos-indexed token stream, and docs
+    * reassemble in position order (q113's sort_array discipline).
+    *
+    * Returns (encoded, segCache): encoded = one row per doc with >= 1
+    * token — (doc_id, n_subwords, seq) where `seq` is the
+    * space-joined full subword sequence (subwords never contain
+    * spaces); segCache is the persisted type map the CALLER must
+    * unpersist after its last action (CACHE CONTRACT).
+    */
+  private[graft] def bpeEncodeTokens(docs: DataFrame,
+      merges: Seq[(Long, String, String, String, Long)])
+      : (DataFrame, DataFrame) = {
+    val tok = docs.select(col("doc_id"),
+      posexplode(filter(split(col("text"), " "), w => w =!= ""))
+        .as(Seq("pos", "w")))
+    val seed = concat(lit(" "),
+      rtrim(regexp_replace(col("w"), "(.)", "$1  ")), lit(" "))
+    val folded = merges.foldLeft(seed) { case (c, m) =>
+      regexp_replace(c, s" ${m._2}  ${m._3} ", s" ${m._2}${m._3} ") }
+    val segArr = split(trim(folded), "  ")
+    val isAlpha = col("w").rlike("^[a-z]+$")
+    val seg = tok.select("w").distinct()
+      .select(col("w"),
+        when(isAlpha, array_join(segArr, " ")).otherwise(col("w")).as("sws"),
+        when(isAlpha, size(segArr).cast("long")).otherwise(lit(1L)).as("n_sw"))
+      .persist()
+    val enc = joinLm(tok, seg, Seq("w"), "inner", estimateLmBytes(seg))
+      .groupBy("doc_id")
+      .agg(sum(col("n_sw")).as("n_subwords"),
+        concat_ws(" ", expr(
+          "transform(sort_array(collect_list(struct(pos, sws))), x -> x.sws)"))
+          .as("seq"))
+    (enc, seg)
+  }
+
   /** Segment every word of `text` with learned BPE merges, applied in
     * rank order — the q113-chain acceptance step (vocab→merges→subword
     * sequence). Alphabetic words segment; any other word passes
@@ -741,27 +782,11 @@ object TextAnalysis {
     "q116_bpe_encode" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
       val merges = learnBpeMerges(docs, BpeMerges)
-      val tok = docs.select(col("doc_id"),
-        posexplode(filter(split(col("text"), " "), w => w =!= ""))
-          .as(Seq("pos", "w")))
-      val seed = concat(lit(" "),
-        rtrim(regexp_replace(col("w"), "(.)", "$1  ")), lit(" "))
-      val folded = merges.foldLeft(seed) { case (c, m) =>
-        regexp_replace(c, s" ${m._2}  ${m._3} ", s" ${m._2}${m._3} ") }
-      val segArr = split(trim(folded), "  ")
-      val isAlpha = col("w").rlike("^[a-z]+$")
-      // persisted (CACHE CONTRACT): feeds its size estimate + the join
-      val seg = tok.select("w").distinct()
-        .select(col("w"),
-          when(isAlpha, array_join(segArr, " ")).otherwise(col("w")).as("sws"),
-          when(isAlpha, size(segArr).cast("long")).otherwise(lit(1L)).as("n_sw"))
-        .persist()
-      val agg = joinLm(tok, seg, Seq("w"), "inner", estimateLmBytes(seg))
-        .groupBy("doc_id")
-        .agg(sum(col("n_sw")).as("n_subwords"),
-          md5(concat_ws(" ", expr(
-            "transform(sort_array(collect_list(struct(pos, sws))), x -> x.sws)")))
-            .as("toks_md5"))
+      // per-doc subword sequences via the shared type-level encoder
+      // (the seg cache it persists is under the CACHE CONTRACT)
+      val (enc, _) = bpeEncodeTokens(docs, merges)
+      val agg = enc.select(col("doc_id"), col("n_subwords"),
+        md5(col("seq")).as("toks_md5"))
       // empty-token docs re-enter with the empty encoding; pinned
       // SHUFFLE_HASH — both sides hash on doc_id (one exchange each,
       // no sort; the aggregate side is corpus-sized, never broadcast)
@@ -774,10 +799,13 @@ object TextAnalysis {
 
     // Vocabulary construction — the top-k corpus token table (counts +
     // corpus share) that seeds a tokenizer build or a stopword list.
-    // The rank window is GLOBAL but over the VOCAB aggregate, not the
-    // corpus (the q67-histogram class, not the q45 global-sort class):
-    // its input is one (token, count) row per distinct token, already
-    // reduced map-side by the groupBy, and vocab is corpus-sublinear.
+    // r14: rank via orderBy + limit (TakeOrderedAndProject — each
+    // partition keeps its local top-50, the driver merges 32×50 rows)
+    // instead of a global rank window over the whole vocab aggregate:
+    // same unique total order (c desc, w), same 50 rows, but the
+    // vocab never funnels through one task — the last single-task
+    // window over unbounded input in the inventory. The residual
+    // row_number window runs over the 50 surviving rows only.
     "q109_vocab_topk" -> ((s, dir) => {
       val tok = Tables(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("w"))
@@ -787,8 +815,8 @@ object TextAnalysis {
       val tot = freq.agg(sum(col("c")).as("t"))
       val wnd = org.apache.spark.sql.expressions.Window
         .orderBy(col("c").desc, col("w"))
-      freq.withColumn("rank", row_number().over(wnd).cast("long"))
-        .filter(col("rank") <= 50)
+      freq.orderBy(col("c").desc, col("w")).limit(50)
+        .withColumn("rank", row_number().over(wnd).cast("long"))
         .crossJoin(broadcast(tot))
         .select(col("rank"), col("w"), col("c"),
           round(col("c").cast("double") / col("t").cast("double"), 6)

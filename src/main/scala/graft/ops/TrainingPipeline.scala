@@ -19,7 +19,9 @@ import org.apache.spark.sql.functions._
   *   overrun by eval grams) → optional domain mixing (q103
   *   token-budget sampling) → chunk (q97 geometry) → pack into
   *   training bins (q58) → optional deterministic training-order
-  *   export (q106's engine API over the survivors).
+  *   export (q106's engine API over the survivors) → optional BPE
+  *   tokenizer learn + corpus encode (q114/q116 over the survivors —
+  *   the tokenizer trains on what the model will actually see).
   *
   * Every stage is the same formulation its oracle-checked query uses, so
   * the pipeline's correctness story rides on the per-operator gates; what
@@ -132,7 +134,17 @@ object TrainingPipeline {
       // step a pretraining run actually consumes. Returned as
       // Result.order; a writer follows with Extensions.writeTrainOrder.
       exportOrderSeed: Option[String] = None,
-      exportShards: Int = 64)
+      exportShards: Int = 64,
+      // r14: when true, the pipeline ends with the q114+q116 tokenizer
+      // chain over the SURVIVORS — learn `bpeMerges` merges on the
+      // surviving corpus (post-scrub/redaction/decontamination text, so
+      // the tokenizer never memorizes content the pipeline dropped),
+      // then encode every survivor (type-level application, size-gated
+      // map shipping — q116's exact machinery). Returned as Result.bpe:
+      // (doc_id, n_subwords, seq). EAGER like the fixpoint stage: the
+      // learning loop runs 2 bounded jobs per merge round.
+      bpeEncode: Boolean = false,
+      bpeMerges: Int = TextAnalysis.BpeMerges)
 
   /** Stage outputs: the surviving corpus and the packed bins, plus
     * per-stage survivor counts for the audit trail. `cleanup` unpersists
@@ -146,7 +158,10 @@ object TrainingPipeline {
                     cleanup: () => Unit = () => (),
                     // the (shard, pos, doc_id) training order over the
                     // survivors — Some iff cfg.exportOrderSeed is set
-                    order: Option[DataFrame] = None)
+                    order: Option[DataFrame] = None,
+                    // (doc_id, n_subwords, seq) BPE encoding of the
+                    // survivors — Some iff cfg.bpeEncode
+                    bpe: Option[DataFrame] = None)
 
   private def words(c: Column): Column = filter(split(c, " "), w => w =!= "")
 
@@ -366,13 +381,26 @@ object TrainingPipeline {
     val order = cfg.exportOrderSeed.map(seed =>
       Extensions.trainOrder(mixed.select(col("doc_id")), seed, cfg.exportShards))
 
+    // 8 (optional). tokenizer chain over the SURVIVORS: learn BPE
+    // merges on what training will actually see (q114), encode every
+    // survivor with them (q116's type-level machinery). Learning is
+    // eager (bounded jobs per round, localCheckpoint-truncated); the
+    // encode's seg cache joins the cleanup list.
+    val bpe = if (!cfg.bpeEncode) None else {
+      val merges = TextAnalysis.learnBpeMerges(
+        mixed.select(col("doc_id"), col("text")), cfg.bpeMerges)
+      Some(TextAnalysis.bpeEncodeTokens(
+        mixed.select(col("doc_id"), col("text")), merges))
+    }
+
     // unpersist is idempotent, so listing the already-released audit-mode
     // caches here is harmless — one cleanup covers both modes
     val cleanup = () => {
       (Seq(exact, nearDedupedRaw, clean) ++ scrubbedOpt).foreach(_.unpersist())
+      bpe.foreach(_._2.unpersist()) // the encode's seg type-map cache
       scrubExtraCleanup() // fixpoint-mode internal caches (idempotent)
     }
-    Result(mixed, packed, audit.result(), cleanup, order)
+    Result(mixed, packed, audit.result(), cleanup, order, bpe.map(_._1))
   }
 
 }

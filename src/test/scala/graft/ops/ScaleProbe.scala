@@ -55,6 +55,16 @@ object ScaleProbe {
     // one id-sequence row per >= 1-token doc
     "q113_tokenize" -> "N")
 
+  // Round-14 additions: q114 always emits exactly BpeMerges rows (the
+  // replicas' disjoint char domains N-plicate the pair-count multiset,
+  // so the argmax sees N-way ties broken lexically — different WINNERS
+  // per decade, same row count); q115 one score row per >= 3-token doc;
+  // q116 one encoding row per doc (empty docs re-enter via the
+  // reattach join).
+  private val New14Family = Seq(
+    "q114_bpe_merges" -> "20", "q115_trigram_logprob" -> "N",
+    "q116_bpe_encode" -> "N")
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 1, "usage: ScaleProbe <sfDir> [<sfDir2> ...]")
     // the sbt Test fork defaults to 8 GB (SPARK_DRIVER_MEM overrides);
@@ -72,8 +82,10 @@ object ScaleProbe {
       case "rel"   => RelFamily
       case "new12" => New12Family
       case "new13" => New13Family
-      case "all"   => DocsFamily.map(_ -> "") ++ RelFamily ++ New12Family ++ New13Family
-      case other   => sys.error(s"SPARK_GRAFT_FAMILY=$other (want docs|rel|new12|new13|all)")
+      case "new14" => New14Family
+      case "all"   => DocsFamily.map(_ -> "") ++ RelFamily ++ New12Family ++
+        New13Family ++ New14Family
+      case other   => sys.error(s"SPARK_GRAFT_FAMILY=$other (want docs|rel|new12|new13|new14|all)")
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     // soak protocol (settled by the r9 three-decade partition scan,

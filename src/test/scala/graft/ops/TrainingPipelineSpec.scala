@@ -211,6 +211,33 @@ class TrainingPipelineSpec extends SparkSpec {
     } finally { res.cleanup(); spark.catalog.clearCache() }
   }
 
+  test("bpeEncode stage: every survivor encoded, round-trip exact, cleanup releases the type map") {
+    val docs = graft.model.Tables(spark, sf(), "documents")
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val eval_ = docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text")
+    val res = TrainingPipeline.prepare(train, eval_,
+      TrainingPipeline.Config(audit = false, bpeEncode = true, bpeMerges = 8))
+    try {
+      val bpe = res.bpe.getOrElse(fail("bpe export missing"))
+      // one encoding row per survivor with >= 1 token; subword
+      // concatenation reconstructs the original words exactly (the
+      // tokenizer learned on and applied to the SAME surviving text)
+      val sv = res.survivors.select(col("doc_id"),
+        concat_ws("", filter(split(col("text"), " "), w => w =!= ""))
+          .as("orig"))
+        .filter(length(col("orig")) > 0)
+      val joined = sv.join(bpe, Seq("doc_id"), "left")
+      assert(joined.filter(col("seq").isNull).isEmpty,
+        "a tokenized survivor is missing from the bpe export")
+      assert(joined.filter(
+        regexp_replace(col("seq"), " ", "") =!= col("orig")).isEmpty,
+        "bpe round-trip must reconstruct the survivor text's words")
+      // absent unless requested
+      assert(TrainingPipeline.prepare(train, eval_,
+        TrainingPipeline.Config(audit = false)).bpe.isEmpty)
+    } finally { res.cleanup(); spark.catalog.clearCache() }
+  }
+
   test("cleanup() releases the caches prepare() created, in non-audit mode too") {
     val docs = graft.model.Tables(spark, sf(), "documents")
     val train = docs.filter(col("doc_id") % 2 === 0)
