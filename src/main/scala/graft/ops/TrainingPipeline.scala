@@ -366,9 +366,28 @@ object TrainingPipeline {
     if (cfg.audit && cfg.mixTokenBudgetFrac.isDefined)
       audit += ("mixed" -> mixed.count())
 
+    // LINEAGE TRUNCATION at the survivors boundary (r14, measured): the
+    // composed logical tree (quality → dedup → near-dup → scrub →
+    // redaction → decontamination → mix) is deep enough that EVERY
+    // downstream action paid ~8-9 s of DRIVER-side overhead at sf0.1 —
+    // with every upstream cache materialized and NO task stage over
+    // 0.3 s (a per-action traversal of the nested cached plans, not
+    // data work; 3 consumer actions ≈ 27 s of pure overhead, growing
+    // with decade). localCheckpoint collapses the plan to a LogicalRDD:
+    // post-truncation actions measured 0.1 s. Lazy (eager = false), so
+    // the non-audit "nothing materializes until the caller's first
+    // action" contract holds; the checkpoint blocks free with the
+    // Result's GC (ContextCleaner), while cleanup() releases the named
+    // upstream caches — which the checkpoint makes safe to drop even
+    // before the caller's last action. Known localCheckpoint caveat
+    // (same as q100/q114): blocks are not fault-tolerant — an executor
+    // loss on a real cluster recomputes nothing; swap for reliable
+    // checkpointing there.
+    val survivors = mixed.localCheckpoint(false)
+
     // 5+6. chunk + pack: the SAME q97 geometry / q58 packing helpers the
     // oracle-checked queries run (Extensions.docChunks / packBins)
-    val chunks = Extensions.docChunks(mixed)
+    val chunks = Extensions.docChunks(survivors)
       .select(col("doc_id"), col("chunk_idx"),
         size(col("chunk")).cast("long").as("n_tokens"))
     val packed = Extensions.packBins(chunks, cfg.binTokens, cfg.shards)
@@ -379,7 +398,8 @@ object TrainingPipeline {
     // (TrainOrderSpec's laws apply verbatim: exactly the survivor set,
     // per-shard contiguous positions)
     val order = cfg.exportOrderSeed.map(seed =>
-      Extensions.trainOrder(mixed.select(col("doc_id")), seed, cfg.exportShards))
+      Extensions.trainOrder(survivors.select(col("doc_id")), seed,
+        cfg.exportShards))
 
     // 8 (optional). tokenizer chain over the SURVIVORS: learn BPE
     // merges on what training will actually see (q114), encode every
@@ -388,9 +408,9 @@ object TrainingPipeline {
     // encode's seg cache joins the cleanup list.
     val bpe = if (!cfg.bpeEncode) None else {
       val merges = TextAnalysis.learnBpeMerges(
-        mixed.select(col("doc_id"), col("text")), cfg.bpeMerges)
+        survivors.select(col("doc_id"), col("text")), cfg.bpeMerges)
       Some(TextAnalysis.bpeEncodeTokens(
-        mixed.select(col("doc_id"), col("text")), merges))
+        survivors.select(col("doc_id"), col("text")), merges))
     }
 
     // unpersist is idempotent, so listing the already-released audit-mode
@@ -400,7 +420,7 @@ object TrainingPipeline {
       bpe.foreach(_._2.unpersist()) // the encode's seg type-map cache
       scrubExtraCleanup() // fixpoint-mode internal caches (idempotent)
     }
-    Result(mixed, packed, audit.result(), cleanup, order, bpe.map(_._1))
+    Result(survivors, packed, audit.result(), cleanup, order, bpe.map(_._1))
   }
 
 }

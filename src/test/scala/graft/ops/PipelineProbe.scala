@@ -56,21 +56,44 @@ object PipelineProbe {
           scrubDupSpans = true, scrubBoundary = "gear:3",
           scrubFixpoint = true, redactPii = true,
           mixTokenBudgetFrac = Some(0.5),
-          exportOrderSeed = Some("probe"), exportShards = 64))
+          exportOrderSeed = Some("probe"), exportShards = 64),
+        // r14: the r13 surface + the tokenizer chain (q114 learn +
+        // q116 type-level encode over the survivors) — the full
+        // published stage set
+        "r14-full" -> TrainingPipeline.Config(audit = false,
+          scrubDupSpans = true, scrubBoundary = "gear:3",
+          scrubFixpoint = true, redactPii = true,
+          mixTokenBudgetFrac = Some(0.5),
+          exportOrderSeed = Some("probe"), exportShards = 64,
+          bpeEncode = true))
       for ((shape, cfg) <- shapes) {
         val t0 = System.nanoTime()
         val res = TrainingPipeline.prepare(train, eval_, cfg)
         val nSurv = res.survivors.count()
         val nBins = res.packed.count()
         val nOrder = res.order.get.count()
+        val nBpe = res.bpe.map(_.count())
         val wall = (System.nanoTime() - t0) / 1e9
+        // bpe rows == survivors with >= 1 token. NOT simply nSurv: the
+        // quality gate drops token-less INPUT docs, but the span scrub
+        // rewrites text while keeping rows (documented contract), and
+        // on this dup-heavy word-soup fixture the fixpoint scrub cuts
+        // some survivors' text to EMPTY (measured: 9 of 24 at 1× under
+        // the r14-full dials) — those legitimately have no encoding.
+        // Untimed (reads the survivors cache): the wall above covers
+        // the four production actions only.
+        val nTok = res.survivors.filter(
+          size(filter(split(col("text"), " "), w => w =!= "")) > 0).count()
         res.cleanup()
         spark.catalog.clearCache()
         require(nOrder == nSurv,
           s"export law violated: order=$nOrder survivors=$nSurv")
+        nBpe.foreach(n => require(n == nTok,
+          s"bpe law violated: bpe=$n tokenized-survivors=$nTok"))
         require(nSurv > 0 && nBins > 0, s"empty pipeline output at $dir")
         println(f"[pipeline-probe] $dir shape=$shape wall=$wall%.1fs " +
-          f"survivors=$nSurv bins=$nBins order=$nOrder")
+          f"survivors=$nSurv bins=$nBins order=$nOrder" +
+          nBpe.map(n => s" bpe=$n").getOrElse(""))
       }
     }
     spark.stop()

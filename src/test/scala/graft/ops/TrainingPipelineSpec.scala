@@ -243,16 +243,31 @@ class TrainingPipelineSpec extends SparkSpec {
     val train = docs.filter(col("doc_id") % 2 === 0)
     val eval_ = docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text")
     try {
+      spark.catalog.clearCache()
+      val before = spark.sparkContext.getPersistentRDDs.keySet
       val res = TrainingPipeline.prepare(train, eval_,
         TrainingPipeline.Config(audit = false))
       res.packed.count() // first action populates the lazy persists
-      assert(res.survivors.storageLevel !=
-        org.apache.spark.storage.StorageLevel.NONE,
-        "survivors should be cached after materialization")
+      val afterMat = spark.sparkContext.getPersistentRDDs.keySet -- before
+      // non-audit, no optional stages: exact + nearDeduped + clean
+      // caches, plus the survivors lineage-truncation checkpoint (r14)
+      assert(afterMat.size == 4,
+        s"expected 3 pipeline caches + 1 checkpoint, got ${afterMat.size}")
+      // the truncation contract: survivors' analyzed plan is a flat
+      // LogicalRDD — downstream actions never re-traverse the composed
+      // lineage (the measured 8-9 s/action driver overhead)
+      assert(res.survivors.queryExecution.analyzed.isInstanceOf[
+        org.apache.spark.sql.execution.LogicalRDD],
+        "survivors must be lineage-truncated")
       res.cleanup()
-      assert(res.survivors.storageLevel ==
-        org.apache.spark.storage.StorageLevel.NONE,
-        "cleanup() must unpersist the survivors cache")
+      val afterClean = spark.sparkContext.getPersistentRDDs.keySet -- before
+      // the three named caches released; only the checkpoint's backing
+      // RDD remains (freed by the ContextCleaner with the Result's GC)
+      assert(afterClean.size == 1,
+        s"cleanup must release the named caches, left: ${afterClean.size}")
+      // survivors stay fully usable after cleanup — the checkpoint IS
+      // the serving copy
+      assert(res.survivors.count() > 0)
       res.cleanup() // idempotent
     } finally spark.catalog.clearCache()
   }
