@@ -171,11 +171,14 @@ object TextAnalysis {
       val (a, b, cnt) =
         (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
       out += ((k.toLong, a, b, a + b, cnt))
-      // a, b are ^[a-z]+$ by seeding/concatenation — safe literals
+      // a, b are ^[a-z]+$ by seeding/concatenation — safe literals.
+      // Lazy checkpoint, NO materializing count: the next round's pair
+      // aggregation is the first action and materializes it then —
+      // one driver-synchronous job per round instead of two (and the
+      // final round's seqs, which nothing consumes, never computes).
       seqs = seqs
         .withColumn("s", expr(s"replace(s, ' $a  $b ', ' $a$b ')"))
         .localCheckpoint(false)
-      seqs.count() // materialize this round's truncation point
     }
     out.result()
   }
