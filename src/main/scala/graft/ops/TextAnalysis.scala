@@ -72,6 +72,18 @@ object TextAnalysis {
     * materialization and the corpus is never rescanned for it.
     */
   private[graft] def estimateLmBytes(lm: DataFrame): Long = {
+    // guard the estimator's domain: nested columns (array/map/struct)
+    // would silently count as 48 B/row regardless of payload — an LM
+    // carrying one would under-estimate and could push an over-ceiling
+    // table into the broadcast branch. Every current LM table is
+    // atomic; keep it that way or extend the estimator first.
+    val nested = lm.schema.fields.filter(f =>
+      f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+      f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] ||
+      f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+    require(nested.isEmpty,
+      s"estimateLmBytes: nested column(s) ${nested.map(_.name).mkString(", ")} " +
+        "— the estimator only prices atomic columns")
     val strCols = lm.schema.fields
       .filter(_.dataType == org.apache.spark.sql.types.StringType).map(_.name)
     val aggs = count(lit(1)).cast("long").as("n") +:

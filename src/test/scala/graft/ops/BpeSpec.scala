@@ -76,6 +76,27 @@ class BpeSpec extends SparkSpec {
     assert(toks == Seq("aaab", "aa", "b", "xyz9", "b"), toks.toString)
   }
 
+  test("exhausting mergeable pairs fails LOUDLY, never silently diverging from the oracle") {
+    // all-non-alpha corpus: no seedable words at all
+    val e1 = intercept[IllegalArgumentException] {
+      TextAnalysis.learnBpeMerges(docs("123 456 7a8"), 1)
+    }
+    assert(e1.getMessage.contains("no mergeable pairs"))
+    // single-char vocab collapses after its only merges are spent
+    val e2 = intercept[IllegalArgumentException] {
+      TextAnalysis.learnBpeMerges(docs("ab ab"), 3) // merge 1 = ab, then dry
+    }
+    assert(e2.getMessage.contains("round 2 of 3"))
+  }
+
+  test("learned merges are partitioning-independent (§7.5 determinism law)") {
+    val base = graft.model.Tables(spark, sf(), "documents")
+      .select("doc_id", "text")
+    val a = TextAnalysis.learnBpeMerges(base.repartition(7), 10)
+    val b = TextAnalysis.learnBpeMerges(base.repartition(3), 10)
+    assert(a == b, s"partitioning changed the learned merges:\n$a\n$b")
+  }
+
   test("q116 law: subword count is bounded by words below and characters above") {
     val out = graft.SparkEntry.queries("q116_bpe_encode")(spark, sf())
     val counts = graft.model.Tables(spark, sf(), "documents")

@@ -30,13 +30,18 @@ object ChunkerAbProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.VectorExpressions.ensureRegistered(spark)
+    // SPARK_GRAFT_AB_SECTIONS=chunk,scrub,strict (default all) — rerun
+    // one section without paying the others
+    val sections = sys.env.getOrElse("SPARK_GRAFT_AB_SECTIONS",
+      "chunk,scrub,strict").split(",").toSet
     def docs(dir: String) = graft.model.Tables(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
     val chunkers = Map("md5" -> "cdc_chunks(text, 8)",
       "gear" -> "cdc_chunks_gear(text)",
       "gear3" -> "cdc_chunks_gear(text, 3)",   // 1/8 rate: shorter chunks
       "gear5" -> "cdc_chunks_gear(text, 5)")   // 1/32 rate: longer chunks
-    for (dir <- args; b <- Seq("md5", "gear", "gear3", "gear5"); rep <- 1 to 3) {
+    for (dir <- args; b <- Seq("md5", "gear", "gear3", "gear5"); rep <- 1 to 3
+         if sections("chunk")) {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val r = docs(dir)
@@ -46,7 +51,8 @@ object ChunkerAbProbe {
       println(f"[chunker-ab] $dir chunk-$b rep$rep chunks=${r.getLong(0)} " +
         f"chars=${r.getLong(1)} sec=$sec%.2f")
     }
-    for (dir <- args; b <- Seq("md5", "gear", "gear:3", "gear:5"); rep <- 1 to 2) {
+    for (dir <- args; b <- Seq("md5", "gear", "gear:3", "gear:5"); rep <- 1 to 2
+         if sections("scrub")) {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val r = Dedup.scrubDupSpans(docs(dir), boundary = b)
@@ -56,14 +62,20 @@ object ChunkerAbProbe {
         f"chars=${r.getLong(1)} sec=$sec%.2f")
     }
     // strict contiguous-only mode: prices the confirm join
-    // (pair projection + pair-hash join + span-sized aggregate)
-    for (dir <- args; rep <- 1 to 2) {
+    // (pair projection + pair-hash join + span-sized aggregate), in
+    // BOTH edge-tolerance regimes (r14: tolerant is the default — the
+    // interior-pairs filter should price identically; the span DELTA is
+    // the recovered recall tail)
+    for (dir <- args; tol <- Seq(false, true); rep <- 1 to 2
+         if sections("strict")) {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      val r = Dedup.scrubDupSpans(docs(dir), contiguousOnly = true)
+      val r = Dedup.scrubDupSpans(docs(dir), contiguousOnly = true,
+          edgeTolerant = tol)
         .agg(sum(col("n_spans_cut")), sum(length(col("scrubbed")))).head()
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[chunker-ab] $dir scrub-strict-md5 rep$rep spans=${r.getLong(0)} " +
+      val mode = if (tol) "tol" else "full"
+      println(f"[chunker-ab] $dir scrub-strict-$mode rep$rep spans=${r.getLong(0)} " +
         f"chars=${r.getLong(1)} sec=$sec%.2f")
     }
     spark.stop()
