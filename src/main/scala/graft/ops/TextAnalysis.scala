@@ -718,6 +718,50 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // CCNet's head/middle/tail quality bucketing (Wenzek et al. 2020) —
+    // what the CCNet pipeline actually EMITS: score every doc by LM
+    // log-probability (q108's unigram scorer here; the bucketing
+    // machinery is LM-order-agnostic — swap in q112/q115's scorer
+    // unchanged), then label the best-scoring third head, the next
+    // middle, the rest tail. Bucketing is RANK-based over the unique
+    // total order (logprob desc, doc_id), decided by INTEGER arithmetic
+    // (rk·3 <= n / rk·3 <= 2n) — the first cut of this query compared
+    // docs against an INTERPOLATED percentile threshold and failed the
+    // sf0.1 hash gate: 121 docs shared the 4-dp score the p67 rank
+    // landed on, and Spark's `percentile` vs DuckDB's `quantile_cont`
+    // rounded the interpolation to opposite sides of that value,
+    // flipping every one of them. Ranks have no such edge. Scale
+    // shape: q108's broadcast-LM scoring (corpus never shuffles) + the
+    // q45/q113 range-partitioned global rank over the persisted
+    // per-doc scores (doc-count-sized — never a single-task window) +
+    // a broadcast 1-row count.
+    "q117_ccnet_buckets" -> ((s, dir) => {
+      val tok = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+      val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("c")).persist()
+      val est = estimateLmBytes(freq)
+      val tot = freq.agg(sum(col("c")).as("t"))
+      val scored = joinLm(tok, freq, Seq("w"), "inner", est)
+        .crossJoin(broadcast(tot))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          round(avg(log(col("c").cast("double") / col("t").cast("double"))), 4)
+            .as("logprob"))
+      // globalRowNumber persists its range-partitioned frame (CACHE
+      // CONTRACT); both consumers (n1, the bucket projection) read it
+      val ranked = Windows.globalRowNumber(scored,
+        Seq(col("logprob").desc, col("doc_id").asc), "rk")
+      val n1 = ranked.agg(count(lit(1)).as("n"))
+      ranked.crossJoin(broadcast(n1))
+        .withColumn("bucket",
+          when(col("rk") * 3 <= col("n"), lit("head"))
+            .when(col("rk") * 3 <= col("n") * 2, lit("middle"))
+            .otherwise(lit("tail")))
+        .select("doc_id", "n_tokens", "logprob", "bucket")
+        .orderBy("doc_id")
+    }),
+
     // Tokenizer application — the export step after q109's vocabulary
     // build: assign every distinct corpus token its frequency-rank id
     // (1-based; ties broken lexically — q109's exact ordering at full
@@ -1089,6 +1133,28 @@ object TextAnalysis {
         |SELECT doc_id, count(*) AS n_trigrams,
         |       round(avg(ln(sc)), 4) AS logprob
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q117_ccnet_buckets" ->
+      """WITH tok AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> ''),
+        |freq AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        |tot AS (SELECT sum(c) AS t FROM freq),
+        |scored AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |         round(avg(ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE))), 4) AS logprob
+        |  FROM tok JOIN freq USING (w) CROSS JOIN tot
+        |  GROUP BY doc_id),
+        |ranked AS (
+        |  SELECT doc_id, n_tokens, logprob,
+        |         row_number() OVER (ORDER BY logprob DESC, doc_id) AS rk,
+        |         count(*) OVER () AS n
+        |  FROM scored)
+        |SELECT doc_id, n_tokens, logprob,
+        |       CASE WHEN rk * 3 <= n THEN 'head'
+        |            WHEN rk * 3 <= n * 2 THEN 'middle'
+        |            ELSE 'tail' END AS bucket
+        |FROM ranked ORDER BY doc_id""".stripMargin,
     "q108_unigram_logprob" ->
       """WITH tok AS (
         |  SELECT doc_id, w FROM (

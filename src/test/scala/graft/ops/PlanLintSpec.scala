@@ -126,7 +126,7 @@ class PlanLintSpec extends SparkSpec {
   test("q108/q112/q113 LM joins degrade to pinned SHUFFLE_HASH above the ceiling, results identical") {
     for (q <- Seq("q108_unigram_logprob", "q112_bigram_logprob",
                   "q113_tokenize", "q115_trigram_logprob",
-                  "q116_bpe_encode")) {
+                  "q116_bpe_encode", "q117_ccnet_buckets")) {
       val bcast = graft.SparkEntry.queries(q)(spark, sf()).collect().map(_.toString)
       spark.catalog.clearCache()
       spark.conf.set("spark.graft.lmBroadcastMaxBytes", "1")

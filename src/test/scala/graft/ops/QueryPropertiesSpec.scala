@@ -276,6 +276,27 @@ class QueryPropertiesSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("ccnet buckets cover every scored doc in three near-balanced classes (q117)") {
+    val out = q("q117_ccnet_buckets").persist()
+    val n = out.count()
+    val byBucket = out.groupBy("bucket").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"), byBucket.toString)
+    assert(byBucket.values.sum == n)
+    // terciles are near-balanced when scores are mostly distinct (the
+    // word-soup corpus's are); allow a loose band for boundary ties
+    for ((b, c) <- byBucket)
+      assert(c >= n / 6 && c <= n / 2, s"bucket $b skewed: $c of $n")
+    // head scores dominate tail scores: min(head) >= max(tail)
+    val minHead = out.filter(col("bucket") === "head")
+      .agg(min("logprob")).head().getDouble(0)
+    val maxTail = out.filter(col("bucket") === "tail")
+      .agg(max("logprob")).head().getDouble(0)
+    assert(minHead >= maxTail, s"bucket order violated: $minHead < $maxTail")
+    out.unpersist()
+    spark.catalog.clearCache()
+  }
+
   test("no declared query outputs array/map/struct columns (harness rule)") {
     // the driver's correctness harness sorts and hashes every output
     // cell with pandas, which cannot handle nested cells — the round-1

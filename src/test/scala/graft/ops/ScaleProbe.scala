@@ -63,7 +63,11 @@ object ScaleProbe {
   // reattach join).
   private val New14Family = Seq(
     "q114_bpe_merges" -> "20", "q115_trigram_logprob" -> "N",
-    "q116_bpe_encode" -> "N")
+    "q116_bpe_encode" -> "N",
+    // one bucket row per >= 1-token doc (tercile labels shift per
+    // decade as the replicas re-mix the score distribution — the row
+    // count never does)
+    "q117_ccnet_buckets" -> "N")
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 1, "usage: ScaleProbe <sfDir> [<sfDir2> ...]")
