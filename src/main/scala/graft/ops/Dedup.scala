@@ -555,9 +555,18 @@ object Dedup {
     * while every interior pair (both chunks fully inside the shared
     * text, boundary context included) survives. `edgeTolerant = true`
     * therefore requires only the INTERIOR pairs for spans of >= 4
-    * chunks (2-/3-chunk spans keep the full requirement: dropping
-    * their edge pairs leaves <= 1 interior pair — too weak a
-    * signature). Mosaics still reject: their interior pairs are
+    * chunks. The cutoff is a deliberate asymmetry (r14 ADVICE): a
+    * 4-chunk span IS accepted on its single interior pair — one
+    * edge-insensitive adjacent pair shared with one other doc is the
+    * weakest evidence this confirm admits, and SpanPrecisionProbe
+    * measured the edge-tolerant confirmed class verbatim at 0.983
+    * (sf0.1, the calibration ceiling — see SURVEY §8.0 r14) WITH those
+    * spans included, so the 1-pair signature holds precision in
+    * practice. 2-/3-chunk spans keep the full requirement because
+    * dropping their edge pairs leaves ZERO interior pairs — no
+    * signature at all, which would confirm unconditionally. Callers
+    * needing >= 2-pair evidence floors should raise minSpan/w rather
+    * than the cutoff. Mosaics still reject: their interior pairs are
     * adjacencies specific to the probing doc, not co-resident in any
     * single other doc. Measured (SpanPrecisionProbe, sf0.01/sf0.1):
     * recovered spans verbatim at the confirmed class's own rate, the
@@ -688,7 +697,8 @@ object Dedup {
                                      minSpan: Int = 50,
                                      maxRounds: Int = 8,
                                      boundary: String = "md5",
-                                     contiguousOnly: Boolean = false): FixpointResult = {
+                                     contiguousOnly: Boolean = false,
+                                     edgeTolerant: Boolean = true): FixpointResult = {
     import org.apache.spark.storage.StorageLevel
     var cur = docs.select(col("doc_id"), col("text"))
     var curBacking: DataFrame = null // previous round's persisted output
@@ -696,7 +706,8 @@ object Dedup {
     var rounds = 0
     var done = false
     while (!done && rounds < maxRounds) {
-      val out = scrubDupSpans(cur, w, minSpan, boundary, contiguousOnly)
+      val out = scrubDupSpans(cur, w, minSpan, boundary, contiguousOnly,
+          edgeTolerant)
         .persist(StorageLevel.MEMORY_AND_DISK)
       val cut = out.agg(coalesce(sum(col("n_spans_cut")), lit(0L)))
         .head().getLong(0)

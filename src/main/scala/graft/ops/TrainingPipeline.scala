@@ -119,6 +119,15 @@ object TrainingPipeline {
       // 174 s at 1×, and OOM on an 8 GB fork); strict's natural reading
       // is the ONE-PASS cut of the original text's contiguous dups.
       scrubContiguousOnly: Boolean = false,
+      // r15 (r14 ADVICE close): the edge-tolerance dial of the
+      // contiguity confirm, exposed rather than hard-wired — callers
+      // who calibrated against the r13 STRICT confirm (all adjacent
+      // pairs required, edge pairs included) set this false to keep
+      // that behavior; the default is the r14 edge-tolerant confirm
+      // (interior pairs only for >= 4-chunk spans — recovers the
+      // verbatim-copy recall tail at measured precision). Only read
+      // when scrubContiguousOnly is true.
+      scrubEdgeTolerant: Boolean = true,
       // r13: when true, q110's PII redaction (TextAnalysis.redactPii —
       // emails/phones/IPv4s → typed markers) rewrites `text` after
       // near-dup removal / span scrub and BEFORE decontamination, so
@@ -267,13 +276,15 @@ object TrainingPipeline {
       else if (cfg.scrubFixpoint) {
         val fx = Dedup.scrubToFixpoint(nearDedupedRaw,
           boundary = cfg.scrubBoundary,
-          contiguousOnly = cfg.scrubContiguousOnly)
+          contiguousOnly = cfg.scrubContiguousOnly,
+          edgeTolerant = cfg.scrubEdgeTolerant)
         scrubExtraCleanup = fx.cleanup
         Some(fx.scrubbed
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       } else
         Some(Dedup.scrubDupSpans(nearDedupedRaw, boundary = cfg.scrubBoundary,
-            contiguousOnly = cfg.scrubContiguousOnly)
+            contiguousOnly = cfg.scrubContiguousOnly,
+            edgeTolerant = cfg.scrubEdgeTolerant)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val scrubbed = scrubbedOpt match {
       case None => nearDedupedRaw

@@ -37,12 +37,23 @@ object Windows {
     *
     * `keys` must be a total order (unique): ties across a range
     * boundary would otherwise rank non-deterministically.
+    *
+    * `partitions <= 0` (the default) derives the range-partition count
+    * from `spark.sql.shuffle.partitions` (r14 VERDICT finding #2: a
+    * literal 32 pinned the rank stage's parallelism regardless of
+    * cluster size — on a 1000-executor cluster the session dial is the
+    * one AQE and the operator ecosystem already scale by). The result
+    * is partition-count-independent (global row numbers over a total
+    * order), so oracle hashes cannot move with the dial.
     */
   private[graft] def globalRowNumber(df: org.apache.spark.sql.DataFrame,
                                      keys: Seq[org.apache.spark.sql.Column],
                                      out: String,
-                                     partitions: Int = 32): org.apache.spark.sql.DataFrame = {
-    val local = df.repartitionByRange(partitions, keys: _*)
+                                     partitions: Int = -1): org.apache.spark.sql.DataFrame = {
+    val parts =
+      if (partitions > 0) partitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val local = df.repartitionByRange(parts, keys: _*)
       .withColumn("_grn_pid", spark_partition_id())
       .withColumn("_grn_lrn", row_number().over(
         Window.partitionBy("_grn_pid").orderBy(keys: _*)).cast("long"))
