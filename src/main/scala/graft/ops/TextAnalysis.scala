@@ -112,12 +112,58 @@ object TextAnalysis {
       stream.join(broadcast(lm), keys, joinType)
     else stream.join(lm.hint("SHUFFLE_HASH"), keys, joinType)
 
+  /** LM-estimate memo (r14 ADVICE): (sfDir, call-site tag) → estimated
+    * bytes. The testdata dirs are immutable per sfDir, so entries never
+    * invalidate; after the first construction of an LM query on a dir,
+    * re-constructing it runs ZERO estimate jobs (PlanLintSpec gates
+    * this with a job-count listener). Keyed per CALL SITE, not per
+    * table identity — correctness-free by the dispatch contract: the
+    * estimate only picks the shipping regime, never the results. The
+    * one behavior shift a memo HIT causes is that the estimate pass no
+    * longer materializes the persisted LM at construction — the first
+    * ACTION materializes it instead; total work is identical. Pass
+    * None for non-testdata inputs (TrainingPipeline): their frames are
+    * caller-built and carry no immutability contract.
+    */
+  private val estMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
+
+  private[graft] def estimateLmBytesMemo(key: Option[(String, String)],
+                                         lm: DataFrame): Long =
+    key match {
+      case Some(k) => estMemo.computeIfAbsent(k, _ => estimateLmBytes(lm))
+        .longValue()
+      case None => estimateLmBytes(lm)
+    }
+
   /** Merge count for q114 — bounded and small: BPE quality grows with
     * merges but the LEARNING loop is the operator under test, and 20
     * rounds already exercises merged-symbol re-merging (merges of
     * merges appear by round 3 on the test corpora).
     */
   private[graft] val BpeMerges = 20
+
+  /** Round/batch dials for q119/q120 (the r14 VERDICT #2 scale path):
+    * 25 rounds × up to 8 disjoint merges per round — up to 200 merges,
+    * 10× q114's count at ~1.25× its driver round-trips. The dials are
+    * declared constants because the oracle unrolls them.
+    */
+  private[graft] val BpeBatchRounds = 25
+  private[graft] val BpeBatchK = 8
+
+  /** The symbol-sequence seed of a word under the space-wrapped
+    * representation (see [[learnBpeMerges]]); with `eowMarker`, a
+    * Sennrich-style `</w>` end-of-word symbol is appended — final
+    * position units then learn separately from word-internal ones
+    * (e.g. `s</w>` plural endings), matching what sentencepiece-style
+    * tokenizers produce. The marker chars are regex-inert and
+    * SQL-literal-safe, so every replace in the chain stays literal.
+    */
+  private def bpeSeed(w: Column, eowMarker: Boolean): Column = {
+    val core = rtrim(regexp_replace(w, "(.)", "$1  "))
+    if (eowMarker) concat(lit(" "), core, lit("  </w> "))
+    else concat(lit(" "), core, lit(" "))
+  }
 
   /** Learn byte-pair-encoding merges (Sennrich et al. 2016, word-level
     * char seeding): each distinct ALPHABETIC word becomes its character
@@ -146,7 +192,8 @@ object TextAnalysis {
     * the standard reference-implementation asymmetry, mirrored exactly
     * by both engines.
     */
-  private[graft] def learnBpeMerges(docs: DataFrame, nMerges: Int)
+  private[graft] def learnBpeMerges(docs: DataFrame, nMerges: Int,
+      eowMarker: Boolean = false)
       : Seq[(Long, String, String, String, Long)] = {
     val words = docs
       .select(explode(filter(split(col("text"), " "), w => w =!= "")).as("w"))
@@ -159,9 +206,7 @@ object TextAnalysis {
     // before this was caught. Checkpointing truncates the lineage (the
     // q100 star-contraction discipline); superseded round blocks are
     // freed by the ContextCleaner once unreferenced.
-    var seqs = words.select(col("f"),
-        concat(lit(" "), rtrim(regexp_replace(col("w"), "(.)", "$1  ")),
-          lit(" ")).as("s"))
+    var seqs = words.select(col("f"), bpeSeed(col("w"), eowMarker).as("s"))
       .localCheckpoint(true)
     val out = Seq.newBuilder[(Long, String, String, String, Long)]
     for (k <- 1 to nMerges) {
@@ -183,7 +228,8 @@ object TextAnalysis {
       val (a, b, cnt) =
         (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
       out += ((k.toLong, a, b, a + b, cnt))
-      // a, b are ^[a-z]+$ by seeding/concatenation — safe literals.
+      // a, b are [a-z]+ (plus the optional regex-inert `</w>` marker)
+      // by seeding/concatenation — safe SQL string literals.
       // Lazy checkpoint, NO materializing count: the next round's pair
       // aggregation is the first action and materializes it then —
       // one driver-synchronous job per round instead of two (and the
@@ -191,6 +237,88 @@ object TextAnalysis {
       seqs = seqs
         .withColumn("s", expr(s"replace(s, ' $a  $b ', ' $a$b ')"))
         .localCheckpoint(false)
+    }
+    out.result()
+  }
+
+  /** BATCHED BPE merge learning (r14 VERDICT #2 — the path to realistic
+    * merge counts): per round, rank all pairs by (freq desc, a, b),
+    * take the top [[BpeBatchK]]-class `k` RANKS as candidates, and keep
+    * a candidate iff its symbol set {a, b, ab} is disjoint from EVERY
+    * higher-ranked candidate's — kept or discarded alike. The
+    * all-higher-ranks rule (rather than greedy-against-kept-only) is
+    * deliberately chosen because it is decidable per candidate with no
+    * sequential state: the DuckDB oracle expresses it as one NOT EXISTS
+    * self-join over the k-row candidate window instead of a recursion,
+    * and it only ever keeps a SUBSET of what greedy would (more
+    * conservative, never wrong).
+    *
+    * All kept pairs then merge in ONE vocab pass: mutual disjointness —
+    * each pair's merged symbol included in its set — makes the replaces
+    * order-independent and keeps every kept pair's pre-batch count
+    * exact (merging ` a  b ` can neither create nor destroy occurrences
+    * of ` c  d ` when {c, d, cd} ∩ {a, b, ab} = ∅; space-wrapping rules
+    * out partial-symbol matches). merge_rank is the global emission
+    * order (round-major, rank-minor).
+    *
+    * Schedule semantics: at k = 1 every round keeps exactly the rank-1
+    * pair — bit-for-bit [[learnBpeMerges]] (BpeSpec law). At k > 1 the
+    * schedule may diverge from k sequential rounds wherever a merge
+    * would have created a NEW pair outranking a kept one — the standard
+    * BPE-at-scale trade (k× fewer driver round-trips; q114's cost is
+    * round-bound, exp 0.08 across decades, not corpus-bound). A round
+    * with no pairs left emits nothing and the loop keeps its fixed
+    * `nRounds` shape (the unrolled oracle's shape) — deterministic
+    * either way.
+    */
+  private[graft] def learnBpeMergesBatched(docs: DataFrame, nRounds: Int,
+      k: Int, eowMarker: Boolean = false)
+      : Seq[(Long, String, String, String, Long)] = {
+    require(k >= 1 && nRounds >= 1, s"need k >= 1, nRounds >= 1 (got $k, $nRounds)")
+    val words = docs
+      .select(explode(filter(split(col("text"), " "), w => w =!= "")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    var seqs = words.select(col("f"), bpeSeed(col("w"), eowMarker).as("s"))
+      .localCheckpoint(true)
+    val out = Seq.newBuilder[(Long, String, String, String, Long)]
+    var rank = 0L
+    for (_ <- 1 to nRounds) {
+      // ONE bounded collect per round: k rows (the q100/fixpoint
+      // bounded-scalar-action discipline — k is a small constant)
+      val cand = seqs
+        .withColumn("tk", split(trim(col("s")), "  "))
+        .filter(size(col("tk")) >= 2)
+        .select(col("f"), explode(expr(
+          "transform(sequence(2, size(tk)), i -> struct(" +
+            "element_at(tk, i - 1) AS a, element_at(tk, i) AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("f")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(k).collect()
+      val kept = cand.zipWithIndex.filter { case (c, i) =>
+        val syms = Set(c.getString(0), c.getString(1),
+          c.getString(0) + c.getString(1))
+        cand.take(i).forall { h =>
+          val hs = Set(h.getString(0), h.getString(1),
+            h.getString(0) + h.getString(1))
+          hs.intersect(syms).isEmpty
+        }
+      }.map(_._1)
+      for (c <- kept) {
+        rank += 1
+        out += ((rank, c.getString(0), c.getString(1),
+          c.getString(0) + c.getString(1), c.getLong(2)))
+      }
+      if (kept.nonEmpty) {
+        // disjointness makes the nesting order irrelevant; keep rank
+        // order anyway so the expression text is deterministic
+        val repl = kept.foldLeft("s") { (acc, c) =>
+          val (a, b) = (c.getString(0), c.getString(1))
+          s"replace($acc, ' $a  $b ', ' $a$b ')"
+        }
+        seqs = seqs.withColumn("s", expr(repl)).localCheckpoint(false)
+      }
     }
     out.result()
   }
@@ -210,30 +338,85 @@ object TextAnalysis {
     * spaces); segCache is the persisted type map the CALLER must
     * unpersist after its last action (CACHE CONTRACT).
     */
+  /** Replaces applied per plan stage in [[segmentTypes]] (r14 VERDICT
+    * #3 — the fold-depth guard): <= this many merges fold into one
+    * projection (q116's 20 keep r14's exact single-stage plan); longer
+    * merge lists chunk, with a lazy localCheckpoint between chunks, so
+    * the expression tree and the generated code stay bounded at ANY
+    * merge count — 30k merges is ~940 vocab-sized stages, never one
+    * 30k-deep expression (which stops compiling long before that).
+    */
+  private[graft] val SegFoldChunk = 32
+
+  /** Type-level BPE segmentation over a frame of distinct words `w`:
+    * fold the merges in rank order as literal-string replaces over the
+    * space-wrapped seed, [[SegFoldChunk]] per stage. Returns
+    * (w, sws, n_sw) — non-alphabetic types pass through whole. The
+    * inter-chunk checkpoints materialize VOCAB-sized frames only.
+    */
+  private[graft] def segmentTypes(types: DataFrame,
+      merges: Seq[(String, String)],
+      eowMarker: Boolean = false): DataFrame = {
+    val isAlpha = col("w").rlike("^[a-z]+$")
+    // null for non-alpha types: replaces propagate null for free and
+    // the final projection never reads _seg_s for them
+    var df = types.withColumn("_seg_s", when(isAlpha, bpeSeed(col("w"), eowMarker)))
+    val groups = merges.grouped(SegFoldChunk).toSeq
+    for ((g, gi) <- groups.zipWithIndex) {
+      val folded = g.foldLeft(col("_seg_s")) { case (c, (a, b)) =>
+        // literal pattern/replacement (symbols are [a-z]+ plus the
+        // regex-inert marker); left-to-right non-overlapping scan IS
+        // greedy BPE pairing — learnBpeMerges' representation argument
+        regexp_replace(c, s" $a  $b ", s" $a$b ") }
+      df = df.withColumn("_seg_s", folded)
+      if (gi < groups.size - 1) df = df.localCheckpoint(false)
+    }
+    val segArr = split(trim(col("_seg_s")), "  ")
+    df.select(col("w"),
+      when(isAlpha, array_join(segArr, " ")).otherwise(col("w")).as("sws"),
+      when(isAlpha, size(segArr).cast("long")).otherwise(lit(1L)).as("n_sw"))
+  }
+
   private[graft] def bpeEncodeTokens(docs: DataFrame,
-      merges: Seq[(Long, String, String, String, Long)])
+      merges: Seq[(Long, String, String, String, Long)],
+      memoKey: Option[(String, String)] = None,
+      eowMarker: Boolean = false)
       : (DataFrame, DataFrame) = {
     val tok = docs.select(col("doc_id"),
       posexplode(filter(split(col("text"), " "), w => w =!= ""))
         .as(Seq("pos", "w")))
-    val seed = concat(lit(" "),
-      rtrim(regexp_replace(col("w"), "(.)", "$1  ")), lit(" "))
-    val folded = merges.foldLeft(seed) { case (c, m) =>
-      regexp_replace(c, s" ${m._2}  ${m._3} ", s" ${m._2}${m._3} ") }
-    val segArr = split(trim(folded), "  ")
-    val isAlpha = col("w").rlike("^[a-z]+$")
-    val seg = tok.select("w").distinct()
-      .select(col("w"),
-        when(isAlpha, array_join(segArr, " ")).otherwise(col("w")).as("sws"),
-        when(isAlpha, size(segArr).cast("long")).otherwise(lit(1L)).as("n_sw"))
+    val seg = segmentTypes(tok.select("w").distinct(),
+        merges.map(m => (m._2, m._3)), eowMarker)
       .persist()
-    val enc = joinLm(tok, seg, Seq("w"), "inner", estimateLmBytes(seg))
+    val enc = joinLm(tok, seg, Seq("w"), "inner",
+        estimateLmBytesMemo(memoKey, seg))
       .groupBy("doc_id")
       .agg(sum(col("n_sw")).as("n_subwords"),
         concat_ws(" ", expr(
           "transform(sort_array(collect_list(struct(pos, sws))), x -> x.sws)"))
           .as("seq"))
     (enc, seg)
+  }
+
+  /** The q116/q120 query shape over [[bpeEncodeTokens]]: hash the full
+    * subword sequence and re-attach empty-token docs with the empty
+    * encoding. The reattach join is pinned SHUFFLE_HASH — both sides
+    * hash on doc_id (one exchange each, no sort; the aggregate side is
+    * corpus-sized, never broadcast — caught by the lint on first run).
+    */
+  private def bpeEncodeQuery(docs: DataFrame,
+      merges: Seq[(Long, String, String, String, Long)],
+      memoKey: Option[(String, String)]): DataFrame = {
+    // per-doc subword sequences via the shared type-level encoder
+    // (the seg cache it persists is under the CACHE CONTRACT)
+    val (enc, _) = bpeEncodeTokens(docs, merges, memoKey)
+    val agg = enc.select(col("doc_id"), col("n_subwords"),
+      md5(col("seq")).as("toks_md5"))
+    docs.select("doc_id").join(agg.hint("SHUFFLE_HASH"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_subwords"), lit(0L)).as("n_subwords"),
+        coalesce(col("toks_md5"), md5(lit(""))).as("toks_md5"))
+      .orderBy("doc_id")
   }
 
   /** Segment every word of `text` with learned BPE merges, applied in
@@ -322,6 +505,97 @@ object TextAnalysis {
       .select("doc_id", "n_words", "mean_word_len", "frac_alpha", "n_stop",
         "symbol_ratio", "frac_bullet", "frac_ellipsis", "dup_line_frac",
         "dup_2gram_frac", "n_rules_failed", "gopher_pass")
+  }
+
+  /** Per-doc trigram-LM scores — q115's scorer minus the declared-
+    * determinism sort, factored (r14 VERDICT #1) so q118 composes the
+    * IDENTICAL scorer with CCNet bucketing. Semantics and scale shape
+    * are documented at the q115 declaration (count->=2 pruning, stupid
+    * backoff through orders 2/1, five size-gated LM joins off one
+    * doc-local trigram stream). Persists tri/big/uni (CACHE CONTRACT).
+    * Returns (doc_id, n_trigrams, logprob), unsorted.
+    *
+    * `memoDir`: the immutable testdata dir for the LM-estimate memo
+    * ([[estimateLmBytesMemo]]) — q115/q118 pass it; ad-hoc callers
+    * leave None and pay the three estimate jobs per construction.
+    */
+  private[graft] def trigramScores(docs: DataFrame,
+                                   memoDir: Option[String] = None): DataFrame = {
+    def memo(tag: String) = memoDir.map(d => (d, tag))
+    val ws = docs
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), w => w =!= "").as("ws"))
+      .filter(size(col("ws")) >= 3)
+    val tg = ws.select(col("doc_id"), explode(expr(
+      "transform(sequence(3, size(ws)), i -> struct(" +
+        "element_at(ws, i - 2) AS p2, element_at(ws, i - 1) AS p1, " +
+        "element_at(ws, i) AS w))")).as("t"))
+      .select(col("doc_id"), col("t.p2").as("p2"), col("t.p1").as("p1"),
+        col("t.w").as("w"))
+    val train = tg.filter(col("doc_id") % 2 === 0)
+    val tri = train.groupBy("p2", "p1", "w")
+      .agg(count(lit(1)).as("c3")).filter(col("c3") >= 2).persist()
+    val estTri = estimateLmBytesMemo(memo("trigram.tri"), tri)
+    // bigram counts over the SAME >= 3-token train docs (adjacent
+    // pairs, doc-local construction like q112's)
+    val big = ws.filter(col("doc_id") % 2 === 0)
+      .select(explode(expr(
+        "transform(sequence(2, size(ws)), i -> struct(" +
+          "element_at(ws, i - 1) AS p, element_at(ws, i) AS w))")).as("b"))
+      .select(col("b.p").as("p"), col("b.w").as("w"))
+      .groupBy("p", "w").agg(count(lit(1)).as("c2")).persist()
+    val estBig = estimateLmBytesMemo(memo("trigram.big"), big)
+    val uni = ws.filter(col("doc_id") % 2 === 0)
+      .select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1")).persist()
+    val estUni = estimateLmBytesMemo(memo("trigram.uni"), uni)
+    val tot = uni.agg(sum(col("c1")).as("t")) // 1 row — always broadcast
+    val den = big.select(col("p").as("p2"), col("w").as("p1"),
+      col("c2").as("cden"))
+    val back = big.select(col("p").as("p1"), col("w").as("w"),
+      col("c2").as("cback"))
+    val uniCtx = uni.select(col("w").as("p1"), col("c1").as("c1p"))
+    val scored = joinLm(joinLm(joinLm(joinLm(joinLm(tg,
+        tri, Seq("p2", "p1", "w"), "left", estTri),
+        den, Seq("p2", "p1"), "left", estBig),
+        back, Seq("p1", "w"), "left", estBig),
+        uniCtx, Seq("p1"), "left", estUni),
+        uni, Seq("w"), "left", estUni)
+      .crossJoin(broadcast(tot))
+      .withColumn("sc",
+        when(col("c3").isNotNull,
+          col("c3").cast("double") / col("cden").cast("double"))
+        .when(col("cback").isNotNull,
+          lit(0.4) * col("cback").cast("double") / col("c1p").cast("double"))
+        .when(col("c1").isNotNull,
+          lit(0.16) * col("c1").cast("double") / col("t").cast("double"))
+        .otherwise(lit(0.16) / col("t").cast("double")))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        round(avg(log(col("sc"))), 4).as("logprob"))
+  }
+
+  /** Rank-based head/middle/tail bucketing over per-doc LM scores —
+    * q117's second half, factored so q118 composes it with the trigram
+    * scorer (LM-order-agnostic BY CONSTRUCTION: any frame carrying
+    * (doc_id, logprob) buckets identically). Rank = range-partitioned
+    * global row_number over the unique (logprob desc, doc_id) order
+    * (Windows.globalRowNumber — persists its frame, CACHE CONTRACT);
+    * buckets decided by INTEGER arithmetic (rk·3 <= n / <= 2n) — the
+    * q117 scaladoc records the interpolated-percentile design this
+    * replaced after it failed the sf0.1 hash gate. All input columns
+    * ride through; `bucket` is appended.
+    */
+  private[graft] def ccnetBucket(scored: DataFrame): DataFrame = {
+    val ranked = Windows.globalRowNumber(scored,
+      Seq(col("logprob").desc, col("doc_id").asc), "rk")
+    val n1 = ranked.agg(count(lit(1)).as("n"))
+    ranked.crossJoin(broadcast(n1))
+      .withColumn("bucket",
+        when(col("rk") * 3 <= col("n"), lit("head"))
+          .when(col("rk") * 3 <= col("n") * 2, lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("rk", "n")
   }
 
   val queries: Map[String, Q] = Map(
@@ -430,13 +704,13 @@ object TextAnalysis {
       // dispatch per table (r14: joinLm), lint-gated in both regimes
       val big = bg.filter(col("doc_id") % 2 === 0)
         .groupBy("p", "w").agg(count(lit(1)).as("c2")).persist()
-      val estBig = estimateLmBytes(big)
+      val estBig = estimateLmBytesMemo(Some((dir, "q112.big")), big)
       val ctx = big.groupBy("p").agg(sum(col("c2")).as("cp")).persist()
-      val estCtx = estimateLmBytes(ctx) // scans cached big, not the corpus
+      val estCtx = estimateLmBytesMemo(Some((dir, "q112.ctx")), ctx) // scans cached big, not the corpus
       val uni = ws.filter(col("doc_id") % 2 === 0)
         .select(explode(col("ws")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("c1")).persist()
-      val estUni = estimateLmBytes(uni)
+      val estUni = estimateLmBytesMemo(Some((dir, "q112.uni")), uni)
       val tot = uni.agg(sum(col("c1")).as("t")) // 1 row — always broadcast
       joinLm(joinLm(joinLm(bg,
           big, Seq("p", "w"), "left", estBig),
@@ -478,59 +752,26 @@ object TextAnalysis {
     // key bindings (denominator context and backoff numerator),
     // reusing one cache; the corpus never shuffles in the broadcast
     // regime and degrades to pinned SHUFFLE_HASH above the ceiling.
-    "q115_trigram_logprob" -> ((s, dir) => {
-      val ws = Tables(s, dir, "documents")
-        .select(col("doc_id"),
-          filter(split(col("text"), " "), w => w =!= "").as("ws"))
-        .filter(size(col("ws")) >= 3)
-      val tg = ws.select(col("doc_id"), explode(expr(
-        "transform(sequence(3, size(ws)), i -> struct(" +
-          "element_at(ws, i - 2) AS p2, element_at(ws, i - 1) AS p1, " +
-          "element_at(ws, i) AS w))")).as("t"))
-        .select(col("doc_id"), col("t.p2").as("p2"), col("t.p1").as("p1"),
-          col("t.w").as("w"))
-      val train = tg.filter(col("doc_id") % 2 === 0)
-      val tri = train.groupBy("p2", "p1", "w")
-        .agg(count(lit(1)).as("c3")).filter(col("c3") >= 2).persist()
-      val estTri = estimateLmBytes(tri)
-      // bigram counts over the SAME >= 3-token train docs (adjacent
-      // pairs, doc-local construction like q112's)
-      val big = ws.filter(col("doc_id") % 2 === 0)
-        .select(explode(expr(
-          "transform(sequence(2, size(ws)), i -> struct(" +
-            "element_at(ws, i - 1) AS p, element_at(ws, i) AS w))")).as("b"))
-        .select(col("b.p").as("p"), col("b.w").as("w"))
-        .groupBy("p", "w").agg(count(lit(1)).as("c2")).persist()
-      val estBig = estimateLmBytes(big)
-      val uni = ws.filter(col("doc_id") % 2 === 0)
-        .select(explode(col("ws")).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("c1")).persist()
-      val estUni = estimateLmBytes(uni)
-      val tot = uni.agg(sum(col("c1")).as("t")) // 1 row — always broadcast
-      val den = big.select(col("p").as("p2"), col("w").as("p1"),
-        col("c2").as("cden"))
-      val back = big.select(col("p").as("p1"), col("w").as("w"),
-        col("c2").as("cback"))
-      val uniCtx = uni.select(col("w").as("p1"), col("c1").as("c1p"))
-      val scored = joinLm(joinLm(joinLm(joinLm(joinLm(tg,
-          tri, Seq("p2", "p1", "w"), "left", estTri),
-          den, Seq("p2", "p1"), "left", estBig),
-          back, Seq("p1", "w"), "left", estBig),
-          uniCtx, Seq("p1"), "left", estUni),
-          uni, Seq("w"), "left", estUni)
-        .crossJoin(broadcast(tot))
-        .withColumn("sc",
-          when(col("c3").isNotNull,
-            col("c3").cast("double") / col("cden").cast("double"))
-          .when(col("cback").isNotNull,
-            lit(0.4) * col("cback").cast("double") / col("c1p").cast("double"))
-          .when(col("c1").isNotNull,
-            lit(0.16) * col("c1").cast("double") / col("t").cast("double"))
-          .otherwise(lit(0.16) / col("t").cast("double")))
-      scored.groupBy("doc_id")
-        .agg(count(lit(1)).as("n_trigrams"),
-          round(avg(log(col("sc"))), 4).as("logprob"))
-        .orderBy(col("doc_id"))
+    "q115_trigram_logprob" -> ((s, dir) =>
+      trigramScores(Tables(s, dir, "documents"), Some(dir))
+        .orderBy(col("doc_id"))),
+
+    // CCNet bucketing composed with the TRIGRAM scorer (r14 VERDICT #1
+    // — the last unproven composition claim: q117's scaladoc says the
+    // bucketing machinery is LM-order-agnostic; this query PROVES it by
+    // declaration, and it is CCNet's actual shape — Wenzek et al. 2020
+    // score with a high-order KenLM and bucket by perplexity thirds).
+    // Plan = q115's five size-gated LM joins (corpus never shuffles in
+    // the broadcast regime; pinned SHUFFLE_HASH above the ceiling —
+    // PlanLintSpec gates both regimes byte-equal) feeding q117's
+    // range-partitioned global rank + integer-arithmetic thirds. The
+    // scorer and the bucketer are the SAME code q115/q117 declare
+    // ([[trigramScores]], [[ccnetBucket]]) — zero re-implementation.
+    "q118_ccnet_trigram_buckets" -> ((s, dir) => {
+      val scored = trigramScores(Tables(s, dir, "documents"), Some(dir))
+      ccnetBucket(scored)
+        .select("doc_id", "n_trigrams", "logprob", "bucket")
+        .orderBy("doc_id")
     }),
 
     // Language ID: build top-5 marker words per language by frequency,
@@ -706,8 +947,10 @@ object TextAnalysis {
       val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("c")).persist()
       // size-gated dispatch (r14): the estimate pass doubles as cache
       // materialization; broadcast under the ceiling, pinned
-      // SHUFFLE_HASH above — the scale claim holds unconditionally
-      val est = estimateLmBytes(freq)
+      // SHUFFLE_HASH above — the scale claim holds unconditionally.
+      // r15: memoized per (dir, site) — repeated construction on the
+      // same immutable dir runs zero estimate jobs
+      val est = estimateLmBytesMemo(Some((dir, "q108.freq")), freq)
       val tot = freq.agg(sum(col("c")).as("t"))
       joinLm(tok, freq, Seq("w"), "inner", est)
         .crossJoin(broadcast(tot))
@@ -740,7 +983,7 @@ object TextAnalysis {
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .filter(col("w") =!= "")
       val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("c")).persist()
-      val est = estimateLmBytes(freq)
+      val est = estimateLmBytesMemo(Some((dir, "q117.freq")), freq)
       val tot = freq.agg(sum(col("c")).as("t"))
       val scored = joinLm(tok, freq, Seq("w"), "inner", est)
         .crossJoin(broadcast(tot))
@@ -748,16 +991,10 @@ object TextAnalysis {
         .agg(count(lit(1)).as("n_tokens"),
           round(avg(log(col("c").cast("double") / col("t").cast("double"))), 4)
             .as("logprob"))
-      // globalRowNumber persists its range-partitioned frame (CACHE
-      // CONTRACT); both consumers (n1, the bucket projection) read it
-      val ranked = Windows.globalRowNumber(scored,
-        Seq(col("logprob").desc, col("doc_id").asc), "rk")
-      val n1 = ranked.agg(count(lit(1)).as("n"))
-      ranked.crossJoin(broadcast(n1))
-        .withColumn("bucket",
-          when(col("rk") * 3 <= col("n"), lit("head"))
-            .when(col("rk") * 3 <= col("n") * 2, lit("middle"))
-            .otherwise(lit("tail")))
+      // bucketing factored as [[ccnetBucket]] (r15: q118 composes the
+      // same bucketer with the trigram scorer); globalRowNumber inside
+      // it persists its range-partitioned frame (CACHE CONTRACT)
+      ccnetBucket(scored)
         .select("doc_id", "n_tokens", "logprob", "bucket")
         .orderBy("doc_id")
     }),
@@ -795,7 +1032,8 @@ object TextAnalysis {
         .select("w", "id")
       // size-gated vocab shipping (r14): estimate scans the cached
       // ranked frame, not the corpus
-      joinLm(tok, vocab, Seq("w"), "inner", estimateLmBytes(vocab))
+      joinLm(tok, vocab, Seq("w"), "inner",
+          estimateLmBytesMemo(Some((dir, "q113.vocab")), vocab))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tokens"),
           expr("transform(sort_array(collect_list(struct(pos, id))), x -> x.id)")
@@ -838,23 +1076,42 @@ object TextAnalysis {
     // encode needs. The md5 of the full subword sequence rides the
     // hash gate, so any segmentation/order divergence fails. Doubly
     // EAGER (the q114 learning loop runs first at construction).
-    "q116_bpe_encode" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents")
-      val merges = learnBpeMerges(docs, BpeMerges)
-      // per-doc subword sequences via the shared type-level encoder
-      // (the seg cache it persists is under the CACHE CONTRACT)
-      val (enc, _) = bpeEncodeTokens(docs, merges)
-      val agg = enc.select(col("doc_id"), col("n_subwords"),
-        md5(col("seq")).as("toks_md5"))
-      // empty-token docs re-enter with the empty encoding; pinned
-      // SHUFFLE_HASH — both sides hash on doc_id (one exchange each,
-      // no sort; the aggregate side is corpus-sized, never broadcast)
-      docs.select("doc_id").join(agg.hint("SHUFFLE_HASH"), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_subwords"), lit(0L)).as("n_subwords"),
-          coalesce(col("toks_md5"), md5(lit(""))).as("toks_md5"))
-        .orderBy("doc_id")
+    "q116_bpe_encode" -> ((s, dir) =>
+      bpeEncodeQuery(Tables(s, dir, "documents"),
+        learnBpeMerges(Tables(s, dir, "documents"), BpeMerges),
+        Some((dir, "q116.seg")))),
+
+    // BATCHED BPE merge learning at a realistic merge count (r14
+    // VERDICT #2): [[BpeBatchRounds]] rounds × up to [[BpeBatchK]]
+    // mutually-disjoint merges per round — up to 200 merges from 25
+    // driver round-trips (vs 200 sequential rounds: 8× fewer driver-
+    // synchronous jobs; the rounds, not the corpus, dominate the
+    // learner's cost — q114's decade exponent is 0.08).
+    // [[learnBpeMergesBatched]] holds the disjointness rule and the
+    // one-pass batch-apply argument; the oracle unrolls the identical
+    // 25 rounds — per round a pair count, a k-row ranked candidate
+    // window, a NOT EXISTS disjointness filter, and one fixed-depth
+    // replace chain over NULL-padded pivot columns. EAGER (the round
+    // loop runs at construction; one k-row collect per round).
+    "q119_bpe_merges_batched" -> ((s, dir) => {
+      val merges = learnBpeMergesBatched(Tables(s, dir, "documents"),
+        BpeBatchRounds, BpeBatchK)
+      import s.implicits._
+      merges.toDF("merge_rank", "a", "b", "merged", "freq")
+        .orderBy("merge_rank")
     }),
+
+    // BPE corpus encoding at the batched merge count (r14 VERDICT #3's
+    // measured row: the SAME type-level encoder as q116, driven to
+    // ~200 merges — the fold now spans multiple [[SegFoldChunk]]-deep
+    // stages, proving the depth guard end-to-end against the oracle's
+    // stage table instead of against a synthetic probe). Doubly EAGER
+    // (the 25-round batched learning loop runs at construction).
+    "q120_bpe_encode_batched" -> ((s, dir) =>
+      bpeEncodeQuery(Tables(s, dir, "documents"),
+        learnBpeMergesBatched(Tables(s, dir, "documents"),
+          BpeBatchRounds, BpeBatchK),
+        Some((dir, "q120.seg")))),
 
     // Vocabulary construction — the top-k corpus token table (counts +
     // corpus share) that seeds a tokenizer build or a stopword list.
@@ -921,6 +1178,120 @@ object TextAnalysis {
        |  FROM w0),
        |$stages""".stripMargin
   }
+
+  /** Shared CTE prefix for the q119/q120 oracles: the same w0/s0 seed
+    * as [[bpeStagesSql]], then [[BpeBatchRounds]] unrolled BATCHED
+    * rounds. Per round r: `p` = pair counts; `c` = the top-k ranked
+    * candidate window; `k` = the disjointness filter — keep a candidate
+    * iff NO higher-ranked candidate's symbol triple {a, b, a||b}
+    * intersects its own (the all-higher-ranks rule of
+    * [[learnBpeMergesBatched]], expressible as one NOT EXISTS instead
+    * of a recursion), re-indexed densely by `j`; `v` = the kept pairs
+    * pivoted to a FIXED k-column single row (aggregate over possibly-
+    * empty input yields one all-NULL row, so an empty round is a
+    * no-op, never an empty cross join); `s` = one fixed-depth replace
+    * chain — NULL columns coalesce to chr(1), a byte absent from every
+    * symbol, making the padded replaces identity.
+    */
+  private def bpeBatchStagesSql(): String = {
+    val K = BpeBatchK
+    val stages = (1 to BpeBatchRounds).map { r =>
+      val piv = (1 to K).map(i =>
+        s"max(CASE WHEN j = $i THEN a END) AS a$i, " +
+          s"max(CASE WHEN j = $i THEN b END) AS b$i").mkString(",\n         ")
+      val repl = (1 to K).foldLeft("s") { (acc, i) =>
+        s"replace($acc,\n           coalesce(' ' || a$i || '  ' || b$i || ' ', chr(1)),\n           coalesce(' ' || a$i || b$i || ' ', chr(1)))"
+      }
+      s"""bp$r AS MATERIALIZED (
+         |  SELECT a, b, sum(f) AS cnt FROM (
+         |    SELECT f, unnest(tk[1:len(tk)-1]) AS a, unnest(tk[2:len(tk)]) AS b
+         |    FROM (SELECT f, string_split(trim(s), '  ') AS tk FROM bs${r - 1})
+         |    WHERE len(tk) >= 2)
+         |  GROUP BY a, b),
+         |bc$r AS MATERIALIZED (
+         |  SELECT a, b, cnt, rn FROM (
+         |    SELECT a, b, cnt, row_number() OVER (ORDER BY cnt DESC, a, b) AS rn
+         |    FROM bp$r)
+         |  WHERE rn <= $K),
+         |bk$r AS MATERIALIZED (
+         |  SELECT row_number() OVER (ORDER BY c.rn) AS j, c.rn,
+         |         c.a, c.b, c.a || c.b AS merged, CAST(c.cnt AS BIGINT) AS freq
+         |  FROM bc$r c
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM bc$r h WHERE h.rn < c.rn AND (
+         |      h.a IN (c.a, c.b, c.a || c.b) OR
+         |      h.b IN (c.a, c.b, c.a || c.b) OR
+         |      h.a || h.b IN (c.a, c.b, c.a || c.b)))),
+         |bv$r AS MATERIALIZED (
+         |  SELECT $piv
+         |  FROM bk$r),
+         |bs$r AS MATERIALIZED (
+         |  SELECT w, f, $repl AS s
+         |  FROM bs${r - 1} CROSS JOIN bv$r)""".stripMargin
+    }.mkString(",\n")
+    s"""bw0 AS MATERIALIZED (
+       |  SELECT w, count(*) AS f FROM (
+       |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+       |    FROM documents)
+       |  WHERE regexp_matches(w, '^[a-z]+$$')
+       |  GROUP BY w),
+       |bs0 AS MATERIALIZED (
+       |  SELECT w, f,
+       |         ' ' || rtrim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' ' AS s
+       |  FROM bw0),
+       |$stages""".stripMargin
+  }
+
+  /** Shared CTE chain of the trigram-scorer oracles (q115 and q118 —
+    * one text, zero drift): the full pruned-trigram stupid-backoff
+    * pipeline through `doc_scores` (doc_id, n_trigrams, logprob).
+    */
+  private val TrigramScoreCtes: String =
+    """ws AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      |  FROM documents),
+      |w3 AS (SELECT doc_id, ws FROM ws WHERE len(ws) >= 3),
+      |tg AS (
+      |  SELECT doc_id,
+      |         unnest(ws[1:len(ws)-2]) AS p2,
+      |         unnest(ws[2:len(ws)-1]) AS p1,
+      |         unnest(ws[3:len(ws)]) AS w
+      |  FROM w3),
+      |tri AS (
+      |  SELECT p2, p1, w, count(*) AS c3 FROM tg WHERE doc_id % 2 = 0
+      |  GROUP BY p2, p1, w HAVING count(*) >= 2),
+      |big AS (
+      |  SELECT p, w, count(*) AS c2 FROM (
+      |    SELECT doc_id,
+      |           unnest(ws[1:len(ws)-1]) AS p,
+      |           unnest(ws[2:len(ws)]) AS w
+      |    FROM w3)
+      |  WHERE doc_id % 2 = 0 GROUP BY p, w),
+      |uni AS (
+      |  SELECT w, count(*) AS c1 FROM (
+      |    SELECT unnest(ws) AS w FROM w3 WHERE doc_id % 2 = 0)
+      |  GROUP BY w),
+      |tot AS (SELECT sum(c1) AS t FROM uni),
+      |scored AS (
+      |  SELECT tg.doc_id,
+      |         CASE WHEN tri.c3 IS NOT NULL
+      |                THEN CAST(tri.c3 AS DOUBLE) / CAST(den.c2 AS DOUBLE)
+      |              WHEN bk.c2 IS NOT NULL
+      |                THEN 0.4 * CAST(bk.c2 AS DOUBLE) / CAST(u1.c1 AS DOUBLE)
+      |              WHEN uw.c1 IS NOT NULL
+      |                THEN 0.16 * CAST(uw.c1 AS DOUBLE) / CAST(tot.t AS DOUBLE)
+      |              ELSE 0.16 / CAST(tot.t AS DOUBLE) END AS sc
+      |  FROM tg
+      |  LEFT JOIN tri ON tg.p2 = tri.p2 AND tg.p1 = tri.p1 AND tg.w = tri.w
+      |  LEFT JOIN big den ON tg.p2 = den.p AND tg.p1 = den.w
+      |  LEFT JOIN big bk ON tg.p1 = bk.p AND tg.w = bk.w
+      |  LEFT JOIN uni u1 ON tg.p1 = u1.w
+      |  LEFT JOIN uni uw ON tg.w = uw.w
+      |  CROSS JOIN tot),
+      |doc_scores AS (
+      |  SELECT doc_id, count(*) AS n_trigrams,
+      |         round(avg(ln(sc)), 4) AS logprob
+      |  FROM scored GROUP BY doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // the three PII patterns are INTERPOLATED from the same Scala
@@ -1089,50 +1460,24 @@ object TextAnalysis {
         |SELECT doc_id, n_tokens, ids_md5, first_id, last_id
         |FROM seq ORDER BY doc_id""".stripMargin,
     "q115_trigram_logprob" ->
-      """WITH ws AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
-        |  FROM documents),
-        |w3 AS (SELECT doc_id, ws FROM ws WHERE len(ws) >= 3),
-        |tg AS (
-        |  SELECT doc_id,
-        |         unnest(ws[1:len(ws)-2]) AS p2,
-        |         unnest(ws[2:len(ws)-1]) AS p1,
-        |         unnest(ws[3:len(ws)]) AS w
-        |  FROM w3),
-        |tri AS (
-        |  SELECT p2, p1, w, count(*) AS c3 FROM tg WHERE doc_id % 2 = 0
-        |  GROUP BY p2, p1, w HAVING count(*) >= 2),
-        |big AS (
-        |  SELECT p, w, count(*) AS c2 FROM (
-        |    SELECT doc_id,
-        |           unnest(ws[1:len(ws)-1]) AS p,
-        |           unnest(ws[2:len(ws)]) AS w
-        |    FROM w3)
-        |  WHERE doc_id % 2 = 0 GROUP BY p, w),
-        |uni AS (
-        |  SELECT w, count(*) AS c1 FROM (
-        |    SELECT unnest(ws) AS w FROM w3 WHERE doc_id % 2 = 0)
-        |  GROUP BY w),
-        |tot AS (SELECT sum(c1) AS t FROM uni),
-        |scored AS (
-        |  SELECT tg.doc_id,
-        |         CASE WHEN tri.c3 IS NOT NULL
-        |                THEN CAST(tri.c3 AS DOUBLE) / CAST(den.c2 AS DOUBLE)
-        |              WHEN bk.c2 IS NOT NULL
-        |                THEN 0.4 * CAST(bk.c2 AS DOUBLE) / CAST(u1.c1 AS DOUBLE)
-        |              WHEN uw.c1 IS NOT NULL
-        |                THEN 0.16 * CAST(uw.c1 AS DOUBLE) / CAST(tot.t AS DOUBLE)
-        |              ELSE 0.16 / CAST(tot.t AS DOUBLE) END AS sc
-        |  FROM tg
-        |  LEFT JOIN tri ON tg.p2 = tri.p2 AND tg.p1 = tri.p1 AND tg.w = tri.w
-        |  LEFT JOIN big den ON tg.p2 = den.p AND tg.p1 = den.w
-        |  LEFT JOIN big bk ON tg.p1 = bk.p AND tg.w = bk.w
-        |  LEFT JOIN uni u1 ON tg.p1 = u1.w
-        |  LEFT JOIN uni uw ON tg.w = uw.w
-        |  CROSS JOIN tot)
-        |SELECT doc_id, count(*) AS n_trigrams,
-        |       round(avg(ln(sc)), 4) AS logprob
-        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $TrigramScoreCtes
+        |SELECT doc_id, n_trigrams, logprob
+        |FROM doc_scores ORDER BY doc_id""".stripMargin,
+    // q118's oracle: the SHARED trigram-scorer CTE chain
+    // ([[TrigramScoreCtes]] — zero drift from q115's) + q117's exact
+    // rank-bucketing tail over (logprob desc, doc_id).
+    "q118_ccnet_trigram_buckets" ->
+      s"""WITH $TrigramScoreCtes,
+        |ranked AS (
+        |  SELECT doc_id, n_trigrams, logprob,
+        |         row_number() OVER (ORDER BY logprob DESC, doc_id) AS rk,
+        |         count(*) OVER () AS n
+        |  FROM doc_scores)
+        |SELECT doc_id, n_trigrams, logprob,
+        |       CASE WHEN rk * 3 <= n THEN 'head'
+        |            WHEN rk * 3 <= n * 2 THEN 'middle'
+        |            ELSE 'tail' END AS bucket
+        |FROM ranked ORDER BY doc_id""".stripMargin,
     "q117_ccnet_buckets" ->
       """WITH tok AS (
         |  SELECT doc_id, w FROM (
@@ -1197,6 +1542,48 @@ object TextAnalysis {
          |         array_to_string(string_split(trim(s), '  '), ' ') AS sws,
          |         CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n_sw
          |  FROM s$BpeMerges),
+         |tok AS (
+         |  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos
+         |  FROM (SELECT doc_id,
+         |               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+         |        FROM documents)
+         |  WHERE len(ws) > 0),
+         |applied AS (
+         |  SELECT t.doc_id,
+         |         sum(coalesce(seg.n_sw, 1)) AS n_subwords,
+         |         md5(string_agg(coalesce(seg.sws, t.w), ' ' ORDER BY t.pos))
+         |           AS toks_md5
+         |  FROM tok t LEFT JOIN seg ON t.w = seg.w
+         |  GROUP BY t.doc_id)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(a.n_subwords, 0) AS BIGINT) AS n_subwords,
+         |       coalesce(a.toks_md5, md5('')) AS toks_md5
+         |FROM documents d LEFT JOIN applied a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    // q119's oracle: the batched stages ([[bpeBatchStagesSql]] — the
+    // disjointness rule as NOT EXISTS, the batch apply as a NULL-padded
+    // fixed-depth replace chain), merge_rank = global row_number over
+    // (round, within-round rank).
+    "q119_bpe_merges_batched" -> {
+      val union = (1 to BpeBatchRounds)
+        .map(r => s"SELECT $r AS round, j, a, b, merged, freq FROM bk$r")
+        .mkString("\n  UNION ALL ")
+      s"""WITH ${bpeBatchStagesSql()},
+         |all_kept AS (
+         |  $union)
+         |SELECT row_number() OVER (ORDER BY round, j) AS merge_rank,
+         |       a, b, merged, freq
+         |FROM all_kept ORDER BY merge_rank""".stripMargin
+    },
+    // q120's oracle: q116's application half over the BATCHED stage
+    // table's final segmentation (bs{BpeBatchRounds}).
+    "q120_bpe_encode_batched" ->
+      s"""WITH ${bpeBatchStagesSql()},
+         |seg AS MATERIALIZED (
+         |  SELECT w,
+         |         array_to_string(string_split(trim(s), '  '), ' ') AS sws,
+         |         CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n_sw
+         |  FROM bs$BpeBatchRounds),
          |tok AS (
          |  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos
          |  FROM (SELECT doc_id,

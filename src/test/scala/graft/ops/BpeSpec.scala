@@ -112,6 +112,129 @@ class BpeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  // ───────────────────── batched learner (q119/q120) ─────────────────────
+
+  test("batched learner at k = 1 IS the sequential learner, bit for bit") {
+    // the fixture from the hand-computed test AND the real table: the
+    // k = 1 specialization must reproduce learnBpeMerges exactly (one
+    // candidate per round, always kept)
+    val d = docs("aaab aaab aab")
+    assert(TextAnalysis.learnBpeMergesBatched(d, 3, 1) ==
+      TextAnalysis.learnBpeMerges(d, 3))
+    val base = graft.model.Tables(spark, sf(), "documents")
+    assert(TextAnalysis.learnBpeMergesBatched(base, 10, 1) ==
+      TextAnalysis.learnBpeMerges(base, 10))
+  }
+
+  test("one batched round of k mutually-disjoint pairs equals k sequential merges") {
+    // 2-char words complete on their first merge, so no merge creates
+    // new pairs — the disjointness precondition of the equivalence law
+    // holds for the whole window: (a,b)=9, (c,d)=6, (e,f)=3
+    val d = docs(("ab " * 9 + "cd " * 6 + "ef " * 3).trim)
+    val batched = TextAnalysis.learnBpeMergesBatched(d, 1, 3)
+    val sequential = TextAnalysis.learnBpeMerges(d, 3)
+    assert(batched == sequential, s"$batched\nvs\n$sequential")
+    assert(batched == Seq(
+      (1L, "a", "b", "ab", 9L),
+      (2L, "c", "d", "cd", 6L),
+      (3L, "e", "f", "ef", 3L)))
+  }
+
+  test("interacting candidates defer to later rounds (all-higher-ranks rule)") {
+    // Round 1: (a,b)=9 kept; (b,c)=6 shares b with rank 1 → dropped;
+    // (c,d)=3 is disjoint from rank 1 but shares c with the DROPPED
+    // rank 2 — the all-higher-ranks rule (decidable without sequential
+    // state, the oracle's NOT EXISTS) drops it too. Round 2: (b,c)
+    // kept, (c,d) STILL shares c with it → deferred again. Round 3:
+    // (c,d) alone, kept. Three rounds to drain a 3-chain — the
+    // conservative rule's worst case, by design.
+    val d = docs(("ab " * 9 + "bc " * 6 + "cd " * 3).trim)
+    val m = TextAnalysis.learnBpeMergesBatched(d, 3, 3)
+    assert(m == Seq(
+      (1L, "a", "b", "ab", 9L),
+      (2L, "b", "c", "bc", 6L),
+      (3L, "c", "d", "cd", 3L)), m.toString)
+  }
+
+  test("q119 on the real table: ranks contiguous, merged = a||b, within-round freqs sane") {
+    val rows = graft.SparkEntry.queries("q119_bpe_merges_batched")(spark, sf())
+      .orderBy("merge_rank").collect()
+    assert(rows.nonEmpty &&
+      rows.length <= TextAnalysis.BpeBatchRounds * TextAnalysis.BpeBatchK)
+    assert(rows.map(_.getLong(0)).toSeq == (1L to rows.length).toSeq)
+    rows.foreach { r =>
+      assert(r.getString(3) == r.getString(1) + r.getString(2))
+      assert(r.getLong(4) > 0L)
+    }
+    // deeper than q114's 20 merges: the batched run must actually reach
+    // a higher merge count (the whole point of the dial)
+    assert(rows.length > TextAnalysis.BpeMerges,
+      s"batched run learned only ${rows.length} merges")
+  }
+
+  // ───────────────────── end-of-word marker variant ─────────────────────
+
+  test("</w> marker learns final-position units the markerless form cannot") {
+    // type freqs: ab ×3, abc ×2. Markerless: (a,b)=5 then (ab,c)=2.
+    // With the marker, round 2's top pair is (ab, </w>)=3 — the
+    // FINAL-position 'ab' unit, distinct from the word-internal one.
+    val d = docs("ab ab ab abc abc")
+    assert(TextAnalysis.learnBpeMerges(d, 2) == Seq(
+      (1L, "a", "b", "ab", 5L),
+      (2L, "ab", "c", "abc", 2L)))
+    assert(TextAnalysis.learnBpeMerges(d, 2, eowMarker = true) == Seq(
+      (1L, "a", "b", "ab", 5L),
+      (2L, "ab", "</w>", "ab</w>", 3L)))
+  }
+
+  test("marker-mode encoding round-trips once markers are stripped") {
+    val d = docs("ab ab ab abc abc", "xyz9 ab")
+    val merges = TextAnalysis.learnBpeMerges(d, 2, eowMarker = true)
+    val (enc, seg) = TextAnalysis.bpeEncodeTokens(d, merges, eowMarker = true)
+    val bad = enc.join(d, "doc_id")
+      .select(
+        concat_ws("", filter(split(col("text"), " "), w => w =!= "")).as("orig"),
+        regexp_replace(concat_ws("", split(col("seq"), " ")), "</w>", "")
+          .as("rt"))
+      .filter(col("orig") =!= col("rt"))
+    assert(bad.isEmpty, s"${bad.count()} docs fail the marker round-trip")
+    seg.unpersist()
+  }
+
+  // ───────────────────── fold-depth guard (segmentTypes) ─────────────────────
+
+  test("chunked segmentTypes equals the single-fold path beyond SegFoldChunk merges") {
+    import spark.implicits._
+    // 25 chained merges building the full alphabet + 10 inert ones —
+    // 35 > SegFoldChunk(32), so segmentTypes runs TWO stages with a
+    // checkpoint between, and the chain's later merges (ranks 26-35)
+    // apply in the second chunk over the first chunk's output.
+    assert(TextAnalysis.SegFoldChunk == 32)
+    val chain = (1 until 26).map(i =>
+      ("abcdefghijklmnopqrstuvwxyz".take(i), ('a' + i).toChar.toString))
+    val inert = Seq(("q", "q"), ("zz", "z"), ("xx", "x"), ("pp", "p"),
+      ("mm", "m"), ("tt", "t"), ("rr", "r"), ("ss", "s"), ("uu", "u"),
+      ("vv", "v"))
+    val merges = chain ++ inert
+    val words = Seq("abcdefghijklmnopqrstuvwxyz", "abc", "abcd", "zzz",
+      "hello", "q9x", "qqqq", "a")
+    val types = words.toDF("w")
+    val chunked = TextAnalysis.segmentTypes(types, merges)
+      .select("w", "sws").as[(String, String)].collect().toMap
+    // reference path: applyBpeMerges folds ALL merges into ONE
+    // expression (fine at 35; the chunking exists for 30k)
+    val single = types
+      .select(col("w"), array_join(
+        TextAnalysis.applyBpeMerges(col("w"), merges), " ").as("sws"))
+      .as[(String, String)].collect().toMap
+    assert(chunked == single, s"$chunked\nvs\n$single")
+    // sanity: the full-alphabet word actually merged down to one symbol
+    assert(chunked("abcdefghijklmnopqrstuvwxyz") ==
+      "abcdefghijklmnopqrstuvwxyz")
+    assert(chunked("abcd") == "abcd")
+    assert(chunked("q9x") == "q9x") // non-alpha passes through whole
+  }
+
   test("round-trip on real docs: subword concatenation equals the original words (q113-chain acceptance)") {
     val learned = TextAnalysis.learnBpeMerges(
       graft.model.Tables(spark, sf(), "documents"), TextAnalysis.BpeMerges)

@@ -123,10 +123,8 @@ class PlanLintSpec extends SparkSpec {
     * shuffle branch with a 1-byte ceiling and compare collected bytes
     * against the default (broadcast) regime.
     */
-  test("q108/q112/q113 LM joins degrade to pinned SHUFFLE_HASH above the ceiling, results identical") {
-    for (q <- Seq("q108_unigram_logprob", "q112_bigram_logprob",
-                  "q113_tokenize", "q115_trigram_logprob",
-                  "q116_bpe_encode", "q117_ccnet_buckets")) {
+  test(s"all ${PlanLintSpec.LmGatedQueries.size} LM-gated queries degrade to pinned SHUFFLE_HASH above the ceiling, results identical") {
+    for (q <- PlanLintSpec.LmGatedQueries) {
       val bcast = graft.SparkEntry.queries(q)(spark, sf()).collect().map(_.toString)
       spark.catalog.clearCache()
       spark.conf.set("spark.graft.lmBroadcastMaxBytes", "1")
@@ -144,6 +142,58 @@ class PlanLintSpec extends SparkSpec {
         spark.conf.unset("spark.graft.lmBroadcastMaxBytes")
         spark.catalog.clearCache()
       }
+    }
+  }
+
+  /** r14 ADVICE: the LM dispatch estimates memoize per (dir, site), so
+    * RE-constructing an LM query on the same immutable dir must run
+    * ZERO Spark jobs at construction. Counted with a job-start
+    * listener; a sentinel job submitted after each construction
+    * bounds the count — the listener bus is FIFO, so once the
+    * sentinel's start event arrives, every earlier submission's has.
+    */
+  test("LM-estimate memo: re-construction runs zero estimate jobs") {
+    // two counters: `total` orders the sentinel (the listener bus is
+    // FIFO — once the sentinel's start event arrives, every earlier
+    // submission's has), `ta` counts only jobs originating in
+    // TextAnalysis (the estimate's `head at TextAnalysis.scala:…`).
+    // Construction also submits parquet footer/listing jobs from the
+    // table READ — reader setup, not estimates; they must not count.
+    val total = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ta = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        if (js.stageInfos.exists(_.name.contains("TextAnalysis.scala")))
+          ta.incrementAndGet()
+        total.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    def awaitTotalAtLeast(n: Int): Unit = {
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (total.get() < n && System.nanoTime() < deadline)
+        Thread.sleep(10)
+    }
+    try {
+      // first construction populates the memo (or hits one from an
+      // earlier test in this JVM — either way the second must be quiet)
+      graft.SparkEntry.queries("q108_unigram_logprob")(spark, sf())
+      spark.catalog.clearCache()
+      spark.range(1).count() // sentinel 1: flush everything so far
+      awaitTotalAtLeast(1)
+      Thread.sleep(100)
+      val beforeTotal = total.get()
+      val beforeTa = ta.get()
+      graft.SparkEntry.queries("q108_unigram_logprob")(spark, sf())
+      spark.range(1).count() // sentinel 2
+      awaitTotalAtLeast(beforeTotal + 1)
+      val delta = ta.get() - beforeTa
+      assert(delta == 0,
+        s"memoized re-construction ran $delta estimate job(s)")
+    } finally {
+      spark.sparkContext.removeSparkListener(l)
+      spark.catalog.clearCache()
     }
   }
 
@@ -189,4 +239,18 @@ class PlanLintSpec extends SparkSpec {
       } finally spark.conf.unset("spark.graft.bandBucketTarget")
     }
   }
+}
+
+object PlanLintSpec {
+  /** Every query whose LM/vocab/segmentation shipping rides the
+    * size-gated dispatcher (TextAnalysis.joinLm). ONE list (r14
+    * ADVICE close: the dual-regime test's name under-described its
+    * coverage) — the forced-shuffle regime test iterates it, and
+    * adding a joinLm-riding query means adding it HERE so both
+    * regimes stay byte-equality-gated.
+    */
+  val LmGatedQueries: Seq[String] = Seq(
+    "q108_unigram_logprob", "q112_bigram_logprob", "q113_tokenize",
+    "q115_trigram_logprob", "q116_bpe_encode", "q117_ccnet_buckets",
+    "q118_ccnet_trigram_buckets", "q120_bpe_encode_batched")
 }
