@@ -128,6 +128,12 @@ object TextAnalysis {
   private val estMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
 
+  /** Drop every memoized estimate — for long-lived sessions scanning
+    * many corpus directories (entries are bytes each; testdata use
+    * never needs this).
+    */
+  private[graft] def clearEstMemo(): Unit = estMemo.clear()
+
   private[graft] def estimateLmBytesMemo(key: Option[(String, String)],
                                          lm: DataFrame): Long =
     key match {

@@ -107,7 +107,7 @@ object TrainingPipeline {
       // text occurs contiguously in another doc (Dedup.confirmContiguous:
       // chunk-pair-chain confirm, no substring search), keeping the
       // mosaic spans the default mode cuts. The span-precision audit
-      // (SURVEY §8.0) measured each rule's mosaic tail at 93-97% of its
+      // (SURVEY §8.1, r14) measured each rule's mosaic tail at 93-97% of its
       // exclusive spans. r14: the confirm runs EDGE-TOLERANT (interior
       // pairs only for >= 4-chunk spans — a verbatim copy's edge chunks
       // can merge into the candidate doc's surrounding text), closing
@@ -153,7 +153,17 @@ object TrainingPipeline {
       // (doc_id, n_subwords, seq). EAGER like the fixpoint stage: the
       // learning loop runs 2 bounded jobs per merge round.
       bpeEncode: Boolean = false,
-      bpeMerges: Int = TextAnalysis.BpeMerges)
+      bpeMerges: Int = TextAnalysis.BpeMerges,
+      // r15: when Some((rounds, k)), the learner runs BATCHED — up to k
+      // mutually-disjoint merges per round (q119's machinery; k x fewer
+      // driver round-trips, the path to realistic merge counts) —
+      // instead of `bpeMerges` sequential rounds. And the Sennrich
+      // `</w>` end-of-word marker, off by default: final-position units
+      // learn separately and the export compares against
+      // sentencepiece-style tokenizers; subword concatenation then
+      // reconstructs the words only after stripping the marker.
+      bpeBatched: Option[(Int, Int)] = None,
+      bpeEowMarker: Boolean = false)
 
   /** Stage outputs: the surviving corpus and the packed bins, plus
     * per-stage survivor counts for the audit trail. `cleanup` unpersists
@@ -418,10 +428,18 @@ object TrainingPipeline {
     // eager (bounded jobs per round, localCheckpoint-truncated); the
     // encode's seg cache joins the cleanup list.
     val bpe = if (!cfg.bpeEncode) None else {
-      val merges = TextAnalysis.learnBpeMerges(
-        survivors.select(col("doc_id"), col("text")), cfg.bpeMerges)
-      Some(TextAnalysis.bpeEncodeTokens(
-        survivors.select(col("doc_id"), col("text")), merges))
+      val corpus = survivors.select(col("doc_id"), col("text"))
+      val merges = cfg.bpeBatched match {
+        case Some((rounds, k)) =>
+          TextAnalysis.learnBpeMergesBatched(corpus, rounds, k,
+            cfg.bpeEowMarker)
+        case None =>
+          TextAnalysis.learnBpeMerges(corpus, cfg.bpeMerges, cfg.bpeEowMarker)
+      }
+      // no memo key: the survivor frame is pipeline-built, not an
+      // immutable testdata dir
+      Some(TextAnalysis.bpeEncodeTokens(corpus, merges,
+        eowMarker = cfg.bpeEowMarker))
     }
 
     // unpersist is idempotent, so listing the already-released audit-mode

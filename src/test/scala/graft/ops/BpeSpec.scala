@@ -172,6 +172,14 @@ class BpeSpec extends SparkSpec {
       s"batched run learned only ${rows.length} merges")
   }
 
+  test("batched merges are partitioning-independent (§7.5 determinism law)") {
+    val base = graft.model.Tables(spark, sf(), "documents")
+      .select("doc_id", "text")
+    val a = TextAnalysis.learnBpeMergesBatched(base.repartition(7), 5, 4)
+    val b = TextAnalysis.learnBpeMergesBatched(base.repartition(3), 5, 4)
+    assert(a == b, s"partitioning changed the batched merges:\n$a\n$b")
+  }
+
   // ───────────────────── end-of-word marker variant ─────────────────────
 
   test("</w> marker learns final-position units the markerless form cannot") {

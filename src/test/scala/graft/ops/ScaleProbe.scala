@@ -69,6 +69,15 @@ object ScaleProbe {
     // count never does)
     "q117_ccnet_buckets" -> "N")
 
+  // Round-15 additions: q118 one bucket row per >= 3-token doc (q115's
+  // scorer domain); q119 emits a DATA-DEPENDENT count <= rounds*k (the
+  // disjointness filter's kept-count shifts with each decade's tie
+  // structure — the bound, not the value, is the law); q120 one
+  // encoding row per doc (reattach join, like q116).
+  private val New15Family = Seq(
+    "q118_ccnet_trigram_buckets" -> "N", "q119_bpe_merges_batched" -> "<=200",
+    "q120_bpe_encode_batched" -> "N")
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 1, "usage: ScaleProbe <sfDir> [<sfDir2> ...]")
     // the sbt Test fork defaults to 8 GB (SPARK_DRIVER_MEM overrides);
@@ -87,13 +96,14 @@ object ScaleProbe {
       case "new12" => New12Family
       case "new13" => New13Family
       case "new14" => New14Family
+      case "new15" => New15Family
       case "all"   => DocsFamily.map(_ -> "") ++ RelFamily ++ New12Family ++
-        New13Family ++ New14Family
-      case other   => sys.error(s"SPARK_GRAFT_FAMILY=$other (want docs|rel|new12|new13|new14|all)")
+        New13Family ++ New14Family ++ New15Family
+      case other   => sys.error(s"SPARK_GRAFT_FAMILY=$other (want docs|rel|new12|new13|new14|new15|all)")
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     // soak protocol (settled by the r9 three-decade partition scan,
-    // SURVEY §8.0): parts = CPUS = 16 at ALL decades — more partitions
+    // SURVEY §8 record): parts = CPUS = 16 at ALL decades — more partitions
     // measured slower at every scale (100×: 143.9 s @16 vs 199.6 @125),
     // because single-JVM "shuffle" spills to page cache while
     // per-partition fixed costs are real. Scaled dials (16×N, 1.25×N)

@@ -238,6 +238,35 @@ class TrainingPipelineSpec extends SparkSpec {
     } finally { res.cleanup(); spark.catalog.clearCache() }
   }
 
+  test("bpeEncode dials: batched learner + </w> marker round-trip after stripping") {
+    val docs = graft.model.Tables(spark, sf(), "documents")
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val eval_ = docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text")
+    val res = TrainingPipeline.prepare(train, eval_,
+      TrainingPipeline.Config(audit = false, bpeEncode = true,
+        bpeBatched = Some((3, 4)), bpeEowMarker = true))
+    try {
+      val bpe = res.bpe.getOrElse(fail("bpe export missing"))
+      val sv = res.survivors.select(col("doc_id"),
+        concat_ws("", filter(split(col("text"), " "), w => w =!= ""))
+          .as("orig"))
+        .filter(length(col("orig")) > 0)
+      val joined = sv.join(bpe, Seq("doc_id"), "left")
+      assert(joined.filter(col("seq").isNull).isEmpty,
+        "a tokenized survivor is missing from the batched bpe export")
+      // marker-mode law: concatenation reconstructs the words only
+      // after the `</w>` markers strip (BpeSpec's law, composed here)
+      assert(joined.filter(
+        regexp_replace(regexp_replace(col("seq"), " ", ""), "</w>", "")
+          =!= col("orig")).isEmpty,
+        "batched+marker bpe round-trip must reconstruct the words")
+      // every alphabetic-token doc's seq actually carries markers
+      // (non-alpha tokens pass through whole and carry none)
+      assert(joined.filter(col("seq").contains("</w>")).count() > 0,
+        "marker mode produced no </w> symbols at all")
+    } finally { res.cleanup(); spark.catalog.clearCache() }
+  }
+
   test("cleanup() releases the caches prepare() created, in non-audit mode too") {
     val docs = graft.model.Tables(spark, sf(), "documents")
     val train = docs.filter(col("doc_id") % 2 === 0)
