@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+/** One-off measurement (r15 ADVICE #1's second half): the BATCHED BPE
+  * learner at realistic parameters on a RICH vocabulary — the testdata
+  * corpus has 31 word types and exhausts around ~100 merges, so q119's
+  * declared run cannot show learner cost at depth. Here: 100k
+  * synthetic alphabetic types (deterministic base-26 encodings with
+  * heavy shared prefixes — real material for merges), 1000 docs of 100
+  * words each, learner driven to 125 rounds x k=8 (up to 1000 merges).
+  * Reports wall time, merges learned, and s/round — the number that
+  * decides whether 30k merges (3750 rounds at k=8) is a lunch break or
+  * a week.
+  *
+  * Run: sbt "Test/runMain graft.ops.BpeLearnProbe"
+  */
+object BpeLearnProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.range(100000).selectExpr(
+      "CAST(id / 100 AS LONG) AS doc_id",
+      """concat('w', translate(lpad(CAST(id AS STRING), 7, '0'),
+        |'0123456789', 'abcdefghij'),
+        |substring('abcdefghijklmnopqrstuvwxyz', 1 + CAST(id % 7 AS INT),
+        |CAST(id % 7 AS INT))) AS w""".stripMargin)
+      .groupBy("doc_id").agg(concat_ws(" ", collect_list(col("w"))).as("text"))
+      .localCheckpoint(true)
+    println(s"[bpelearn] docs=${docs.count()} (100k types, 8-14 chars)")
+    for ((rounds, k) <- Seq((25, 8), (125, 8))) {
+      val t0 = System.nanoTime()
+      val merges = TextAnalysis.learnBpeMergesBatched(docs, rounds, k)
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[bpelearn] rounds=$rounds%4d k=$k merges=${merges.size}%5d " +
+        f"wall=${dt}%.1fs s/round=${dt / rounds}%.3f")
+    }
+    spark.stop()
+  }
+}

@@ -488,4 +488,41 @@ class GenerativePropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("batched BPE learn + encode round-trips on arbitrary lowercase corpora") {
+    import spark.implicits._
+    // arbitrary lowercase-word corpora (plus empties and a non-alpha
+    // token mixed in) — the q119/q120 chain must round-trip and hold
+    // the words <= subwords <= chars law for ALL of them
+    val wordGen: Gen[String] = Gen.oneOf(
+      Gen.listOfN(3, Gen.oneOf('a', 'b', 'c')).map(_.mkString),
+      Gen.listOfN(5, Gen.choose('a', 'f')).map(_.mkString),
+      Gen.const("x9z"), Gen.const(""))
+    val docGen: Gen[String] = Gen.listOf(wordGen).map(_.mkString(" "))
+    forAll(Gen.listOf(docGen), n = 6) { texts =>
+      whenever(texts.exists(_.exists(_.isLetter))) {
+        val docs = texts.zipWithIndex
+          .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        // tiny alphabets make top pairs interact heavily — exactly the
+        // regime where the disjointness filter must stay correct
+        val merges = TextAnalysis.learnBpeMergesBatched(docs, 4, 3)
+        merges.foreach { m => assert(m._4 == m._2 + m._3 && m._5 > 0L) }
+        assert(merges.map(_._1) == (1L to merges.length))
+        val (enc, seg) = TextAnalysis.bpeEncodeTokens(docs, merges)
+        val joined = docs.join(enc, Seq("doc_id"), "left")
+          .select(
+            concat_ws("", filter(split(col("text"), " "), w => w =!= ""))
+              .as("orig"),
+            coalesce(regexp_replace(col("seq"), " ", ""), lit("")).as("rt"),
+            coalesce(col("n_subwords"), lit(0L)).as("n_sw"),
+            size(filter(split(col("text"), " "), w => w =!= "")).cast("long")
+              .as("n_words"))
+        assert(joined.filter(col("orig") =!= col("rt")).isEmpty,
+          "batched BPE round-trip failed on a generated corpus")
+        assert(joined.filter(col("n_sw") < col("n_words")).isEmpty)
+        assert(joined.filter(col("n_sw") > length(col("orig")) + 1).isEmpty)
+        seg.unpersist()
+      }
+    }
+  }
 }
