@@ -33,7 +33,8 @@ object SparkEntry {
     * the train-gram bloom sketch and collects it driver-side (the
     * broadcast-bloom pattern requires the sketch as a literal before
     * the eval plan exists). The LM queries (q108, q112, q113, q115,
-    * q116, q117, q118) run one
+    * q116, q117, q118, q120 — the last two via their factored scorer/
+    * encoder) run one
     * tiny aggregate per LM table to size-gate the broadcast-vs-shuffle
     * dispatch (TextAnalysis.joinLm) — the estimate pass doubles as
     * cache materialization of the persisted LM, so it adds no extra

@@ -171,6 +171,34 @@ object TextAnalysis {
     else concat(lit(" "), core, lit(" "))
   }
 
+  /** The (freq, symbol-sequence) vocab frame both learners iterate —
+    * ONE corpus pass, eagerly checkpointed (see learnBpeMerges' cache
+    * note). Shared so the "batched at k=1 is bit-for-bit sequential"
+    * law holds by construction, not by parallel maintenance.
+    */
+  private def bpeVocabSeqs(docs: DataFrame, eowMarker: Boolean): DataFrame =
+    docs
+      .select(explode(filter(split(col("text"), " "), w => w =!= "")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .select(col("f"), bpeSeed(col("w"), eowMarker).as("s"))
+      .localCheckpoint(true)
+
+  /** Adjacent-pair counts of a seqs frame, in the canonical
+    * (cnt desc, a, b) merge order — the single pair-ranking plan both
+    * learners collect from (limit 1 sequential, limit k batched).
+    */
+  private def bpePairCounts(seqs: DataFrame): DataFrame =
+    seqs
+      .withColumn("tk", split(trim(col("s")), "  "))
+      .filter(size(col("tk")) >= 2)
+      .select(col("f"), explode(expr(
+        "transform(sequence(2, size(tk)), i -> struct(" +
+          "element_at(tk, i - 1) AS a, element_at(tk, i) AS b))")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("f")).as("cnt"))
+      .orderBy(col("cnt").desc, col("a"), col("b"))
+
   /** Learn byte-pair-encoding merges (Sennrich et al. 2016, word-level
     * char seeding): each distinct ALPHABETIC word becomes its character
     * sequence; count adjacent symbol pairs weighted by word frequency;
@@ -201,10 +229,6 @@ object TextAnalysis {
   private[graft] def learnBpeMerges(docs: DataFrame, nMerges: Int,
       eowMarker: Boolean = false)
       : Seq[(Long, String, String, String, Long)] = {
-    val words = docs
-      .select(explode(filter(split(col("text"), " "), w => w =!= "")).as("w"))
-      .filter(col("w").rlike("^[a-z]+$"))
-      .groupBy("w").agg(count(lit(1)).as("f"))
     // localCheckpoint per round, NOT persist/release-previous: Spark's
     // CacheManager recaches dependent cached plans when a parent cache
     // is dropped, so the persist idiom silently rebuilds each round
@@ -212,20 +236,10 @@ object TextAnalysis {
     // before this was caught. Checkpointing truncates the lineage (the
     // q100 star-contraction discipline); superseded round blocks are
     // freed by the ContextCleaner once unreferenced.
-    var seqs = words.select(col("f"), bpeSeed(col("w"), eowMarker).as("s"))
-      .localCheckpoint(true)
+    var seqs = bpeVocabSeqs(docs, eowMarker)
     val out = Seq.newBuilder[(Long, String, String, String, Long)]
     for (k <- 1 to nMerges) {
-      val best = seqs
-        .withColumn("tk", split(trim(col("s")), "  "))
-        .filter(size(col("tk")) >= 2)
-        .select(col("f"), explode(expr(
-          "transform(sequence(2, size(tk)), i -> struct(" +
-            "element_at(tk, i - 1) AS a, element_at(tk, i) AS b))")).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum(col("f")).as("cnt"))
-        .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(1).collect()
+      val best = bpePairCounts(seqs).limit(1).collect()
       // fail loudly rather than silently diverge from the unrolled
       // oracle: exhausting mergeable pairs inside nMerges rounds
       // would need the whole vocab collapsed to single symbols
@@ -281,27 +295,13 @@ object TextAnalysis {
       k: Int, eowMarker: Boolean = false)
       : Seq[(Long, String, String, String, Long)] = {
     require(k >= 1 && nRounds >= 1, s"need k >= 1, nRounds >= 1 (got $k, $nRounds)")
-    val words = docs
-      .select(explode(filter(split(col("text"), " "), w => w =!= "")).as("w"))
-      .filter(col("w").rlike("^[a-z]+$"))
-      .groupBy("w").agg(count(lit(1)).as("f"))
-    var seqs = words.select(col("f"), bpeSeed(col("w"), eowMarker).as("s"))
-      .localCheckpoint(true)
+    var seqs = bpeVocabSeqs(docs, eowMarker)
     val out = Seq.newBuilder[(Long, String, String, String, Long)]
     var rank = 0L
     for (_ <- 1 to nRounds) {
       // ONE bounded collect per round: k rows (the q100/fixpoint
       // bounded-scalar-action discipline — k is a small constant)
-      val cand = seqs
-        .withColumn("tk", split(trim(col("s")), "  "))
-        .filter(size(col("tk")) >= 2)
-        .select(col("f"), explode(expr(
-          "transform(sequence(2, size(tk)), i -> struct(" +
-            "element_at(tk, i - 1) AS a, element_at(tk, i) AS b))")).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum(col("f")).as("cnt"))
-        .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(k).collect()
+      val cand = bpePairCounts(seqs).limit(k).collect()
       val kept = cand.zipWithIndex.filter { case (c, i) =>
         val syms = Set(c.getString(0), c.getString(1),
           c.getString(0) + c.getString(1))
@@ -593,15 +593,19 @@ object TextAnalysis {
     * ride through; `bucket` is appended.
     */
   private[graft] def ccnetBucket(scored: DataFrame): DataFrame = {
+    // collision-proof internal names (the _grn_* discipline): the
+    // contract is "ANY frame carrying (doc_id, logprob)" — a caller
+    // column named rk or n must ride through untouched, not collide
+    // with the rank/count intermediates
     val ranked = Windows.globalRowNumber(scored,
-      Seq(col("logprob").desc, col("doc_id").asc), "rk")
-    val n1 = ranked.agg(count(lit(1)).as("n"))
+      Seq(col("logprob").desc, col("doc_id").asc), "_ccb_rk")
+    val n1 = ranked.agg(count(lit(1)).as("_ccb_n"))
     ranked.crossJoin(broadcast(n1))
       .withColumn("bucket",
-        when(col("rk") * 3 <= col("n"), lit("head"))
-          .when(col("rk") * 3 <= col("n") * 2, lit("middle"))
+        when(col("_ccb_rk") * 3 <= col("_ccb_n"), lit("head"))
+          .when(col("_ccb_rk") * 3 <= col("_ccb_n") * 2, lit("middle"))
           .otherwise(lit("tail")))
-      .drop("rk", "n")
+      .drop("_ccb_rk", "_ccb_n")
   }
 
   val queries: Map[String, Q] = Map(

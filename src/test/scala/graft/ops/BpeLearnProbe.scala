@@ -25,12 +25,8 @@ object BpeLearnProbe {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val docs = spark.range(100000).selectExpr(
-      "CAST(id / 100 AS LONG) AS doc_id",
-      """concat('w', translate(lpad(CAST(id AS STRING), 7, '0'),
-        |'0123456789', 'abcdefghij'),
-        |substring('abcdefghijklmnopqrstuvwxyz', 1 + CAST(id % 7 AS INT),
-        |CAST(id % 7 AS INT))) AS w""".stripMargin)
+    val docs = spark.range(100000)
+      .selectExpr("CAST(id / 100 AS LONG) AS doc_id", SynthTypes.Expr)
       .groupBy("doc_id").agg(concat_ws(" ", collect_list(col("w"))).as("text"))
       .localCheckpoint(true)
     println(s"[bpelearn] docs=${docs.count()} (100k types, 8-14 chars)")

@@ -103,8 +103,10 @@ class PlanLintSpec extends SparkSpec {
     // logical tree, not by string-matching the plan dump. The ONE
     // allowed empty-spec window is globalRowNumber's prefix-offsets
     // cumsum: its constant partitionBy(lit(0)) folds away in the
-    // optimizer, and its input is the ≤ 32-row per-range-partition
-    // count aggregate (recognizable by its _grn_pid order key).
+    // optimizer, and its input is the per-range-partition count
+    // aggregate — ≤ spark.sql.shuffle.partitions rows (r15: the
+    // partition count derives from the session dial, no longer a
+    // literal 32) — recognizable by its _grn_pid order key.
     val naked = df.queryExecution.optimizedPlan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window
         if w.partitionSpec.isEmpty &&
@@ -153,41 +155,45 @@ class PlanLintSpec extends SparkSpec {
     * sentinel's start event arrives, every earlier submission's has.
     */
   test("LM-estimate memo: re-construction runs zero estimate jobs") {
-    // two counters: `total` orders the sentinel (the listener bus is
-    // FIFO — once the sentinel's start event arrives, every earlier
-    // submission's has), `ta` counts only jobs originating in
-    // TextAnalysis (the estimate's `head at TextAnalysis.scala:…`).
-    // Construction also submits parquet footer/listing jobs from the
-    // table READ — reader setup, not estimates; they must not count.
-    val total = new java.util.concurrent.atomic.AtomicInteger(0)
+    // `ta` counts only jobs originating in TextAnalysis (the
+    // estimate's `head at TextAnalysis.scala:…`) — construction also
+    // submits parquet footer/listing jobs from the table READ (reader
+    // setup, not estimates; they must not count). Synchronization is
+    // sentinel-SPECIFIC: each flush job runs under its own job group,
+    // and the wait is for THAT group's start event — the listener bus
+    // is FIFO per queue, so once the tagged sentinel's event has been
+    // processed, every job submitted before it has been counted
+    // (awaiting merely "any event" would race a lagging bus against
+    // the first construction's own estimate event).
     val ta = new java.util.concurrent.atomic.AtomicInteger(0)
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     val l = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         if (js.stageInfos.exists(_.name.contains("TextAnalysis.scala")))
           ta.incrementAndGet()
-        total.incrementAndGet(); ()
+        val g = js.properties.getProperty("spark.jobGroup.id")
+        if (g != null) { seen.add(g); () }
       }
     }
     spark.sparkContext.addSparkListener(l)
-    def awaitTotalAtLeast(n: Int): Unit = {
+    def sentinel(tag: String): Unit = {
+      spark.sparkContext.setJobGroup(tag, tag)
+      try spark.range(1).count() finally spark.sparkContext.clearJobGroup()
       val deadline = System.nanoTime() + 30e9.toLong
-      while (total.get() < n && System.nanoTime() < deadline)
+      while (!seen.contains(tag) && System.nanoTime() < deadline)
         Thread.sleep(10)
+      assert(seen.contains(tag), s"listener never saw sentinel $tag")
     }
     try {
       // first construction populates the memo (or hits one from an
       // earlier test in this JVM — either way the second must be quiet)
       graft.SparkEntry.queries("q108_unigram_logprob")(spark, sf())
       spark.catalog.clearCache()
-      spark.range(1).count() // sentinel 1: flush everything so far
-      awaitTotalAtLeast(1)
-      Thread.sleep(100)
-      val beforeTotal = total.get()
+      sentinel("lm-memo-sentinel-1") // bounds the first construction
       val beforeTa = ta.get()
       graft.SparkEntry.queries("q108_unigram_logprob")(spark, sf())
-      spark.range(1).count() // sentinel 2
-      awaitTotalAtLeast(beforeTotal + 1)
+      sentinel("lm-memo-sentinel-2") // bounds the second
       val delta = ta.get() - beforeTa
       assert(delta == 0,
         s"memoized re-construction ran $delta estimate job(s)")
