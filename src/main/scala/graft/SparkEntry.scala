@@ -19,11 +19,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2.2.
     *
     * CACHE CONTRACT: a few queries (q57, q79, q81, q95, q101, q103,
-    * q108, q109, q112, q113, q115, q116, q117) `persist()` a shared
-    * subplan because it feeds two consumers and Spark has no automatic
-    * CTE reuse for DataFrame plans (q117's are the scored-frequency
-    * table plus Windows.globalRowNumber's internal range-partitioned
-    * frame). The returned DataFrame is lazy, so
+    * q108, q109, q112, q113, q115, q116, q117, q118, q120) `persist()`
+    * a shared subplan because it feeds two consumers and Spark has no
+    * automatic CTE reuse for DataFrame plans (q117's are the scored-
+    * frequency table plus Windows.globalRowNumber's internal range-
+    * partitioned frame; q118 persists the tri/big/uni LM tables via its
+    * factored trigramScores plus the same globalRowNumber frame via
+    * ccnetBucket; q120 persists the type-segmentation cache via
+    * bpeEncodeTokens). The returned DataFrame is lazy, so
     * the query function cannot unpersist it itself — the CALLER owns
     * cleanup: run the action, then `spark.catalog.clearCache()` (as
     * Bench and Verify do after every query) or track and unpersist the

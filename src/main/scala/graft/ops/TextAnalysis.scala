@@ -124,6 +124,18 @@ object TextAnalysis {
     * ACTION materializes it instead; total work is identical. Pass
     * None for non-testdata inputs (TrainingPipeline): their frames are
     * caller-built and carry no immutability contract.
+    *
+    * IN-PLACE REGENERATION HAZARD (r15 ADVICE): the memo is JVM-global
+    * and keyed only by (dir, site) — it TRUSTS the immutability
+    * contract. A workflow that rewrites a directory path in place with
+    * different-scale data inside one JVM (e.g. a /tmp/scaleN probe
+    * loop) would keep the stale byte estimate and could route an
+    * oversized LM into the broadcast regime — never wrong results (the
+    * dispatch is correctness-free), but the wrong shipping regime and a
+    * possible broadcast OOM. Such workflows must either
+    * [[clearEstMemo]] between generations or use per-generation paths
+    * (as every probe in this repo does — scale dirs are
+    * generation-numbered, never rewritten).
     */
   private val estMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
@@ -298,10 +310,16 @@ object TextAnalysis {
     var seqs = bpeVocabSeqs(docs, eowMarker)
     val out = Seq.newBuilder[(Long, String, String, String, Long)]
     var rank = 0L
-    for (_ <- 1 to nRounds) {
+    var exhausted = false
+    for (_ <- 1 to nRounds if !exhausted) {
       // ONE bounded collect per round: k rows (the q100/fixpoint
       // bounded-scalar-action discipline — k is a small constant)
       val cand = bpePairCounts(seqs).limit(k).collect()
+      // pair space exhausted: every remaining round would be a full
+      // vocab-sized aggregation that changes nothing and emits nothing
+      // (r15 ADVICE) — output-equivalent to running them (the unrolled
+      // oracle's empty rounds are no-ops), so stop paying for them
+      if (cand.isEmpty) exhausted = true
       val kept = cand.zipWithIndex.filter { case (c, i) =>
         val syms = Set(c.getString(0), c.getString(1),
           c.getString(0) + c.getString(1))
@@ -378,8 +396,18 @@ object TextAnalysis {
       if (gi < groups.size - 1) df = df.localCheckpoint(false)
     }
     val segArr = split(trim(col("_seg_s")), "  ")
+    // marker mode covers pass-through types too (r15 VERDICT #5): a
+    // non-alpha type emits `w</w>` as its single token, so EVERY word
+    // ends in exactly one `</w>` and a consumer recovers word
+    // boundaries from the token stream alone by splitting the
+    // concatenation on the marker — without this, mixed-content docs
+    // lose boundaries at every non-alpha word (alpha words carry the
+    // marker from the seed; whether it merged into the last subword or
+    // stands alone, the concatenation still ends the word with it)
+    val passThrough =
+      if (eowMarker) concat(col("w"), lit("</w>")) else col("w")
     df.select(col("w"),
-      when(isAlpha, array_join(segArr, " ")).otherwise(col("w")).as("sws"),
+      when(isAlpha, array_join(segArr, " ")).otherwise(passThrough).as("sws"),
       when(isAlpha, size(segArr).cast("long")).otherwise(lit(1L)).as("n_sw"))
   }
 
@@ -596,7 +624,13 @@ object TextAnalysis {
     // collision-proof internal names (the _grn_* discipline): the
     // contract is "ANY frame carrying (doc_id, logprob)" — a caller
     // column named rk or n must ride through untouched, not collide
-    // with the rank/count intermediates
+    // with the rank/count intermediates. The OUTPUT name `bucket` is
+    // reserved: appending it onto a frame that already has one would
+    // produce a duplicate/ambiguous column downstream (r15 ADVICE), so
+    // fail fast here instead
+    require(!scored.columns.contains("bucket"),
+      "ccnetBucket appends a `bucket` column; the input already has one" +
+        " — rename it before bucketing")
     val ranked = Windows.globalRowNumber(scored,
       Seq(col("logprob").desc, col("doc_id").asc), "_ccb_rk")
     val n1 = ranked.agg(count(lit(1)).as("_ccb_n"))

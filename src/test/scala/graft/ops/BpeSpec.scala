@@ -195,6 +195,23 @@ class BpeSpec extends SparkSpec {
       (2L, "ab", "</w>", "ab</w>", 3L)))
   }
 
+  test("marker mode recovers word boundaries on mixed content, pass-through included") {
+    import spark.implicits._
+    // alpha words carry </w> from the seed; the r16 extension gives
+    // pass-through types (xyz9, 42) the SAME marker, so splitting the
+    // token concatenation on the marker IS word-boundary recovery —
+    // uniformly, with no side table of which words were alpha
+    val d = docs("ab ab ab abc abc xyz9 ab 42")
+    val merges = TextAnalysis.learnBpeMerges(d, 2, eowMarker = true)
+    val (enc, seg) = TextAnalysis.bpeEncodeTokens(d, merges, eowMarker = true)
+    val seqStr = enc.orderBy("doc_id").select("seq").as[String].head()
+    val words = seqStr.split(" ").mkString("").split("</w>", -1).toSeq
+      .filter(_.nonEmpty)
+    assert(words == Seq("ab", "ab", "ab", "abc", "abc", "xyz9", "ab", "42"),
+      s"recovered: $words from '$seqStr'")
+    seg.unpersist()
+  }
+
   test("marker-mode encoding round-trips once markers are stripped") {
     val d = docs("ab ab ab abc abc", "xyz9 ab")
     val merges = TextAnalysis.learnBpeMerges(d, 2, eowMarker = true)
