@@ -19,7 +19,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2.2.
     *
     * CACHE CONTRACT: a few queries (q57, q79, q81, q95, q101, q103,
-    * q108, q109, q112, q113, q115, q116, q117, q118, q120) `persist()`
+    * q108, q109, q112, q113, q115, q116, q117, q118, q120, q123)
+    * `persist()`
     * a shared subplan because it feeds two consumers and Spark has no
     * automatic CTE reuse for DataFrame plans (q117's are the scored-
     * frequency table plus Windows.globalRowNumber's internal range-
@@ -45,7 +46,9 @@ object SparkEntry {
     * 20-round merge-learning loop at construction (one vocab-sized
     * aggregate + one LIMIT-1 collect per round); the batched variants
     * (q119, q120) run the 25-round batched loop (one k-row collect
-    * per round). r15: the LM-estimate jobs memoize per (dir, site) —
+    * per round), and the hot-partitioned variants (q121, q122) run
+    * their round loops the same way (one <= k-row winner collect per
+    * round). r15: the LM-estimate jobs memoize per (dir, site) —
     * re-constructing the same query on the same immutable dir runs
     * zero estimate jobs. All other queries are
     * construction-lazy.

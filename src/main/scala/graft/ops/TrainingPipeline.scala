@@ -163,6 +163,15 @@ object TrainingPipeline {
       // sentencepiece-style tokenizers; subword concatenation then
       // reconstructs the words only after stripping the marker.
       bpeBatched: Option[(Int, Int)] = None,
+      // r16: when Some(rounds), the learner runs HOT-PARTITIONED
+      // (q121's machinery — per-hot-symbol winners over the full pair
+      // table, cascade-free keep rule) with the window k DERIVED from
+      // the survivor vocabulary (TextAnalysis.deriveBatchK:
+      // clamp(types/16, 8, 4096); the declared queries pin literal
+      // dials for their oracles — derivation is exactly for THIS
+      // caller, whose corpus scale is unknown). Takes precedence over
+      // bpeBatched. Costs one extra distinct-type count at learn time.
+      bpeHotPart: Option[Int] = None,
       bpeEowMarker: Boolean = false)
 
   /** Stage outputs: the surviving corpus and the packed bins, plus
@@ -429,11 +438,19 @@ object TrainingPipeline {
     // encode's seg cache joins the cleanup list.
     val bpe = if (!cfg.bpeEncode) None else {
       val corpus = survivors.select(col("doc_id"), col("text"))
-      val merges = cfg.bpeBatched match {
-        case Some((rounds, k)) =>
+      val merges = (cfg.bpeHotPart, cfg.bpeBatched) match {
+        case (Some(rounds), _) =>
+          val nTypes = corpus
+            .select(explode(words(col("text"))).as("w"))
+            .filter(col("w").rlike("^[a-z]+$"))
+            .select("w").distinct().count()
+          val k = TextAnalysis.deriveBatchK(nTypes)
+          TextAnalysis.learnBpeMergesHotPart(corpus, rounds, k, k,
+            cfg.bpeEowMarker)
+        case (None, Some((rounds, k))) =>
           TextAnalysis.learnBpeMergesBatched(corpus, rounds, k,
             cfg.bpeEowMarker)
-        case None =>
+        case (None, None) =>
           TextAnalysis.learnBpeMerges(corpus, cfg.bpeMerges, cfg.bpeEowMarker)
       }
       // no memo key: the survivor frame is pipeline-built, not an

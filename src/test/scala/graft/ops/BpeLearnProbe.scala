@@ -34,8 +34,19 @@ object BpeLearnProbe {
       val t0 = System.nanoTime()
       val merges = TextAnalysis.learnBpeMergesBatched(docs, rounds, k)
       val dt = (System.nanoTime() - t0) / 1e9
-      println(f"[bpelearn] rounds=$rounds%4d k=$k merges=${merges.size}%5d " +
-        f"wall=${dt}%.1fs s/round=${dt / rounds}%.3f")
+      println(f"[bpelearn] allhigher rounds=$rounds%4d k=$k merges=${merges.size}%5d " +
+        f"wall=${dt}%.1fs s/round=${dt / rounds}%.3f m/round=${merges.size.toDouble / rounds}%.2f")
+    }
+    // r16: the hot-partitioned rule at the SAME dials (the ≥2×
+    // merges/round claim on this 100k prefix-heavy vocabulary) and at
+    // the deriveBatchK-derived window (what TrainingPipeline would run)
+    val kd = TextAnalysis.deriveBatchK(100000)
+    for ((rounds, k, cap) <- Seq((25, 8, 8), (125, 8, 8), (25, kd, kd))) {
+      val t0 = System.nanoTime()
+      val merges = TextAnalysis.learnBpeMergesHotPart(docs, rounds, k, cap)
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[bpelearn] hotpart   rounds=$rounds%4d k=$k merges=${merges.size}%5d " +
+        f"wall=${dt}%.1fs s/round=${dt / rounds}%.3f m/round=${merges.size.toDouble / rounds}%.2f")
     }
     spark.stop()
   }

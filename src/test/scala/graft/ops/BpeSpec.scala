@@ -180,6 +180,109 @@ class BpeSpec extends SparkSpec {
     assert(a == b, s"partitioning changed the batched merges:\n$a\n$b")
   }
 
+  // ──────────────── hot-partitioned learner (q121/q122) ────────────────
+
+  test("hot-partitioned rule drains the 3-chain in 2 rounds where all-higher-ranks takes 3") {
+    // pairs (a,b)=9, (b,c)=6, (c,d)=3; mass a=9, b=15, c=9, d=3.
+    // hot(a,b)=b, hot(b,c)=b, hot(c,d)=c → partition b's winner is
+    // (a,b) (higher cnt), partition c's is (c,d). Winner order:
+    // (a,b) then (c,d); (c,d) is disjoint from (a,b) → BOTH kept in
+    // round 1 — the dropped (b,c) no longer blocks it (contrast the
+    // all-higher-ranks deferral test above). Round 2 keeps (b,c).
+    val d = docs(("ab " * 9 + "bc " * 6 + "cd " * 3).trim)
+    val m = TextAnalysis.learnBpeMergesHotPart(d, 3, 3, 3)
+    assert(m == Seq(
+      (1L, "a", "b", "ab", 9L),
+      (2L, "c", "d", "cd", 3L),
+      (3L, "b", "c", "bc", 6L)), m.toString)
+  }
+
+  test("hot-partitioned learner at k = 1 IS the sequential learner, bit for bit") {
+    // the global-best pair is rank 1 of its own hot partition and of
+    // the winner ordering, so the k = 1 window is exactly the argmax
+    val d = docs("aaab aaab aab")
+    assert(TextAnalysis.learnBpeMergesHotPart(d, 3, 1, 1) ==
+      TextAnalysis.learnBpeMerges(d, 3))
+    val base = graft.model.Tables(spark, sf(), "documents")
+    assert(TextAnalysis.learnBpeMergesHotPart(base, 10, 1, 1) ==
+      TextAnalysis.learnBpeMerges(base, 10))
+  }
+
+  test("hot-partitioned yield >= all-higher-ranks yield at the same dials (r15 VERDICT #1 law)") {
+    // same (rounds, window) budget, same fixtures: the cascade-breaker
+    // must never learn FEWER merges. Real table: 89 vs 84 (and in 16
+    // rounds vs 25 — the corpus exhausts, the rule doesn't).
+    val base = graft.model.Tables(spark, sf(), "documents")
+    val hot = TextAnalysis.learnBpeMergesHotPart(base,
+      TextAnalysis.BpeHotRounds, TextAnalysis.BpeHotK, TextAnalysis.BpeHotCap)
+    val all = TextAnalysis.learnBpeMergesBatched(base,
+      TextAnalysis.BpeBatchRounds, TextAnalysis.BpeBatchK)
+    assert(hot.size >= all.size,
+      s"hot-partitioned learned ${hot.size} < all-higher-ranks ${all.size}")
+    // and on a constructed chain fixture
+    val chain = docs(("ab " * 9 + "bc " * 6 + "cd " * 3).trim)
+    assert(TextAnalysis.learnBpeMergesHotPart(chain, 3, 3, 3).size >=
+      TextAnalysis.learnBpeMergesBatched(chain, 3, 3).size)
+  }
+
+  test("hot-partitioned merges are partitioning-independent (§7.5 determinism law)") {
+    val base = graft.model.Tables(spark, sf(), "documents")
+      .select("doc_id", "text")
+    val a = TextAnalysis.learnBpeMergesHotPart(base.repartition(7), 5, 4, 4)
+    val b = TextAnalysis.learnBpeMergesHotPart(base.repartition(3), 5, 4, 4)
+    assert(a == b, s"partitioning changed the learned merges:\n$a\n$b")
+  }
+
+  test("q122 learns vocabulary-limited >= 500 merges (the data-dominated regime)") {
+    val rows = graft.SparkEntry.queries("q122_bpe_rich_vocab")(spark, sf())
+      .orderBy("merge_rank").collect()
+    // >= 500: firmly past the 31-type corpus's ~100-merge exhaustion
+    // ceiling; <= rounds × cap: the budget, not exhaustion, limits it
+    assert(rows.length >= 500, s"only ${rows.length} merges")
+    assert(rows.length <=
+      TextAnalysis.RichVocabRounds * TextAnalysis.RichVocabCap)
+    assert(rows.map(_.getLong(0)).toSeq == (1L to rows.length).toSeq)
+    rows.foreach(r => assert(r.getString(3) == r.getString(1) + r.getString(2)))
+  }
+
+  test("keepDisjointWinners honors the cap and the winner-precedence rule") {
+    val w = IndexedSeq(("a", "b", 9L), ("b", "c", 6L), ("c", "d", 3L),
+      ("e", "f", 2L), ("g", "h", 1L))
+    // (b,c) blocked by winner (a,b); (c,d) blocked by winner (b,c)
+    // even though (b,c) was dropped — precedence is over WINNERS, and
+    // all five inputs here are winners by construction
+    assert(TextAnalysis.keepDisjointWinners(w, 8) ==
+      IndexedSeq(("a", "b", 9L), ("e", "f", 2L), ("g", "h", 1L)))
+    assert(TextAnalysis.keepDisjointWinners(w, 2) ==
+      IndexedSeq(("a", "b", 9L), ("e", "f", 2L)))
+  }
+
+  test("deriveBatchK: clamp(nTypes/16, 8, 4096), and the declared dials stay literal") {
+    assert(TextAnalysis.deriveBatchK(0) == 8)
+    assert(TextAnalysis.deriveBatchK(31) == 8) // the testdata corpus
+    assert(TextAnalysis.deriveBatchK(1600) == 100)
+    assert(TextAnalysis.deriveBatchK(100000) == 4096) // the probe vocab
+    assert(TextAnalysis.deriveBatchK(Long.MaxValue) == 4096)
+    // the declared queries' dials are literal constants the oracles
+    // unroll — the derivation must never silently retarget them
+    assert(TextAnalysis.BpeBatchRounds == 25 && TextAnalysis.BpeBatchK == 8)
+    assert(TextAnalysis.BpeHotRounds == 25 && TextAnalysis.BpeHotK == 8 &&
+      TextAnalysis.BpeHotCap == 8)
+    assert(TextAnalysis.RichVocabRounds == 28 &&
+      TextAnalysis.RichVocabK == 128 && TextAnalysis.RichVocabCap == 24)
+  }
+
+  test("keep-rule budget at the derived-k ceiling is driver-trivial (r15 VERDICT #5)") {
+    // worst case: 4096 mutually-disjoint candidates — every candidate
+    // scans ALL higher ranks (O(k²) = 8.4M 3-element intersections)
+    val cand = (0 until 4096).map(i => (s"x${i}a", s"x${i}b", (8192 - i).toLong))
+    val t0 = System.nanoTime()
+    val kept = TextAnalysis.keepDisjointWinners(cand, 4096)
+    val dt = (System.nanoTime() - t0) / 1e9
+    assert(kept.size == 4096)
+    assert(dt < 2.0, f"O(k²) keep rule took $dt%.2fs at k = 4096")
+  }
+
   // ───────────────────── end-of-word marker variant ─────────────────────
 
   test("</w> marker learns final-position units the markerless form cannot") {

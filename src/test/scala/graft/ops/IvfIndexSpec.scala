@@ -12,6 +12,53 @@ import org.apache.spark.sql.functions._
   */
 class IvfIndexSpec extends SparkSpec {
 
+  test("Lloyd training improves the quantizer objective vs the md5 sample (r15 VERDICT #3 law)") {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    val emb = graft.model.Tables(spark, sf(), "embeddings")
+    def meanAssignCos(cent: org.apache.spark.sql.DataFrame): Double =
+      Similarity.assignCells(emb, cent)
+        .agg(avg(col("csim"))).head().getDouble(0)
+    val sampled = meanAssignCos(Similarity.md5Centroids(emb, 8))
+    val trained = meanAssignCos(
+      Similarity.lloydCentroids(emb, 8, Similarity.LloydRounds))
+    // the k-means objective — the SAME statistic IvfIndex.Meta records
+    // as meanAssignCosine for drift detection — must improve under
+    // training (Lloyd monotonicity, surviving the round-3/round-6
+    // determinism rounding). Measured 0.19 → 0.26 at sf0.001.
+    assert(trained > sampled,
+      s"trained mean assign cosine $trained <= sampled $sampled")
+    // Small-nprobe recall is NOT asserted, deliberately: this corpus is
+    // unit-norm near-isotropic (pairwise cosine 0.0 ± 0.125), so cells
+    // carry no neighbor structure for training to exploit — measured
+    // recall@3 at nprobe = 2 over the 3 probes is 0.22 trained vs 0.56
+    // sampled (9 truth pairs, noise-level). The honest record lives at
+    // lloydCentroids' scaladoc; the any-data invariant is below.
+  }
+
+  test("probing all k cells with trained centroids recovers brute force exactly") {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    import spark.implicits._
+    val emb = graft.model.Tables(spark, sf(), "embeddings")
+    val probes = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id"))
+    val truth = emb.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(expr("vec_cosine(embedding, p)"), 3).as("sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("probe_id", "vec_id", "sim", "rn")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val cent = Similarity.lloydCentroids(emb, 8, Similarity.LloydRounds)
+    val got = Similarity.ivfSearch(emb, cent, nprobe = 8, topK = 3)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    spark.catalog.clearCache() // ivfSearch persists its csims
+    assert(got == truth,
+      s"all-cells IVF diverged from brute force:\n$got\nvs\n$truth")
+  }
+
   test("build partitions the corpus; search is exact within probed cells") {
     graft.functions.VectorExpressions.ensureRegistered(spark)
     import spark.implicits._

@@ -82,6 +82,25 @@ class PlanLintSpec extends SparkSpec {
     spark.catalog.clearCache() // q115 persists tri/big/uni
   }
 
+  /** q123's scale claim: the quantizer (8×64 floats — and k×dim
+    * generally) ships TO the vectors; the corpus must meet it through a
+    * BroadcastNestedLoopJoin (the broadcast cross join carrying the
+    * codegen cosines), never a CartesianProduct. The checked plan is
+    * the probe phase; the Lloyd rounds run the IDENTICAL
+    * crossJoin(broadcast(cent)) shape at construction (their plans are
+    * consumed by the centroid checkpoint job).
+    */
+  test("q123 assigns through broadcast centroids (corpus never cartesians into the quantizer)") {
+    val df = graft.SparkEntry.queries("q123_ivf_kmeans_ann")(spark, sf())
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"q123: centroid assignment not broadcast\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"q123: cartesian product in the assignment\n$plan")
+    spark.catalog.clearCache() // q123 persists its csims
+  }
+
   /** q113's scale claim is q108/q112's: the vocab (Heaps-sublinear)
     * broadcasts into the token scan — the corpus-sized token stream
     * must never shuffle to meet it. And since r14 the full-width vocab

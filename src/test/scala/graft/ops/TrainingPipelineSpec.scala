@@ -267,6 +267,35 @@ class TrainingPipelineSpec extends SparkSpec {
     } finally { res.cleanup(); spark.catalog.clearCache() }
   }
 
+  test("bpeEncode dials: hot-partitioned learner with derived k round-trips and out-learns batched") {
+    val docs = graft.model.Tables(spark, sf(), "documents")
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val eval_ = docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text")
+    val res = TrainingPipeline.prepare(train, eval_,
+      TrainingPipeline.Config(audit = false, bpeEncode = true,
+        bpeHotPart = Some(6)))
+    try {
+      val bpe = res.bpe.getOrElse(fail("bpe export missing"))
+      val sv = res.survivors.select(col("doc_id"),
+        concat_ws("", filter(split(col("text"), " "), w => w =!= ""))
+          .as("orig"))
+        .filter(length(col("orig")) > 0)
+      val joined = sv.join(bpe, Seq("doc_id"), "left")
+      assert(joined.filter(col("seq").isNull).isEmpty,
+        "a tokenized survivor is missing from the hot-part bpe export")
+      assert(joined.filter(
+        regexp_replace(col("seq"), " ", "") =!= col("orig")).isEmpty,
+        "hot-part bpe round-trip must reconstruct the survivor words")
+      // the derived-k hot rule must learn at least as much per round as
+      // the same-rounds batched rule at its k = 8 declared dial — the
+      // yield law, composed through the pipeline entry point
+      val corpus = res.survivors.select("doc_id", "text")
+      val hot = TextAnalysis.learnBpeMergesHotPart(corpus, 6, 8, 8)
+      val bat = TextAnalysis.learnBpeMergesBatched(corpus, 6, 8)
+      assert(hot.size >= bat.size, s"${hot.size} < ${bat.size}")
+    } finally { res.cleanup(); spark.catalog.clearCache() }
+  }
+
   test("cleanup() releases the caches prepare() created, in non-audit mode too") {
     val docs = graft.model.Tables(spark, sf(), "documents")
     val train = docs.filter(col("doc_id") % 2 === 0)
