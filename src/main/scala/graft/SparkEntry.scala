@@ -48,7 +48,9 @@ object SparkEntry {
     * (q119, q120) run the 25-round batched loop (one k-row collect
     * per round), and the hot-partitioned variants (q121, q122) run
     * their round loops the same way (one <= k-row winner collect per
-    * round). r15: the LM-estimate jobs memoize per (dir, site) —
+    * round). q123 runs the Lloyd rounds at construction and eagerly
+    * checkpoints the trained centroid frame (one tiny k × dim job).
+    * r15: the LM-estimate jobs memoize per (dir, site) —
     * re-constructing the same query on the same immutable dir runs
     * zero estimate jobs. All other queries are
     * construction-lazy.

@@ -370,42 +370,11 @@ object Similarity {
     "q57_ivf_ann" -> ((s, dir) => {
       graft.functions.VectorExpressions.ensureRegistered(s)
       val emb = Tables(s, dir, "embeddings")
-      val cent = emb
-        .withColumn("crk", md5(col("vec_id").cast("string")))
-        .orderBy(col("crk"), col("vec_id")).limit(8)
-        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-      val wA = org.apache.spark.sql.expressions.Window
-        .partitionBy("vec_id").orderBy(col("csim").desc, col("c_id"))
-      // narrow (id, c_id, csim) rows through the argmax window — carrying
-      // the 64-float embedding here would duplicate it K× through the
-      // shuffle; it is re-joined once per assigned row instead. Persisted:
-      // the assignment and the probe-cell branches both consume it.
-      val csims = emb.crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("c_id"),
-          round(expr("vec_cosine(embedding, c_emb)"), 3).as("csim"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val assigned = emb.join(
-        csims.withColumn("crn", row_number().over(wA))
-          .filter(col("crn") === 1)
-          .select(col("vec_id"), col("c_id").as("cell")),
-        "vec_id")
-      // probes (vec_id < 3) visit their nprobe=2 nearest cells
-      val probeCells = csims.filter(col("vec_id") < 3)
-        .withColumn("crn", row_number().over(wA))
-        .filter(col("crn") <= 2)
-        .join(emb.filter(col("vec_id") < 3), "vec_id")
-        .select(col("vec_id").as("probe_id"), col("embedding").as("p"),
-          col("c_id").as("cell"))
-      val wR = org.apache.spark.sql.expressions.Window
-        .partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id"))
-      assigned.join(broadcast(probeCells), Seq("cell"))
-        .filter(col("vec_id") =!= col("probe_id"))
-        .select(col("probe_id"), col("vec_id"),
-          round(expr("vec_cosine(embedding, p)"), 3).as("sim"))
-        .withColumn("rn", row_number().over(wR).cast("long"))
-        .filter(col("rn") <= 3)
-        .select("probe_id", "vec_id", "sim", "rn")
-        .orderBy(col("probe_id"), col("rn"))
+      // r16: rewired through the factored machinery (md5Centroids +
+      // ivfSearch — byte-identical plan, oracle hashes unchanged at all
+      // three scales), so a probe-machinery fix reaches the untrained
+      // baseline and q123 alike
+      ivfSearch(emb, md5Centroids(emb, 8), nprobe = 2, topK = 3)
     }),
 
     // IVF with a TRAINED coarse quantizer (r15 VERDICT #3 — replacing

@@ -263,11 +263,16 @@ object TextAnalysis {
     bpePairCountsRaw(seqs).orderBy(col("cnt").desc, col("a"), col("b"))
 
   /** Per-HOT-SYMBOL pair winners (r15 VERDICT #1 — the cascade-breaking
-    * candidate window): mass(s) = Σ cnt over pairs where a = s or b = s
+    * candidate window) over a pair-count frame `p` (a, b, cnt) — the
+    * caller persists `p` for the round, because this plan consumes it
+    * three times (mass twice, the hot join once):
+    * mass(s) = Σ cnt over pairs where a = s or b = s
     * (a = b contributes twice); hot(a, b) = the higher-mass end (mass
     * tie → lexically smaller); winner = the (cnt desc, a, b)-first pair
-    * of each hot partition; the top `k` winners by the same order are
-    * the round's candidates. Scale shape: everything up to the final
+    * of each hot partition, returned in (cnt desc, a, b) order — the
+    * learner takes the top k as the round's candidates (its limit
+    * composes with the orderBy into TakeOrderedAndProject). Scale
+    * shape: everything up to the final
     * top-k is pair-table-sized (Heaps-sublinear) and PARTITIONED — the
     * argmax window is partitionBy(hot), never a global window, and the
     * top-k is orderBy + limit (TakeOrderedAndProject: per-partition
@@ -277,8 +282,7 @@ object TextAnalysis {
     * 12 → 19 merges/round across 25 rounds on a 500-type vocabulary,
     * where the global-LIMIT window stays flat at ~7).
     */
-  private[graft] def hotWinners(seqs: DataFrame, k: Int): DataFrame = {
-    val p = bpePairCountsRaw(seqs)
+  private[graft] def hotWinners(p: DataFrame): DataFrame = {
     val mass = p.select(col("a").as("s"), col("cnt"))
       .unionAll(p.select(col("b").as("s"), col("cnt")))
       .groupBy("s").agg(sum(col("cnt")).as("m"))
@@ -393,21 +397,34 @@ object TextAnalysis {
       k: Int, eowMarker: Boolean = false)
       : Seq[(Long, String, String, String, Long)] = {
     require(k >= 1 && nRounds >= 1, s"need k >= 1, nRounds >= 1 (got $k, $nRounds)")
-    var seqs = bpeVocabSeqs(docs, eowMarker)
+    learnRounds(bpeVocabSeqs(docs, eowMarker), nRounds)(
+      // ONE bounded collect per round: k rows (the q100/fixpoint
+      // bounded-scalar-action discipline — k is a small constant)
+      seqs => collectPairs(bpePairCounts(seqs).limit(k)),
+      keepAllHigherRanks)
+  }
+
+  /** The round-loop scaffolding BOTH batched learners share (factored
+    * r16 self-review: the rank counter, exhaustion early-exit, and
+    * batch-apply must not be maintained twice): per round, `candidates`
+    * runs the one bounded collect, `keep` the pure driver-side rule.
+    * A round with no candidates left ends the loop (r15 ADVICE) —
+    * output-equivalent to running the remaining rounds, whose unrolled
+    * oracle stages are no-ops.
+    */
+  private def learnRounds(seqs0: DataFrame, nRounds: Int)(
+      candidates: DataFrame => IndexedSeq[(String, String, Long)],
+      keep: IndexedSeq[(String, String, Long)] =>
+        IndexedSeq[(String, String, Long)])
+      : Seq[(Long, String, String, String, Long)] = {
+    var seqs = seqs0
     val out = Seq.newBuilder[(Long, String, String, String, Long)]
     var rank = 0L
     var exhausted = false
     for (_ <- 1 to nRounds if !exhausted) {
-      // ONE bounded collect per round: k rows (the q100/fixpoint
-      // bounded-scalar-action discipline — k is a small constant)
-      val cand = bpePairCounts(seqs).limit(k).collect()
-        .map(c => (c.getString(0), c.getString(1), c.getLong(2))).toIndexedSeq
-      // pair space exhausted: every remaining round would be a full
-      // vocab-sized aggregation that changes nothing and emits nothing
-      // (r15 ADVICE) — output-equivalent to running them (the unrolled
-      // oracle's empty rounds are no-ops), so stop paying for them
+      val cand = candidates(seqs)
       if (cand.isEmpty) exhausted = true
-      val kept = keepAllHigherRanks(cand)
+      val kept = keep(cand)
       for ((a, b, cnt) <- kept) {
         rank += 1
         out += ((rank, a, b, a + b, cnt))
@@ -416,6 +433,11 @@ object TextAnalysis {
     }
     out.result()
   }
+
+  private def collectPairs(df: DataFrame)
+      : IndexedSeq[(String, String, Long)] =
+    df.collect()
+      .map(c => (c.getString(0), c.getString(1), c.getLong(2))).toIndexedSeq
 
   /** The q119 keep rule, pure and driver-side (candidates arrive as a
     * bounded collect): keep a candidate iff its symbol triple
@@ -498,30 +520,36 @@ object TextAnalysis {
     * all-higher-ranks learner carries (BpeSpec). Kept batches are
     * mutually disjoint, so the one-pass [[batchApply]] argument (order
     * independence, exact pre-batch counts) holds unchanged.
+    *
+    * `k <= 0` (and/or `capJ <= 0`) derives the window from the
+    * vocabulary via [[deriveBatchK]] — the library entry point for
+    * callers whose corpus scale is unknown ahead of time.
     */
   private[graft] def learnBpeMergesHotPart(docs: DataFrame, nRounds: Int,
       k: Int, capJ: Int, eowMarker: Boolean = false)
       : Seq[(Long, String, String, String, Long)] = {
-    require(k >= 1 && nRounds >= 1 && capJ >= 1,
-      s"need k, nRounds, capJ >= 1 (got $k, $nRounds, $capJ)")
-    var seqs = bpeVocabSeqs(docs, eowMarker)
-    val out = Seq.newBuilder[(Long, String, String, String, Long)]
-    var rank = 0L
-    var exhausted = false
-    for (_ <- 1 to nRounds if !exhausted) {
-      // ONE bounded collect per round: <= k winner rows
-      val winners = hotWinners(seqs, k).limit(k).collect()
-        .map(c => (c.getString(0), c.getString(1), c.getLong(2)))
-        .toIndexedSeq
-      if (winners.isEmpty) exhausted = true
-      val kept = keepDisjointWinners(winners, capJ)
-      for ((a, b, cnt) <- kept) {
-        rank += 1
-        out += ((rank, a, b, a + b, cnt))
-      }
-      if (kept.nonEmpty) seqs = batchApply(seqs, kept)
-    }
-    out.result()
+    require(nRounds >= 1, s"need nRounds >= 1 (got $nRounds)")
+    val seqs0 = bpeVocabSeqs(docs, eowMarker)
+    // k/capJ <= 0 → derive from the vocabulary (r15 VERDICT #5): the
+    // type count is a cheap aggregate over the already-checkpointed
+    // vocab frame — NOT another corpus pass. The declared queries pass
+    // literal dials (their oracles unroll them); derivation serves
+    // callers whose corpus scale is unknown (TrainingPipeline).
+    val kEff = if (k > 0) k else deriveBatchK(seqs0.count())
+    val capEff = if (capJ > 0) capJ else kEff
+    learnRounds(seqs0, nRounds)(
+      // ONE bounded collect per round: <= k winner rows. The pair
+      // aggregate feeds the plan three times (mass twice, the hot join
+      // once) — persist for the round so it computes once, released
+      // right after the collect (seqs is checkpointed, so no dependent
+      // cache can trigger a CacheManager recache)
+      seqs => {
+        val p = bpePairCountsRaw(seqs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try collectPairs(hotWinners(p).limit(kEff))
+        finally p.unpersist(blocking = false)
+      },
+      keepDisjointWinners(_, capEff))
   }
 
   /** Candidate-window size derived from vocabulary statistics (r15

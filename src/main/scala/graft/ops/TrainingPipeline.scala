@@ -170,7 +170,8 @@ object TrainingPipeline {
       // clamp(types/16, 8, 4096); the declared queries pin literal
       // dials for their oracles — derivation is exactly for THIS
       // caller, whose corpus scale is unknown). Takes precedence over
-      // bpeBatched. Costs one extra distinct-type count at learn time.
+      // bpeBatched. Costs one type count over the learner's own
+      // checkpointed vocab frame — not a corpus pass.
       bpeHotPart: Option[Int] = None,
       bpeEowMarker: Boolean = false)
 
@@ -440,13 +441,10 @@ object TrainingPipeline {
       val corpus = survivors.select(col("doc_id"), col("text"))
       val merges = (cfg.bpeHotPart, cfg.bpeBatched) match {
         case (Some(rounds), _) =>
-          val nTypes = corpus
-            .select(explode(words(col("text"))).as("w"))
-            .filter(col("w").rlike("^[a-z]+$"))
-            .select("w").distinct().count()
-          val k = TextAnalysis.deriveBatchK(nTypes)
-          TextAnalysis.learnBpeMergesHotPart(corpus, rounds, k, k,
-            cfg.bpeEowMarker)
+          // k/capJ <= 0: the learner derives the window from its own
+          // (already-checkpointed) vocab frame — no extra corpus pass
+          TextAnalysis.learnBpeMergesHotPart(corpus, rounds, k = -1,
+            capJ = -1, cfg.bpeEowMarker)
         case (None, Some((rounds, k))) =>
           TextAnalysis.learnBpeMergesBatched(corpus, rounds, k,
             cfg.bpeEowMarker)

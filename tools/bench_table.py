@@ -23,7 +23,16 @@ def load(path):
             line = line[len("[info] "):]
         if line.startswith("{") and '"queries"' in line:
             d = json.loads(line)
-            return d["queries"], d.get("spread", {})
+            # Bench writes median -1 for FAILED queries (Bench.scala:
+            # "a failed query reports -1") — surface them, never let
+            # the sentinel corrupt ratios or totals
+            med = d["queries"]
+            failed = sorted(q for q, v in med.items() if v < 0)
+            if failed:
+                print(f"!! {len(failed)} FAILED queries excluded from "
+                      f"{path}: {', '.join(failed)}", file=sys.stderr)
+            return ({q: v for q, v in med.items() if v >= 0},
+                    d.get("spread", {}))
     raise SystemExit(f"no bench detail line in {path}")
 
 
