@@ -231,13 +231,28 @@ object TextAnalysis {
     * note). Shared so the "batched at k=1 is bit-for-bit sequential"
     * law holds by construction, not by parallel maintenance.
     */
-  private def bpeVocabSeqs(docs: DataFrame, eowMarker: Boolean): DataFrame =
-    docs
+  private def bpeVocabSeqs(docs: DataFrame, eowMarker: Boolean): DataFrame = {
+    val seqs = docs
       .select(explode(filter(split(col("text"), " "), w => w =!= "")).as("w"))
       .filter(col("w").rlike("^[a-z]+$"))
       .groupBy("w").agg(count(lit(1)).as("f"))
       .select(col("f"), bpeSeed(col("w"), eowMarker).as("s"))
       .localCheckpoint(true)
+    // SIZE the loop's parallelism (r16): the checkpointed vocab
+    // inherits the corpus's shuffle-partition dial, and a driver-
+    // iterative learner then pays rounds × stages × partitions
+    // scheduler overheads on microsecond tasks — measured 3.4× on
+    // q122's 28-round loop (34 s at 32 partitions vs ~10 s at 16,
+    // sf0.1's 5000-type vocab). One partition per 64k types (the
+    // count is a cheap job over the cached blocks; AQE already
+    // coalesces the reduce sides — this bounds the MAP sides every
+    // round re-scans). coalesce is a narrow op over the checkpointed
+    // blocks: no re-materialization, and learned merges are
+    // partitioning-independent (BpeSpec laws + oracle hashes).
+    val parts = math.max(1L, math.min(seqs.rdd.getNumPartitions.toLong,
+      seqs.count() / 65536 + 1)).toInt
+    seqs.coalesce(parts)
+  }
 
   /** Adjacent-pair counts of a seqs frame, unordered — the shared
     * aggregation under [[bpePairCounts]] (global merge ranking) and
