@@ -19,8 +19,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2.2.
     *
     * CACHE CONTRACT: a few queries (q57, q79, q81, q95, q101, q103,
-    * q108, q109, q112, q113, q115, q116, q117, q118, q120, q123)
-    * `persist()`
+    * q108, q109, q112, q113, q115, q116, q117, q118, q120, q123,
+    * q124) `persist()`
     * a shared subplan because it feeds two consumers and Spark has no
     * automatic CTE reuse for DataFrame plans (q117's are the scored-
     * frequency table plus Windows.globalRowNumber's internal range-
@@ -48,8 +48,9 @@ object SparkEntry {
     * (q119, q120) run the 25-round batched loop (one k-row collect
     * per round), and the hot-partitioned variants (q121, q122) run
     * their round loops the same way (one <= k-row winner collect per
-    * round). q123 runs the Lloyd rounds at construction and eagerly
-    * checkpoints the trained centroid frame (one tiny k × dim job).
+    * round). q123 and q124 run the Lloyd rounds at construction and
+    * eagerly checkpoint the trained centroid frame (one tiny k × dim
+    * job each).
     * r15: the LM-estimate jobs memoize per (dir, site) —
     * re-constructing the same query on the same immutable dir runs
     * zero estimate jobs. All other queries are

@@ -35,6 +35,39 @@ class IvfIndexSpec extends SparkSpec {
     // lloydCentroids' scaladoc; the any-data invariant is below.
   }
 
+  test("on the planted clustered fixture, training IMPROVES recall@3 over the md5 sample (q124's claim)") {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    import spark.implicits._
+    // the fixture where the recall claim is provable: anisotropic
+    // clusters whose sampled corpus points are edge-heavy poor
+    // representatives (Similarity.PlantedDimSql — the q124 frame)
+    val emb = Similarity.plantedEmbeddings(spark, sf())
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id"))
+    val truth = emb.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(expr("vec_cosine(embedding, p)"), 3).as("sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("probe_id", "vec_id").as[(Long, Long)].collect().toSet
+    def recall(cent: org.apache.spark.sql.DataFrame): Double = {
+      val got = Similarity.ivfSearch(emb, cent, nprobe = 1, topK = 3,
+          probeMax = 10)
+        .select("probe_id", "vec_id").as[(Long, Long)].collect().toSet
+      spark.catalog.clearCache() // ivfSearch persists its csims
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val sampled = recall(Similarity.md5Centroids(emb, 8))
+    val trained = recall(
+      Similarity.lloydCentroids(emb, 8, Similarity.LloydRounds))
+    // design-sim values: 0.80 sampled, 1.00 trained (30 truth pairs)
+    assert(trained > sampled,
+      s"trained recall@3 $trained <= sampled $sampled on the planted fixture")
+    assert(trained == 1.0, s"trained recall@3 $trained != 1.0")
+  }
+
   test("probing all k cells with trained centroids recovers brute force exactly") {
     graft.functions.VectorExpressions.ensureRegistered(spark)
     import spark.implicits._
