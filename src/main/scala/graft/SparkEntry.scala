@@ -18,9 +18,9 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2.2.
     *
-    * CACHE CONTRACT: a few queries (q57, q79, q81, q95, q101, q103,
-    * q108, q109, q112, q113, q115, q116, q117, q118, q120, q123,
-    * q124) `persist()`
+    * CACHE CONTRACT: a few queries (q79, q81, q95, q101, q103,
+    * q108, q109, q112, q113, q115, q116, q117, q118, q120, q125)
+    * `persist()`
     * a shared subplan because it feeds two consumers and Spark has no
     * automatic CTE reuse for DataFrame plans (q117's are the scored-
     * frequency table plus Windows.globalRowNumber's internal range-

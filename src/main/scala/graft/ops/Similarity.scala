@@ -195,27 +195,33 @@ object Similarity {
     * shape, factored (r15's trigramScores discipline) so q123 and the
     * IvfIndexSpec laws drive the IDENTICAL code: assign every vector to
     * its nearest cell, probes (vec_id < 3) visit their `nprobe` nearest
-    * cells, exact top-`topK` cosine inside the probed cells. csims is
-    * persisted — assignment and probe-cell branches both consume it
-    * (CACHE CONTRACT).
+    * cells, exact top-`topK` cosine inside the probed cells.
+    *
+    * r16 VERDICT #1 (what's-wrong): the assignment rides
+    * [[assignCells]]'s map-side-combinable max_by aggregate — the
+    * SAME round(·,3)-desc, min-c_id argmax the old per-vector
+    * row_number window derived, but with no N×K cosine frame
+    * materialized and nothing persisted (the old code
+    * MEMORY_AND_DISK-persisted all N·K vector-centroid cosines — 8×
+    * the corpus spilled to disk at 100 TB — solely so the probe branch
+    * could re-read the `vec_id < probeMax` sliver; the probe branch
+    * now computes its own csims over the probe vectors only, a
+    * probeMax×K frame). Tiebreak identity proven by unchanged
+    * q57/q123/q124 oracle hashes at all three scales plus
+    * IvfIndexSpec's window-vs-aggregate law.
     */
   private[graft] def ivfSearch(emb: DataFrame, cent: DataFrame,
       nprobe: Int, topK: Int, probeMax: Int = 3): DataFrame = {
+    val assigned = emb.join(
+      assignCells(emb, cent).select("vec_id", "cell"), "vec_id")
     val wA = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("csim").desc, col("c_id"))
-    val csims = emb.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("c_id"),
+    val probeCells = emb.filter(col("vec_id") < probeMax)
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("c_id"), col("embedding"),
         round(expr("vec_cosine(embedding, c_emb)"), 3).as("csim"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val assigned = emb.join(
-      csims.withColumn("crn", row_number().over(wA))
-        .filter(col("crn") === 1)
-        .select(col("vec_id"), col("c_id").as("cell")),
-      "vec_id")
-    val probeCells = csims.filter(col("vec_id") < probeMax)
       .withColumn("crn", row_number().over(wA))
       .filter(col("crn") <= nprobe)
-      .join(emb.filter(col("vec_id") < probeMax), "vec_id")
       .select(col("vec_id").as("probe_id"), col("embedding").as("p"),
         col("c_id").as("cell"))
     val wR = org.apache.spark.sql.expressions.Window
@@ -266,6 +272,44 @@ object Similarity {
       .filter(col("vec_id") < 400)
       .select(col("vec_id"),
         expr(s"transform(sequence(0, 15), d -> $PlantedDimSql)")
+          .as("embedding"))
+
+  /** The ROUND-SEPARATING fixture (r16 VERDICT #3): q124's planted law
+    * saturates — both 1 and 2 Lloyd rounds reach recall 1.0 on its
+    * fixture, so that law cannot detect a regression that silently
+    * stops after round 1. THIS fixture's dials were scanned with the
+    * engine-exact design sim (tools/planted_sim.py --scan: same md5
+    * init, round(·,3) min-c_id argmax with the SAMPLED-VEC_ID ids,
+    * 6 dp decimal means, nprobe=1 probe tail) until recall@3 over 20
+    * probes is STRICTLY monotone in training rounds and below the
+    * ceiling: sampled 0.800 < 1-round 0.917 < 2-round 0.950 < 1.0.
+    * The deltas from q124's dials: 9 clusters against k = 8 (one cell
+    * must absorb two clusters — round 2 has residual work), centers
+    * damped ×0.45 (cluster overlap), probe spread 0.4, 20 probes (60
+    * truth pairs — 1/60 recall granularity; the margins are 7, 2 and
+    * 3 pairs wide). Spec-only (IvfIndexSpec pins the law) — q124 and
+    * its oracle stay byte-stable behind their shipped dials. Recall
+    * is NOT monotone in rounds in general (round 3 measures 0.867
+    * here — Lloyd optimizes the quantizer objective, not recall); the
+    * fixture is CHOSEN so rounds 0 → 1 → 2 separate, which is exactly
+    * the tripwire [[LloydRounds]] = 2 needs. Re-derive with the sim
+    * whenever the dials change.
+    */
+  private[graft] val RoundSepDimSql: String =
+    """CAST(0.45 * ((CAST((vec_id % 9) * 1009 + d * 9176 + 17 AS BIGINT) % 1000) / 1000.0 - 0.5)
+      | + (CASE WHEN vec_id < 20 THEN 0.4 ELSE 2.0 END)
+      |   * ((CAST((vec_id + 1000) * 1009 + d * 9176 + 17 AS BIGINT) % 1000) / 1000.0 - 0.5)
+      | AS FLOAT)""".stripMargin.replaceAll("\n", " ")
+
+  /** The round-separating frame: the first 300 vec_ids carrying the
+    * [[RoundSepDimSql]] vectors.
+    */
+  private[graft] def roundSepEmbeddings(s: SparkSession,
+      dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .filter(col("vec_id") < 300)
+      .select(col("vec_id"),
+        expr(s"transform(sequence(0, 15), d -> $RoundSepDimSql)")
           .as("embedding"))
 
   val queries: Map[String, Q] = Map(
@@ -409,9 +453,9 @@ object Similarity {
       graft.functions.VectorExpressions.ensureRegistered(s)
       val emb = Tables(s, dir, "embeddings")
       // r16: rewired through the factored machinery (md5Centroids +
-      // ivfSearch — byte-identical plan, oracle hashes unchanged at all
-      // three scales), so a probe-machinery fix reaches the untrained
-      // baseline and q123 alike
+      // ivfSearch — oracle hashes unchanged at all three scales), so a
+      // probe-machinery fix reaches the untrained baseline and q123
+      // alike — exactly what the r17 assignment-aggregate rework used
       ivfSearch(emb, md5Centroids(emb, 8), nprobe = 2, topK = 3)
     }),
 
@@ -438,8 +482,9 @@ object Similarity {
     // (IvfIndex.build trains MLlib k-means on trainFraction for the
     // production path; THIS query is the oracle-checkable unrolled
     // form). EAGER: the trained centroid frame is localCheckpoint(true)
-    // (one tiny job) so the probe-phase consumers don't re-run
-    // Lloyd; csims persisted (CACHE CONTRACT, as q57's).
+    // (one tiny job) so the probe-phase consumers don't re-run Lloyd;
+    // nothing persists (r17 — ivfSearch's assignment is the max_by
+    // aggregate, no shared csims frame remains).
     "q123_ivf_kmeans_ann" -> ((s, dir) => {
       graft.functions.VectorExpressions.ensureRegistered(s)
       val emb = Tables(s, dir, "embeddings")
@@ -456,7 +501,7 @@ object Similarity {
     // regime where training VISIBLY buys recall: 0.80 sampled → 1.00
     // trained recall@3 (IvfIndexSpec law over this exact fixture; the
     // oracle hash-gates the full trained search output). Same EAGER
-    // centroid checkpoint + persisted csims as q123 (CACHE CONTRACT).
+    // centroid checkpoint as q123; nothing persists (r17 ivfSearch).
     "q124_ivf_planted_recall" -> ((s, dir) => {
       graft.functions.VectorExpressions.ensureRegistered(s)
       val emb = plantedEmbeddings(s, dir)

@@ -125,20 +125,39 @@ object TextAnalysis {
     * None for non-testdata inputs (TrainingPipeline): their frames are
     * caller-built and carry no immutability contract.
     *
-    * IN-PLACE REGENERATION HAZARD (r15 ADVICE): the memo is JVM-global
-    * and keyed only by (dir, site) — it TRUSTS the immutability
-    * contract. A workflow that rewrites a directory path in place with
-    * different-scale data inside one JVM (e.g. a /tmp/scaleN probe
-    * loop) would keep the stale byte estimate and could route an
+    * IN-PLACE REGENERATION HAZARD, closed (r16 ADVICE): the memo is
+    * JVM-global, so a workflow that rewrites a directory path in place
+    * with different-scale data inside one JVM (e.g. a /tmp/scaleN probe
+    * loop) used to keep the stale byte estimate and could route an
     * oversized LM into the broadcast regime — never wrong results (the
     * dispatch is correctness-free), but the wrong shipping regime and a
-    * possible broadcast OOM. Such workflows must either
-    * [[clearEstMemo]] between generations or use per-generation paths
-    * (as every probe in this repo does — scale dirs are
-    * generation-numbered, never rewritten).
+    * possible broadcast OOM. The key now carries [[dirFingerprint]]
+    * (names + lengths + mtimes of the directory's entries — driver-side
+    * FS metadata, no Spark job, so PlanLintSpec's zero-estimate-jobs
+    * listener law is untouched): a rewritten path CHANGES the
+    * fingerprint and misses the memo instead of trusting the
+    * convention. [[clearEstMemo]] remains for long-lived sessions that
+    * scan many dirs.
     */
   private val estMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
+
+  /** Cheap content-version fingerprint of a corpus directory: the
+    * sorted (name, length, mtime) listing of its immediate entries,
+    * hashed. One driver-side listStatus per memo lookup (~ms on any
+    * FS — the same metadata every scan's file index reads); an
+    * unlistable dir degrades to a constant, i.e. the old
+    * trust-the-path behavior.
+    */
+  private def dirFingerprint(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.listStatus(p)
+        .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+        .sorted.mkString("\n").hashCode.toString
+    } catch { case _: java.io.IOException => "?" }
 
   /** Drop every memoized estimate — for long-lived sessions scanning
     * many corpus directories (entries are bytes each; testdata use
@@ -149,8 +168,9 @@ object TextAnalysis {
   private[graft] def estimateLmBytesMemo(key: Option[(String, String)],
                                          lm: DataFrame): Long =
     key match {
-      case Some(k) => estMemo.computeIfAbsent(k, _ => estimateLmBytes(lm))
-        .longValue()
+      case Some((dir, site)) =>
+        val k = (dir + "#" + dirFingerprint(lm.sparkSession, dir), site)
+        estMemo.computeIfAbsent(k, _ => estimateLmBytes(lm)).longValue()
       case None => estimateLmBytes(lm)
     }
 
@@ -249,9 +269,18 @@ object TextAnalysis {
     // round re-scans). coalesce is a narrow op over the checkpointed
     // blocks: no re-materialization, and learned merges are
     // partitioning-independent (BpeSpec laws + oracle hashes).
-    val parts = math.max(1L, math.min(seqs.rdd.getNumPartitions.toLong,
-      seqs.count() / 65536 + 1)).toInt
-    seqs.coalesce(parts)
+    // r16 ADVICE: already-narrow frames (<= 2 partitions — the
+    // sequential learner's usual shape) skip the sizing count()
+    // entirely: the loop overhead it would bound is already minimal,
+    // and the frame is checkpointed so nothing needs the count as a
+    // materializer.
+    val np = seqs.rdd.getNumPartitions
+    if (np <= 2) seqs
+    else {
+      val parts = math.max(1L,
+        math.min(np.toLong, seqs.count() / 65536 + 1)).toInt
+      if (parts >= np) seqs else seqs.coalesce(parts)
+    }
   }
 
   /** Adjacent-pair counts of a seqs frame, unordered — the shared

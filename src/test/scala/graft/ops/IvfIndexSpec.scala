@@ -56,16 +56,84 @@ class IvfIndexSpec extends SparkSpec {
       val got = Similarity.ivfSearch(emb, cent, nprobe = 1, topK = 3,
           probeMax = 10)
         .select("probe_id", "vec_id").as[(Long, Long)].collect().toSet
-      spark.catalog.clearCache() // ivfSearch persists its csims
       got.intersect(truth).size.toDouble / truth.size
     }
     val sampled = recall(Similarity.md5Centroids(emb, 8))
     val trained = recall(
       Similarity.lloydCentroids(emb, 8, Similarity.LloydRounds))
-    // design-sim values: 0.80 sampled, 1.00 trained (30 truth pairs)
+    // design-sim values: 0.80 sampled, 1.00 trained (30 truth pairs).
+    // The LAW is strict improvement; the floor is deliberately 0.95,
+    // not equality (r16 ADVICE #3): a future fixture-dial tweak that
+    // keeps trained > sampled but lands at e.g. 0.97 is not a
+    // regression — re-derive the floor with the design sims
+    // (tools/planted_sim.py) whenever the dials change.
     assert(trained > sampled,
       s"trained recall@3 $trained <= sampled $sampled on the planted fixture")
-    assert(trained == 1.0, s"trained recall@3 $trained != 1.0")
+    assert(trained >= 0.95, s"trained recall@3 $trained < 0.95")
+  }
+
+  test("on the round-separating fixture, recall@3 is STRICTLY monotone in Lloyd rounds (r16 VERDICT #3)") {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    import spark.implicits._
+    // q124's fixture saturates (1 and 2 rounds both hit 1.0), so its
+    // law cannot catch LloydRounds silently degrading to 1. THIS
+    // fixture (Similarity.RoundSepDimSql — dials scanned with
+    // tools/planted_sim.py until rounds 0/1/2 separate strictly below
+    // the ceiling) can: sim-predicted recall@3 over 20 probes at
+    // nprobe = 1 is 0.800 sampled, 0.917 after 1 round, 0.950 after 2.
+    val emb = Similarity.roundSepEmbeddings(spark, sf())
+    val probes = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id"))
+    val truth = emb.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(expr("vec_cosine(embedding, p)"), 3).as("sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("probe_id", "vec_id").as[(Long, Long)].collect().toSet
+    def recall(rounds: Int): Double = {
+      val cent =
+        if (rounds == 0) Similarity.md5Centroids(emb, 8)
+        else Similarity.lloydCentroids(emb, 8, rounds)
+      val got = Similarity.ivfSearch(emb, cent, nprobe = 1, topK = 3,
+          probeMax = 20)
+        .select("probe_id", "vec_id").as[(Long, Long)].collect().toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val r = (0 to 2).map(recall)
+    assert(r(0) < r(1) && r(1) < r(2) && r(2) < 1.0,
+      s"recall@3 not strictly monotone below 1.0 across Lloyd rounds: " +
+        s"sampled ${r(0)}, 1-round ${r(1)}, 2-round ${r(2)} " +
+        "(re-derive the fixture with tools/planted_sim.py)")
+  }
+
+  test("assignCells' max_by argmax IS the per-vector window argmax (r17 ivfSearch rework's tiebreak identity)") {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    import spark.implicits._
+    val emb = graft.model.Tables(spark, sf(), "embeddings")
+    val cent = Similarity.md5Centroids(emb, 8)
+    // the OLD ivfSearch assignment: rank every vector's K cosines with
+    // a row_number window ordered (csim desc, c_id) and keep rn = 1 —
+    // the formulation the r17 rework replaced with assignCells'
+    // map-side-combinable max_by. The orders are both unique (c_id
+    // breaks every tie), so the two argmaxes must agree row for row;
+    // this law is what lets the rework claim "hashes unchanged" by
+    // construction rather than by luck.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("csim").desc, col("c_id"))
+    val viaWindow = emb.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("c_id"),
+        round(expr("vec_cosine(embedding, c_emb)"), 3).as("csim"))
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("c_id"))
+      .as[(Long, Long)].collect().toSet
+    val viaAgg = Similarity.assignCells(emb, cent)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toSet
+    assert(viaAgg == viaWindow,
+      s"aggregate argmax diverged from window argmax: " +
+        s"${viaAgg.diff(viaWindow)} vs ${viaWindow.diff(viaAgg)}")
   }
 
   test("probing all k cells with trained centroids recovers brute force exactly") {
@@ -87,7 +155,6 @@ class IvfIndexSpec extends SparkSpec {
     val cent = Similarity.lloydCentroids(emb, 8, Similarity.LloydRounds)
     val got = Similarity.ivfSearch(emb, cent, nprobe = 8, topK = 3)
       .as[(Long, Long, Double, Long)].collect().toSet
-    spark.catalog.clearCache() // ivfSearch persists its csims
     assert(got == truth,
       s"all-cells IVF diverged from brute force:\n$got\nvs\n$truth")
   }

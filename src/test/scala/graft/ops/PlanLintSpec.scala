@@ -98,7 +98,10 @@ class PlanLintSpec extends SparkSpec {
       s"q123: centroid assignment not broadcast\n$plan")
     assert(!plan.contains("CartesianProduct"),
       s"q123: cartesian product in the assignment\n$plan")
-    spark.catalog.clearCache() // q123 persists its csims
+    // r17 (verdict what's-wrong #1): the N×K csims persist is gone —
+    // the executed plan must carry NO InMemoryTableScan at all
+    assert(!plan.contains("InMemoryTableScan"),
+      s"q123: a persisted frame crept back into the probe path\n$plan")
   }
 
   /** q113's scale claim is q108/q112's: the vocab (Heaps-sublinear)

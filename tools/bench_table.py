@@ -52,11 +52,20 @@ def main(cur_path, base_path=None):
         row = f"| {q} | {mn:.2f} | {med[q]:.2f} |"
         if base_path and q in base_med:
             bmn = base_spread.get(q, [base_med[q], base_med[q]])[0]
-            rmin = mn / bmn if bmn > 0 else float("nan")
-            rmed = med[q] / base_med[q] if base_med[q] > 0 else float("nan")
-            ratios_min.append((mn, bmn))
-            ratios_med.append((med[q], base_med[q]))
-            row += f" {bmn:.2f} | {base_med[q]:.2f} | {rmin:.2f} | {rmed:.2f} |"
+            if bmn <= 0 or base_med[q] <= 0:
+                # a degenerate baseline entry (zero/negative min or
+                # median) would silently skew the shared-set totals —
+                # exclude the pair like a failed query, loudly
+                print(f"!! {q} excluded from shared-set totals: "
+                      f"degenerate baseline (min {bmn}, med {base_med[q]})",
+                      file=sys.stderr)
+                row += f" {bmn:.2f} | {base_med[q]:.2f} | nan | nan |"
+            else:
+                rmin = mn / bmn
+                rmed = med[q] / base_med[q]
+                ratios_min.append((mn, bmn))
+                ratios_med.append((med[q], base_med[q]))
+                row += f" {bmn:.2f} | {base_med[q]:.2f} | {rmin:.2f} | {rmed:.2f} |"
         elif base_path:
             row += " - | - | - | - |"
         print(row)
