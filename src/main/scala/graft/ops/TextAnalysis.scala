@@ -1464,6 +1464,27 @@ object TextAnalysis {
         .orderBy("merge_rank")
     }),
 
+    // Encode-at-depth (r16 VERDICT #1 — the last depth claim moved from
+    // probe to hash): q120 proves the multi-stage segmentation fold
+    // only to ~84 merges (3 SegFoldChunk stages); THIS query encodes
+    // the q122 synthetic corpus with q122's OWN learned merges — 534
+    // at the 500-type tiers, 583 at 5000 types, i.e. a 17-19-stage
+    // fold, the regime where the depth guard actually chunks — and
+    // hash-gates the result against the oracle's stage table (the
+    // exact generator q120's oracle reads, pointed at the hot stages).
+    // Same type-level amortization as q116/q120; BpeSpec ties the
+    // segmentation to an independent driver-side fold of the same
+    // merge table. Doubly EAGER (the 28-round hot learning loop runs
+    // at construction, one <= 128-row collect per round).
+    "q125_bpe_encode_rich" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), expr(RichVocabWordSql).as("text"))
+      bpeEncodeQuery(docs,
+        learnBpeMergesHotPart(docs, RichVocabRounds, RichVocabK,
+          RichVocabCap),
+        Some((dir, "q125.seg")))
+    }),
+
     // Vocabulary construction — the top-k corpus token table (counts +
     // corpus share) that seeds a tokenizer build or a stopword list.
     // r14: rank via orderBy + limit (TakeOrderedAndProject — each
@@ -2035,6 +2056,39 @@ object TextAnalysis {
     "q122_bpe_rich_vocab" -> bpeHotMergesSql("r", RichVocabRounds,
       s"SELECT $RichVocabWordSql AS w FROM documents",
       RichVocabK, RichVocabCap),
+    // q125's oracle: q116/q120's application half over the HOT stage
+    // table's final segmentation (rs{RichVocabRounds} — the identical
+    // stages q122's oracle materializes, one generator, zero drift)
+    // applied to the SYNTHETIC corpus, whose per-doc text is
+    // [[RichVocabWordSql]] — the IDENTICAL string the Spark
+    // declaration evaluates.
+    "q125_bpe_encode_rich" ->
+      s"""WITH ${bpeHotStagesSql("r", RichVocabRounds, RichVocabK,
+            RichVocabCap, s"SELECT $RichVocabWordSql AS w FROM documents")},
+         |seg AS MATERIALIZED (
+         |  SELECT w,
+         |         array_to_string(string_split(trim(s), '  '), ' ') AS sws,
+         |         CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n_sw
+         |  FROM rs$RichVocabRounds),
+         |tok AS (
+         |  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos
+         |  FROM (SELECT doc_id,
+         |               list_filter(string_split($RichVocabWordSql, ' '),
+         |                           x -> x <> '') AS ws
+         |        FROM documents)
+         |  WHERE len(ws) > 0),
+         |applied AS (
+         |  SELECT t.doc_id,
+         |         sum(coalesce(seg.n_sw, 1)) AS n_subwords,
+         |         md5(string_agg(coalesce(seg.sws, t.w), ' ' ORDER BY t.pos))
+         |           AS toks_md5
+         |  FROM tok t LEFT JOIN seg ON t.w = seg.w
+         |  GROUP BY t.doc_id)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(a.n_subwords, 0) AS BIGINT) AS n_subwords,
+         |       coalesce(a.toks_md5, md5('')) AS toks_md5
+         |FROM documents d LEFT JOIN applied a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     // q120's oracle: q116's application half over the BATCHED stage
     // table's final segmentation (bs{BpeBatchRounds}).
     "q120_bpe_encode_batched" ->

@@ -245,6 +245,41 @@ class BpeSpec extends SparkSpec {
     rows.foreach(r => assert(r.getString(3) == r.getString(1) + r.getString(2)))
   }
 
+  test("q125 law: encode-at-depth segmentation equals an independent driver-side fold of q122's merges") {
+    import spark.implicits._
+    // q125's exact inputs: the synthetic rich corpus and the hot
+    // learner at the declared q122 dials. The engine's chunked
+    // segmentTypes fold (17+ stages at >= 500 merges) must reproduce,
+    // word for word, a PLAIN-SCALA reference fold of the same merge
+    // table — an implementation-independent tie between the encode
+    // query and the merge table it claims to apply (stronger than the
+    // chunked≡single-fold law, whose two sides share segmentTypes).
+    val rich = graft.model.Tables(spark, sf(), "documents")
+      .select(col("doc_id"), expr(TextAnalysis.RichVocabWordSql).as("text"))
+    val merges = TextAnalysis.learnBpeMergesHotPart(rich,
+      TextAnalysis.RichVocabRounds, TextAnalysis.RichVocabK,
+      TextAnalysis.RichVocabCap)
+    // the depth claim q125 exists for: >= 500 merges fold through
+    // > 10 SegFoldChunk-sized stages (q120's oracle-proven fold spans 3)
+    assert(merges.size >= 500, s"only ${merges.size} merges")
+    assert(math.ceil(merges.size.toDouble / TextAnalysis.SegFoldChunk) > 10)
+    val types = rich.select(col("text").as("w")).distinct()
+    val seg = TextAnalysis.segmentTypes(types, merges.map(m => (m._2, m._3)))
+      .select("w", "sws").as[(String, String)].collect().toMap
+    // reference fold: the scaladoc'd representation, straight off
+    // java.lang.String.replace (left-to-right non-overlapping — the
+    // same semantics learnBpeMerges' representation argument cites)
+    def ref(w: String): String = {
+      var s = " " + w.map(_.toString).mkString("  ") + " "
+      for ((_, a, b, _, _) <- merges) s = s.replace(s" $a  $b ", s" $a$b ")
+      s.trim.split("  ").mkString(" ")
+    }
+    assert(seg.nonEmpty)
+    seg.foreach { case (w, sws) =>
+      assert(sws == ref(w), s"word $w: engine '$sws' vs reference '${ref(w)}'")
+    }
+  }
+
   test("keepDisjointWinners honors the cap and the winner-precedence rule") {
     val w = IndexedSeq(("a", "b", 9L), ("b", "c", 6L), ("c", "d", 3L),
       ("e", "f", 2L), ("g", "h", 1L))
