@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ops.{Dedup, Extensions, Multimodal, Reference, Relational,
-  Similarity, TextAnalysis, Windows}
+  Similarity, TextAnalysis, TrainingPipeline, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §2.2 (the declared query
   * inventory) and §7 (build plan). Queries live in graft.ops.*, grouped by
@@ -19,7 +19,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2.2.
     *
     * CACHE CONTRACT: a few queries (q79, q81, q95, q101, q103,
-    * q108, q109, q112, q113, q115, q116, q117, q118, q120, q125)
+    * q108, q109, q112, q113, q115, q116, q117, q118, q120, q125,
+    * q126 — the last via TrainingPipeline.prepare's stage caches)
     * `persist()`
     * a shared subplan because it feeds two consumers and Spark has no
     * automatic CTE reuse for DataFrame plans (q117's are the scored-
@@ -59,7 +60,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Reference.queries ++ Relational.queries ++ Windows.queries ++
       Extensions.queries ++ Dedup.queries ++ TextAnalysis.queries ++
-      Similarity.queries ++ Multimodal.queries
+      Similarity.queries ++ Multimodal.queries ++ TrainingPipeline.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. The one Spark-only query (q92 — DuckDB has
@@ -68,5 +69,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Reference.oracle ++ Relational.oracle ++ Windows.oracle ++
       Extensions.oracle ++ Dedup.oracle ++ TextAnalysis.oracle ++
-      Similarity.oracle
+      Similarity.oracle ++ TrainingPipeline.oracle
 }

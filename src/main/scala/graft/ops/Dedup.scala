@@ -1044,6 +1044,68 @@ object Dedup {
     })
   )
 
+  /** The declarative simhash PAIRING chain (q78's oracle formulation:
+    * word md5s → nibble votes → 16-hex signature → 4×4 bands →
+    * candidate pairs → exact hamming via the popcount lookup), CTEs
+    * only, parameterized by the (doc_id, text) source relation so the
+    * composed-pipeline oracle (q126) can run the IDENTICAL text over
+    * its deduped-survivor CTE instead of the raw table — one
+    * formulation, zero drift. Ends at `ham` (doc_a, doc_b, hamming);
+    * the caller applies its own threshold (q78's is [[MAXHAM]]).
+    */
+  private[ops] def simhashPairCtesFrom(src: String): String =
+    s"""${simhashCtesFrom(src)},
+       |sig AS (
+       |  SELECT doc_id, string_agg(ch, '' ORDER BY pos) AS sh
+       |  FROM nibs GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, b AS band, substr(sh, CAST(4*b + 1 AS INT), 4) AS bv
+       |  FROM sig, unnest([0,1,2,3]) AS t(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+       |ham AS (
+       |  SELECT doc_a, doc_b,
+       |         CAST(list_sum(list_transform(range(1, 17), p ->
+       |           CAST(substr('0112122312232334',
+       |             xor(strpos('0123456789abcdef', substr(sa.sh, CAST(p AS INT), 1)) - 1,
+       |                 strpos('0123456789abcdef', substr(sb.sh, CAST(p AS INT), 1)) - 1) + 1, 1) AS INT))) AS BIGINT) AS hamming
+       |  FROM cand JOIN sig sa ON cand.doc_a = sa.doc_id
+       |            JOIN sig sb ON cand.doc_b = sb.doc_id)""".stripMargin
+
+  /** The q78 pair threshold, shared with the q126 oracle generator. */
+  private[ops] def maxHamDefault: Int = MAXHAM
+
+  /** The simhash SIGNATURE chain (words → nibs), source-parameterized
+    * — see [[simhashPairCtesFrom]].
+    */
+  private[ops] def simhashCtesFrom(src: String): String =
+    s"""words AS (
+       |  SELECT DISTINCT doc_id, md5(w) AS h FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |    FROM $src WHERE text <> '')
+       |  WHERE w <> ''),
+       |per_pos AS (
+       |  SELECT doc_id, e.pos AS pos, e.v AS v
+       |  FROM (SELECT doc_id,
+       |               unnest(list_transform(range(1, 17), p ->
+       |                 {'pos': p, 'v': strpos('0123456789abcdef', substr(h, CAST(p AS INT), 1)) - 1})) AS e
+       |        FROM words)),
+       |votes AS (
+       |  SELECT doc_id, pos,
+       |         CAST(sum(2 * ((v // 8) % 2) - 1) AS BIGINT) AS s3,
+       |         CAST(sum(2 * ((v // 4) % 2) - 1) AS BIGINT) AS s2,
+       |         CAST(sum(2 * ((v // 2) % 2) - 1) AS BIGINT) AS s1,
+       |         CAST(sum(2 * (v % 2) - 1) AS BIGINT) AS s0
+       |  FROM per_pos GROUP BY doc_id, pos),
+       |nibs AS (
+       |  SELECT doc_id, pos,
+       |         substr('0123456789abcdef',
+       |                8 * CAST(s3 > 0 AS INT) + 4 * CAST(s2 > 0 AS INT)
+       |                + 2 * CAST(s1 > 0 AS INT) + CAST(s0 > 0 AS INT) + 1, 1) AS ch
+       |  FROM votes)""".stripMargin
+
   val oracle: Map[String, String] = {
     val sigCols = (0 until K)
       .map(i => s"min(md5('$i|' || sh)) AS h$i").mkString(",\n         ")
@@ -1053,31 +1115,7 @@ object Dedup {
     }.mkString(", ")
     // the declarative simhash formulation (q86 + q78): distinct word md5s
     // → per-hex-position nibble votes → sign → hex char per position
-    val simhashCtes =
-      """words AS (
-        |  SELECT DISTINCT doc_id, md5(w) AS h FROM (
-        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
-        |    FROM documents WHERE text <> '')
-        |  WHERE w <> ''),
-        |per_pos AS (
-        |  SELECT doc_id, e.pos AS pos, e.v AS v
-        |  FROM (SELECT doc_id,
-        |               unnest(list_transform(range(1, 17), p ->
-        |                 {'pos': p, 'v': strpos('0123456789abcdef', substr(h, CAST(p AS INT), 1)) - 1})) AS e
-        |        FROM words)),
-        |votes AS (
-        |  SELECT doc_id, pos,
-        |         CAST(sum(2 * ((v // 8) % 2) - 1) AS BIGINT) AS s3,
-        |         CAST(sum(2 * ((v // 4) % 2) - 1) AS BIGINT) AS s2,
-        |         CAST(sum(2 * ((v // 2) % 2) - 1) AS BIGINT) AS s1,
-        |         CAST(sum(2 * (v % 2) - 1) AS BIGINT) AS s0
-        |  FROM per_pos GROUP BY doc_id, pos),
-        |nibs AS (
-        |  SELECT doc_id, pos,
-        |         substr('0123456789abcdef',
-        |                8 * CAST(s3 > 0 AS INT) + 4 * CAST(s2 > 0 AS INT)
-        |                + 2 * CAST(s1 > 0 AS INT) + CAST(s0 > 0 AS INT) + 1, 1) AS ch
-        |  FROM votes)""".stripMargin
+    val simhashCtes = simhashCtesFrom("documents")
     // the shared MinHash CTE chain (q85 + q79): distinct 3-word shingles
     // → 16-column signature → 4 band hashes
     val minhashCtes =
@@ -1128,25 +1166,7 @@ object Dedup {
       // (4×4-hex bands) + exact hamming via per-nibble xor and a 16-entry
       // popcount lookup table — integer-exact, engine-portable
       "q78_simhash_neardup" ->
-        s"""WITH $simhashCtes,
-           |sig AS (
-           |  SELECT doc_id, string_agg(ch, '' ORDER BY pos) AS sh
-           |  FROM nibs GROUP BY doc_id),
-           |bands AS (
-           |  SELECT doc_id, b AS band, substr(sh, CAST(4*b + 1 AS INT), 4) AS bv
-           |  FROM sig, unnest([0,1,2,3]) AS t(b)),
-           |cand AS (
-           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM bands a JOIN bands b
-           |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
-           |ham AS (
-           |  SELECT doc_a, doc_b,
-           |         CAST(list_sum(list_transform(range(1, 17), p ->
-           |           CAST(substr('0112122312232334',
-           |             xor(strpos('0123456789abcdef', substr(sa.sh, CAST(p AS INT), 1)) - 1,
-           |                 strpos('0123456789abcdef', substr(sb.sh, CAST(p AS INT), 1)) - 1) + 1, 1) AS INT))) AS BIGINT) AS hamming
-           |  FROM cand JOIN sig sa ON cand.doc_a = sa.doc_id
-           |            JOIN sig sb ON cand.doc_b = sb.doc_id)
+        s"""WITH ${simhashPairCtesFrom("documents")}
            |SELECT doc_a, doc_b, hamming FROM ham
            |WHERE hamming <= $MAXHAM
            |ORDER BY doc_a, doc_b""".stripMargin,
@@ -1155,25 +1175,7 @@ object Dedup {
       // the recursion); cluster = min reachable id (incl. self) — the
       // same labels star contraction converges to
       "q100_dup_clusters" ->
-        s"""WITH RECURSIVE $simhashCtes,
-           |sig AS (
-           |  SELECT doc_id, string_agg(ch, '' ORDER BY pos) AS sh
-           |  FROM nibs GROUP BY doc_id),
-           |bands AS (
-           |  SELECT doc_id, b AS band, substr(sh, CAST(4*b + 1 AS INT), 4) AS bv
-           |  FROM sig, unnest([0,1,2,3]) AS t(b)),
-           |cand AS (
-           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM bands a JOIN bands b
-           |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
-           |ham AS (
-           |  SELECT doc_a, doc_b,
-           |         CAST(list_sum(list_transform(range(1, 17), p ->
-           |           CAST(substr('0112122312232334',
-           |             xor(strpos('0123456789abcdef', substr(sa.sh, CAST(p AS INT), 1)) - 1,
-           |                 strpos('0123456789abcdef', substr(sb.sh, CAST(p AS INT), 1)) - 1) + 1, 1) AS INT))) AS BIGINT) AS hamming
-           |  FROM cand JOIN sig sa ON cand.doc_a = sa.doc_id
-           |            JOIN sig sb ON cand.doc_b = sb.doc_id),
+        s"""WITH RECURSIVE ${simhashPairCtesFrom("documents")},
            |edges AS (SELECT doc_a AS a, doc_b AS b FROM ham WHERE hamming <= $MAXHAM),
            |sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
            |reach(src, dst) AS (
@@ -1281,25 +1283,7 @@ object Dedup {
       // rounding), then one row per cluster: the max-quality member
       // (min doc_id among ties) and the cluster size
       "q104_cluster_keep_quality" ->
-        s"""WITH RECURSIVE $simhashCtes,
-           |sig AS (
-           |  SELECT doc_id, string_agg(ch, '' ORDER BY pos) AS sh
-           |  FROM nibs GROUP BY doc_id),
-           |bands AS (
-           |  SELECT doc_id, b AS band, substr(sh, CAST(4*b + 1 AS INT), 4) AS bv
-           |  FROM sig, unnest([0,1,2,3]) AS t(b)),
-           |cand AS (
-           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM bands a JOIN bands b
-           |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
-           |ham AS (
-           |  SELECT doc_a, doc_b,
-           |         CAST(list_sum(list_transform(range(1, 17), p ->
-           |           CAST(substr('0112122312232334',
-           |             xor(strpos('0123456789abcdef', substr(sa.sh, CAST(p AS INT), 1)) - 1,
-           |                 strpos('0123456789abcdef', substr(sb.sh, CAST(p AS INT), 1)) - 1) + 1, 1) AS INT))) AS BIGINT) AS hamming
-           |  FROM cand JOIN sig sa ON cand.doc_a = sa.doc_id
-           |            JOIN sig sb ON cand.doc_b = sb.doc_id),
+        s"""WITH RECURSIVE ${simhashPairCtesFrom("documents")},
            |edges AS (SELECT doc_a AS a, doc_b AS b FROM ham WHERE hamming <= $MAXHAM),
            |sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
            |reach(src, dst) AS (

@@ -329,4 +329,18 @@ class TrainingPipelineSpec extends SparkSpec {
       res.cleanup() // idempotent
     } finally spark.catalog.clearCache()
   }
+
+  test("q126's declared config stays inside the oracle-expressible stage subset (drift tripwire)") {
+    // the q126 oracle interpolates minQuality/maxHam/maxContamRatio/
+    // binTokens/shards but models NONE of the optional stages — a
+    // future default flip (or a DeclaredCfg edit enabling scrub/
+    // redaction/mixing/BPE/order-export) must retarget the oracle
+    // text, not silently run a stage the SQL doesn't express
+    val c = TrainingPipeline.DeclaredCfg
+    assert(!c.audit, "q126 must not pay the audit counts")
+    assert(!c.keepBestQuality && !c.scrubDupSpans && !c.redactPii &&
+      c.mixTokenBudgetFrac.isEmpty && c.exportOrderSeed.isEmpty &&
+      !c.bpeEncode && c.bpeHotPart.isEmpty && c.bpeBatched.isEmpty,
+      s"q126 config enables a stage its oracle does not express: $c")
+  }
 }
