@@ -1,0 +1,50 @@
+#!/usr/bin/env bash
+# Pinned-worktree same-host A/B bench (r16 VERDICT #6 / what's-wrong #2):
+# artifact-total comparisons across rounds carry host drift — the r16
+# adjudication showed host variance exceeding the whole round-over-round
+# delta — so code-attribution claims must come from THIS controlled
+# protocol: build <base-rev> in a git worktree, run the IDENTICAL
+# restricted bench sweep on the current HEAD and on the base minutes
+# apart on the same host at gate settings, and render the two-column
+# min/median table with per-query ratios (tools/bench_table.py; ratios
+# are head/base, < 1 means HEAD is faster).
+#
+#   tools/ab_bench.sh <base-rev> <q1,q2,...> [out-dir]
+#
+# Gate settings are pinned: CPUS=32, shuffle partitions 32, the default
+# k=3 interleaved sweeps (soak-dial numbers don't transfer — see the
+# repo memory on partition-dial scheduler overhead). SPARK_GRAFT_SF_DIR
+# overrides the corpus (default sf0.1). Do NOT run while another sbt
+# task owns target/ (shared-lock hazard; the verify skill's gotcha).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+REV="${1:?usage: ab_bench.sh <base-rev> <q1,q2,...> [out-dir]}"
+QUERIES="${2:?usage: ab_bench.sh <base-rev> <q1,q2,...> [out-dir]}"
+OUT="${3:-/tmp/graft_ab}"
+SF="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}"
+mkdir -p "$OUT"
+WT="$OUT/base-$(git rev-parse --short "$REV")"
+if [ ! -d "$WT" ]; then
+  git worktree add --detach "$WT" "$REV"
+fi
+
+bench() {
+  local dir="$1" label="$2"
+  echo "== bench $label ($(git -C "$dir" rev-parse --short HEAD)) =="
+  ( cd "$dir" && SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS=32 \
+      SPARK_GRAFT_SHUFFLE_PARTITIONS=32 SPARK_GRAFT_ONLY="$QUERIES" \
+      sbt -batch "runMain graft.Bench" 2>&1 | grep '"queries"' ) \
+    > "$OUT/$label.json"
+  grep -q '"queries"' "$OUT/$label.json" # the detail line must exist
+}
+
+# base first (its worktree pays a cold compile inside the timed-off sbt
+# run), then HEAD — both sweeps interleave k samples internally, so one
+# host freeze cannot pin a whole query's median in either arm
+bench "$WT" base
+bench . head
+echo
+python3 tools/bench_table.py "$OUT/head.json" "$OUT/base.json" \
+  | tee "$OUT/ab_table.md"
+echo
+echo "table: $OUT/ab_table.md  (ratios are head/base; < 1 = HEAD faster)"
