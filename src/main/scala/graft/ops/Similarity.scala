@@ -289,11 +289,14 @@ object Similarity {
     * truth pairs — 1/60 recall granularity; the margins are 7, 2 and
     * 3 pairs wide). Spec-only (IvfIndexSpec pins the law) — q124 and
     * its oracle stay byte-stable behind their shipped dials. Recall
-    * is NOT monotone in rounds in general (round 3 measures 0.867
-    * here — Lloyd optimizes the quantizer objective, not recall); the
-    * fixture is CHOSEN so rounds 0 → 1 → 2 separate, which is exactly
-    * the tripwire [[LloydRounds]] = 2 needs. Re-derive with the sim
-    * whenever the dials change.
+    * is NOT monotone in rounds in general — Lloyd optimizes the
+    * quantizer objective, not recall: at these dials round 3 plateaus
+    * at 0.950, and the cg = 0.5 neighbor REGRESSES round 2 → 3
+    * (0.950 → 0.867 in the sim). The fixture is CHOSEN so rounds
+    * 0 → 1 → 2 separate, which is exactly the tripwire
+    * [[LloydRounds]] = 2 needs. Re-derive with the sim whenever the
+    * dials change (its no-flag report prints both shipped fixtures;
+    * --scan walks this fixture's dial neighborhood).
     */
   private[graft] val RoundSepDimSql: String =
     """CAST(0.45 * ((CAST((vec_id % 9) * 1009 + d * 9176 + 17 AS BIGINT) % 1000) / 1000.0 - 0.5)

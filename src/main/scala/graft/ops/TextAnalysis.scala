@@ -269,18 +269,27 @@ object TextAnalysis {
     // round re-scans). coalesce is a narrow op over the checkpointed
     // blocks: no re-materialization, and learned merges are
     // partitioning-independent (BpeSpec laws + oracle hashes).
-    // r16 ADVICE: already-narrow frames (<= 2 partitions — the
-    // sequential learner's usual shape) skip the sizing count()
-    // entirely: the loop overhead it would bound is already minimal,
-    // and the frame is checkpointed so nothing needs the count as a
-    // materializer.
+    //
+    // The coalesce(1) NODE is load-bearing even when the frame is
+    // ALREADY one partition (r17, measured 3.8×): Dataset
+    // .localCheckpoint captures the physical plan's outputPartitioning
+    // into the LogicalRDD each ROUND re-checkpoints, and
+    // CoalesceExec(1) reports SinglePartition where the bare
+    // checkpointed scan reports UnknownPartitioning — so with the node
+    // every per-round pair aggregate plans ZERO exchanges, and without
+    // it every round pays a full shuffle (q122 at gate settings:
+    // 11.2 s with the node vs 42.7 s without; plan-probed — the round
+    // aggregate's executedPlan carries no Exchange only with the
+    // node). The r16 ADVICE "skip the sizing work when already narrow"
+    // briefly dropped the node and re-opened the r16 regression;
+    // the honored form gates only the sizing COUNT() job (skipped
+    // when the frame is already a single partition, where parts can
+    // only be 1) and always emits the coalesce.
     val np = seqs.rdd.getNumPartitions
-    if (np <= 2) seqs
-    else {
-      val parts = math.max(1L,
-        math.min(np.toLong, seqs.count() / 65536 + 1)).toInt
-      if (parts >= np) seqs else seqs.coalesce(parts)
-    }
+    val parts =
+      if (np <= 1) 1
+      else math.max(1L, math.min(np.toLong, seqs.count() / 65536 + 1)).toInt
+    seqs.coalesce(parts)
   }
 
   /** Adjacent-pair counts of a seqs frame, unordered — the shared
@@ -1696,6 +1705,42 @@ object TextAnalysis {
        |$stages""".stripMargin
   }
 
+  /** The encode-APPLICATION oracle tail shared by q116/q120/q125 (r17
+    * self-review: three verbatim copies of the seg/tok/applied chain
+    * were one missed edit away from silent divergence — the same
+    * factoring Dedup.simhashPairCtesFrom applied to the simhash
+    * oracles): read `segTable`'s final s-representation as the word →
+    * segmentation map, join it onto the pos-indexed token stream of
+    * the corpus whose per-doc text is `textSql` (a column name or an
+    * engine-shared expression), reassemble per doc in position order;
+    * non-alphabetic types pass through whole (coalesce), empty docs
+    * re-enter with the empty-string md5.
+    */
+  private def bpeEncodeApplySql(segTable: String, textSql: String): String =
+    s"""seg AS MATERIALIZED (
+       |  SELECT w,
+       |         array_to_string(string_split(trim(s), '  '), ' ') AS sws,
+       |         CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n_sw
+       |  FROM $segTable),
+       |tok AS (
+       |  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos
+       |  FROM (SELECT doc_id,
+       |               list_filter(string_split($textSql, ' '), x -> x <> '') AS ws
+       |        FROM documents)
+       |  WHERE len(ws) > 0),
+       |applied AS (
+       |  SELECT t.doc_id,
+       |         sum(coalesce(seg.n_sw, 1)) AS n_subwords,
+       |         md5(string_agg(coalesce(seg.sws, t.w), ' ' ORDER BY t.pos))
+       |           AS toks_md5
+       |  FROM tok t LEFT JOIN seg ON t.w = seg.w
+       |  GROUP BY t.doc_id)
+       |SELECT d.doc_id,
+       |       CAST(coalesce(a.n_subwords, 0) AS BIGINT) AS n_subwords,
+       |       coalesce(a.toks_md5, md5('')) AS toks_md5
+       |FROM documents d LEFT JOIN applied a ON d.doc_id = a.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   /** The final merge-table SELECT over [[bpeHotStagesSql]] stages. */
   private def bpeHotMergesSql(px: String, rounds: Int,
       wordsSql: String, k: Int, capJ: Int): String = {
@@ -2005,29 +2050,7 @@ object TextAnalysis {
     // md5.
     "q116_bpe_encode" ->
       s"""WITH ${bpeStagesSql()},
-         |seg AS MATERIALIZED (
-         |  SELECT w,
-         |         array_to_string(string_split(trim(s), '  '), ' ') AS sws,
-         |         CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n_sw
-         |  FROM s$BpeMerges),
-         |tok AS (
-         |  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos
-         |  FROM (SELECT doc_id,
-         |               list_filter(string_split(text, ' '), x -> x <> '') AS ws
-         |        FROM documents)
-         |  WHERE len(ws) > 0),
-         |applied AS (
-         |  SELECT t.doc_id,
-         |         sum(coalesce(seg.n_sw, 1)) AS n_subwords,
-         |         md5(string_agg(coalesce(seg.sws, t.w), ' ' ORDER BY t.pos))
-         |           AS toks_md5
-         |  FROM tok t LEFT JOIN seg ON t.w = seg.w
-         |  GROUP BY t.doc_id)
-         |SELECT d.doc_id,
-         |       CAST(coalesce(a.n_subwords, 0) AS BIGINT) AS n_subwords,
-         |       coalesce(a.toks_md5, md5('')) AS toks_md5
-         |FROM documents d LEFT JOIN applied a ON d.doc_id = a.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
+         |${bpeEncodeApplySql(s"s$BpeMerges", "text")}""".stripMargin,
     // q119's oracle: the batched stages ([[bpeBatchStagesSql]] — the
     // disjointness rule as NOT EXISTS, the batch apply as a NULL-padded
     // fixed-depth replace chain), merge_rank = global row_number over
@@ -2065,57 +2088,12 @@ object TextAnalysis {
     "q125_bpe_encode_rich" ->
       s"""WITH ${bpeHotStagesSql("r", RichVocabRounds, RichVocabK,
             RichVocabCap, s"SELECT $RichVocabWordSql AS w FROM documents")},
-         |seg AS MATERIALIZED (
-         |  SELECT w,
-         |         array_to_string(string_split(trim(s), '  '), ' ') AS sws,
-         |         CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n_sw
-         |  FROM rs$RichVocabRounds),
-         |tok AS (
-         |  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos
-         |  FROM (SELECT doc_id,
-         |               list_filter(string_split($RichVocabWordSql, ' '),
-         |                           x -> x <> '') AS ws
-         |        FROM documents)
-         |  WHERE len(ws) > 0),
-         |applied AS (
-         |  SELECT t.doc_id,
-         |         sum(coalesce(seg.n_sw, 1)) AS n_subwords,
-         |         md5(string_agg(coalesce(seg.sws, t.w), ' ' ORDER BY t.pos))
-         |           AS toks_md5
-         |  FROM tok t LEFT JOIN seg ON t.w = seg.w
-         |  GROUP BY t.doc_id)
-         |SELECT d.doc_id,
-         |       CAST(coalesce(a.n_subwords, 0) AS BIGINT) AS n_subwords,
-         |       coalesce(a.toks_md5, md5('')) AS toks_md5
-         |FROM documents d LEFT JOIN applied a ON d.doc_id = a.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
+         |${bpeEncodeApplySql(s"rs$RichVocabRounds", RichVocabWordSql)}""".stripMargin,
     // q120's oracle: q116's application half over the BATCHED stage
     // table's final segmentation (bs{BpeBatchRounds}).
     "q120_bpe_encode_batched" ->
       s"""WITH ${bpeBatchStagesSql()},
-         |seg AS MATERIALIZED (
-         |  SELECT w,
-         |         array_to_string(string_split(trim(s), '  '), ' ') AS sws,
-         |         CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n_sw
-         |  FROM bs$BpeBatchRounds),
-         |tok AS (
-         |  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos
-         |  FROM (SELECT doc_id,
-         |               list_filter(string_split(text, ' '), x -> x <> '') AS ws
-         |        FROM documents)
-         |  WHERE len(ws) > 0),
-         |applied AS (
-         |  SELECT t.doc_id,
-         |         sum(coalesce(seg.n_sw, 1)) AS n_subwords,
-         |         md5(string_agg(coalesce(seg.sws, t.w), ' ' ORDER BY t.pos))
-         |           AS toks_md5
-         |  FROM tok t LEFT JOIN seg ON t.w = seg.w
-         |  GROUP BY t.doc_id)
-         |SELECT d.doc_id,
-         |       CAST(coalesce(a.n_subwords, 0) AS BIGINT) AS n_subwords,
-         |       coalesce(a.toks_md5, md5('')) AS toks_md5
-         |FROM documents d LEFT JOIN applied a ON d.doc_id = a.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
+         |${bpeEncodeApplySql(s"bs$BpeBatchRounds", "text")}""".stripMargin,
     "q109_vocab_topk" ->
       """WITH tok AS (
         |  SELECT w FROM (

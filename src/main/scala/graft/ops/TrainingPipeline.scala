@@ -477,7 +477,8 @@ object TrainingPipeline {
     * interpolates THESE fields, so a dial edit here retargets both
     * engines together.
     */
-  private[graft] val DeclaredCfg = Config(audit = false)
+  private[graft] val DeclaredCfg =
+    Config(audit = false, maxHam = Dedup.maxHamDefault)
 
   /** q126's eval slice: every 10th doc_id of the raw table — a planted
     * leak (the slice is also pipeline input, so each surviving slice

@@ -52,12 +52,13 @@ def main(cur_path, base_path=None):
         row = f"| {q} | {mn:.2f} | {med[q]:.2f} |"
         if base_path and q in base_med:
             bmn = base_spread.get(q, [base_med[q], base_med[q]])[0]
-            if bmn <= 0 or base_med[q] <= 0:
-                # a degenerate baseline entry (zero/negative min or
-                # median) would silently skew the shared-set totals —
-                # exclude the pair like a failed query, loudly
+            if bmn <= 0 or base_med[q] <= 0 or mn <= 0 or med[q] <= 0:
+                # a degenerate entry on EITHER side (zero/negative min
+                # or median) would silently skew the shared-set totals
+                # — exclude the pair like a failed query, loudly
                 print(f"!! {q} excluded from shared-set totals: "
-                      f"degenerate baseline (min {bmn}, med {base_med[q]})",
+                      f"degenerate entry (head min {mn}, med {med[q]}; "
+                      f"base min {bmn}, med {base_med[q]})",
                       file=sys.stderr)
                 row += f" {bmn:.2f} | {base_med[q]:.2f} | nan | nan |"
             else:

@@ -49,6 +49,14 @@ def md5_order(n):
     return [i for _, i in sorted(keys)]
 
 
+def round_half_up(x, nd):
+    """The engines' round(·, nd): HALF_UP (away from zero on exact
+    halves), NOT numpy's half-to-even — a .0005-boundary tie decided
+    the banker's way would silently diverge from a gate fixture."""
+    f = 10.0 ** nd
+    return np.sign(x) * np.floor(np.abs(x) * f + 0.5) / f
+
+
 def cos3(a, b):
     """round(cosine, 3) between float32 row-sets a (n,dim) and b (k,dim),
     accumulated in float64 like the engine's decimal-exact path."""
@@ -57,7 +65,7 @@ def cos3(a, b):
     dp = a64 @ b64.T
     na = np.sqrt((a64 * a64).sum(axis=1))[:, None]
     nb = np.sqrt((b64 * b64).sum(axis=1))[None, :]
-    return np.round(dp / (na * nb), 3)
+    return round_half_up(dp / (na * nb), 3)
 
 
 def assign(emb, cent, cids):
@@ -84,7 +92,7 @@ def lloyd(emb, k, rounds):
             if len(members) == 0:
                 continue  # cells that lose every member drop out
             m = members.astype(np.float64).mean(axis=0)
-            new_c.append(np.round(m, 6).astype(np.float32))
+            new_c.append(round_half_up(m, 6).astype(np.float32))
             new_ids.append(cid)
         cent = np.array(new_c)
         cids = new_ids
@@ -132,20 +140,28 @@ def main():
     ap.add_argument("--scan", action="store_true")
     args = ap.parse_args()
 
-    print("shipped q124 fixture (N=400, clusters=8, spread 0.2/2.0):")
+    print("shipped q124 fixture (N=400, clusters=8, spread 0.2/2.0, cg=1.0,"
+          " 10 probes):")
     r = run(400, 8, 0.2, 2.0, 10)
     print(f"  recall@3 nprobe=1: sampled {r[0]:.3f}  r1 {r[1]:.3f}  "
           f"r2 {r[2]:.3f}  r3 {r[3]:.3f}")
+    print("shipped round-separating fixture (RoundSepDimSql: N=300,"
+          " clusters=9, spread 0.4/2.0, cg=0.45, 20 probes):")
+    r = run(300, 9, 0.4, 2.0, 20, center_gain=0.45)
+    print(f"  recall@3 nprobe=1: sampled {r[0]:.3f}  r1 {r[1]:.3f}  "
+          f"r2 {r[2]:.3f}  r3 {r[3]:.3f}"
+          + ("  [law holds]" if r[0] < r[1] < r[2] < 1.0 else "  [LAW BROKEN]"))
 
     if not args.scan:
         return
-    print("\nscan for sampled < r1 < r2 < 1.0 (the r17 law's fixture):")
-    for n in (400, 480):
-        for ncl in (8, 12, 16):
+    print("\nscan for sampled < r1 < r2 < 1.0 around the shipped"
+          " round-separating dials:")
+    for n in (300, 400):
+        for ncl in (8, 9, 10):
             for sp in (0.2, 0.4):
-                for sr in (2.0, 3.0, 4.0):
-                    for cg in (1.0, 0.7):
-                        r = run(n, ncl, sp, sr, 10, center_gain=cg)
+                for sr in (1.8, 2.0, 2.2):
+                    for cg in (0.4, 0.45, 0.5):
+                        r = run(n, ncl, sp, sr, 20, center_gain=cg)
                         strict = r[0] < r[1] < r[2] < 1.0
                         mark = " <== LAW HOLDS" if strict else ""
                         print(f"  N={n} cl={ncl} sp={sp} sr={sr} cg={cg}: "
