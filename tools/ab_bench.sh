@@ -39,12 +39,23 @@ bench() {
 }
 
 # base first (its worktree pays a cold compile inside the timed-off sbt
-# run), then HEAD — both sweeps interleave k samples internally, so one
-# host freeze cannot pin a whole query's median in either arm
+# run), then HEAD, then base AGAIN — the second base sweep is the A/A
+# CONTROL: same code, so its ratio table is the host's run-to-run band
+# (r17 measured ±10-20% on this host), and a head/base ratio only
+# carries a code-attribution claim when it falls OUTSIDE that band.
+# All sweeps interleave k samples internally, so one host freeze
+# cannot pin a whole query's median in any arm.
 bench "$WT" base
 bench . head
+bench "$WT" base_control
 echo
+echo "== head vs base =="
 python3 tools/bench_table.py "$OUT/head.json" "$OUT/base.json" \
   | tee "$OUT/ab_table.md"
 echo
-echo "table: $OUT/ab_table.md  (ratios are head/base; < 1 = HEAD faster)"
+echo "== A/A control (base re-run vs base — same code; this is the host band) =="
+python3 tools/bench_table.py "$OUT/base_control.json" "$OUT/base.json" \
+  | tee "$OUT/aa_table.md"
+echo
+echo "tables: $OUT/ab_table.md (head/base; < 1 = HEAD faster)"
+echo "        $OUT/aa_table.md (A/A band; code claims need ratios outside it)"
