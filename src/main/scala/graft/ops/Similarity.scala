@@ -132,21 +132,29 @@ object Similarity {
       .orderBy(col("crk"), col("vec_id")).limit(k)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
 
-  /** Each vector's argmax-cosine centroid: (vec_id, cell, csim). The
-    * argmax is max_by over struct(csim, -c_id) — unique by the tiebreak,
-    * so the aggregate IS q57's window semantics WITHOUT the window's
-    * sort exchange: partial max_by combines map-side, the only shuffle
-    * is the aggregate's own, and at 100 TB it collapses into the scan.
+  /** Each vector's argmax-cosine centroid: (vec_id, cell, csim,
+    * embedding). The argmax is max_by over struct(csim, -c_id) — unique
+    * by the tiebreak, so the aggregate IS q57's window semantics
+    * WITHOUT the window's sort exchange: partial max_by combines
+    * map-side, the only shuffle is the aggregate's own, and at 100 TB
+    * it collapses into the scan. The embedding RIDES THROUGH the
+    * aggregate (r17 ADVICE close: every group's rows carry the same
+    * vector — the crossJoin only fans out centroids — so first() is
+    * deterministic here), which is what lets [[ivfSearch]] and every
+    * [[lloydCentroids]] round consume the assignment WITHOUT joining
+    * the corpus back on vec_id: one corpus shuffle per assignment
+    * instead of two (aggregate + join), hashes unchanged.
     */
   private[graft] def assignCells(emb: DataFrame, cent: DataFrame): DataFrame =
     emb.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("c_id"),
+      .select(col("vec_id"), col("c_id"), col("embedding"),
         round(expr("vec_cosine(embedding, c_emb)"), 3).as("csim"))
       .groupBy("vec_id")
       .agg(max_by(struct(col("c_id").as("cell"), col("csim")),
-        struct(col("csim"), (-col("c_id")).as("nc"))).as("best"))
+        struct(col("csim"), (-col("c_id")).as("nc"))).as("best"),
+        first(col("embedding")).as("embedding"))
       .select(col("vec_id"), col("best.cell").as("cell"),
-        col("best.csim").as("csim"))
+        col("best.csim").as("csim"), col("embedding"))
 
   /** `rounds` unrolled Lloyd iterations of spherical k-means from the
     * md5-sample init (r15 VERDICT #3): per round one broadcast-centroid
@@ -174,8 +182,10 @@ object Similarity {
       rounds: Int): DataFrame = {
     var cent = md5Centroids(emb, k)
     for (_ <- 1 to rounds) {
-      cent = emb
-        .join(assignCells(emb, cent).select("vec_id", "cell"), "vec_id")
+      // the assignment carries the embedding through its aggregate, so
+      // the per-cell mean needs NO corpus re-join (r17 — one corpus
+      // shuffle per Lloyd round instead of two)
+      cent = assignCells(emb, cent)
         .select(col("cell"), posexplode(col("embedding")).as(Seq("i", "x")))
         .groupBy("cell", "i")
         .agg(sum(col("x").cast("double").cast("decimal(28,12)")).as("sx"),
@@ -206,14 +216,17 @@ object Similarity {
     * the corpus spilled to disk at 100 TB — solely so the probe branch
     * could re-read the `vec_id < probeMax` sliver; the probe branch
     * now computes its own csims over the probe vectors only, a
-    * probeMax×K frame). Tiebreak identity proven by unchanged
+    * probeMax×K frame). And because the assignment aggregate carries
+    * the embedding through (see [[assignCells]]), the assigned frame
+    * needs no corpus re-join either — the probe phase costs ONE
+    * corpus shuffle total. Tiebreak identity proven by unchanged
     * q57/q123/q124 oracle hashes at all three scales plus
     * IvfIndexSpec's window-vs-aggregate law.
     */
   private[graft] def ivfSearch(emb: DataFrame, cent: DataFrame,
       nprobe: Int, topK: Int, probeMax: Int = 3): DataFrame = {
-    val assigned = emb.join(
-      assignCells(emb, cent).select("vec_id", "cell"), "vec_id")
+    val assigned = assignCells(emb, cent)
+      .select("vec_id", "cell", "embedding")
     val wA = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("csim").desc, col("c_id"))
     val probeCells = emb.filter(col("vec_id") < probeMax)

@@ -102,6 +102,12 @@ class PlanLintSpec extends SparkSpec {
     // the executed plan must carry NO InMemoryTableScan at all
     assert(!plan.contains("InMemoryTableScan"),
       s"q123: a persisted frame crept back into the probe path\n$plan")
+    // r17 ADVICE close: the assignment aggregate carries the embedding,
+    // so nothing may re-join the corpus on vec_id — every join in the
+    // probe phase is broadcast-built (the corpus shuffles exactly once,
+    // through the aggregate)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"q123: a corpus-shuffling join crept back into the probe path\n$plan")
   }
 
   /** q113's scale claim is q108/q112's: the vocab (Heaps-sublinear)
