@@ -19,8 +19,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2.2.
     *
     * CACHE CONTRACT: a few queries (q79, q81, q95, q101, q103,
-    * q108, q109, q112, q113, q115, q116, q117, q118, q120, q125,
-    * q126 — the last via TrainingPipeline.prepare's stage caches)
+    * q108, q109, q112, q113, q115, q116, q117, q118, q120, q125)
     * `persist()`
     * a shared subplan because it feeds two consumers and Spark has no
     * automatic CTE reuse for DataFrame plans (q117's are the scored-
@@ -51,11 +50,18 @@ object SparkEntry {
     * their round loops the same way (one <= k-row winner collect per
     * round). q123 and q124 run the Lloyd rounds at construction and
     * eagerly checkpoint the trained centroid frame (one tiny k × dim
-    * job each).
+    * job each). The composed pipeline queries (q126, q127, q128) run
+    * prepare() TO COMPLETION at construction and release every stage
+    * cache they created before returning (r17 ADVICE — repeated
+    * constructions no longer accumulate corpus-scale persists); the
+    * returned frame re-derives chunk+pack from the survivor
+    * checkpoint blocks.
     * r15: the LM-estimate jobs memoize per (dir, site) —
     * re-constructing the same query on the same immutable dir runs
-    * zero estimate jobs. All other queries are
-    * construction-lazy.
+    * zero estimate jobs. r18: the q122/q125 rich-vocab merge table
+    * memoizes the same way per (dir, dials) — after q122 learns
+    * in-session, q125's construction runs zero learning jobs. All
+    * other queries are construction-lazy.
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Reference.queries ++ Relational.queries ++ Windows.queries ++

@@ -1077,6 +1077,76 @@ object Dedup {
   /** The q78 pair threshold, shared with the q126 oracle generator. */
   private[ops] def maxHamDefault: Int = MAXHAM
 
+  /** The declarative CDC span-scrub chain (q107's oracle formulation:
+    * md5-8-gram chunk boundaries → chunk hashes → foreign chunks (hash
+    * in >= 2 docs, this doc not the min holder) → adjacent runs >= 50
+    * chars → cut-complement reconstruction), CTEs only, parameterized
+    * by the (doc_id, text) source relation AND a name prefix so the
+    * composed-pipeline oracle (q127) can run the IDENTICAL text over
+    * its near-deduped-survivor CTE without colliding with its own
+    * chunking CTE names — one formulation, zero drift (q107 calls this
+    * with src="documents", p=""). Ends at `${p}scrubbed`
+    * (doc_id, text): every source doc, scrubbed where spans were cut,
+    * original otherwise. `${p}spans` (doc_id, cs, ce) stays visible for
+    * q107's span-count report.
+    */
+  private[ops] def scrubCtesFrom(src: String, p: String = ""): String =
+    s"""${p}ends0 AS (
+       |  SELECT doc_id, unnest(list_filter(range(8, len(text) + 1),
+       |         i -> substr(md5(substr(text, CAST(i AS INT) - 7, 8)), 1, 1) = '0')) AS e
+       |  FROM $src WHERE len(text) >= 8),
+       |${p}ends AS (
+       |  SELECT DISTINCT doc_id, CAST(e AS BIGINT) AS e FROM (
+       |    SELECT doc_id, e FROM ${p}ends0
+       |    UNION ALL
+       |    SELECT doc_id, len(text) AS e FROM $src WHERE len(text) >= 1)),
+       |${p}ch AS (
+       |  SELECT doc_id, e,
+       |         COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) + 1 AS s
+       |  FROM ${p}ends),
+       |${p}chunks AS (
+       |  SELECT c.doc_id, c.s, c.e,
+       |         md5(substr(d.text, CAST(c.s AS INT), CAST(c.e - c.s + 1 AS INT))) AS h
+       |  FROM ${p}ch c JOIN $src d USING (doc_id)),
+       |${p}mind AS (
+       |  SELECT h, min(doc_id) AS md
+       |  FROM (SELECT DISTINCT doc_id, h FROM ${p}chunks)
+       |  GROUP BY h HAVING count(*) >= 2),
+       |${p}frn AS (
+       |  SELECT c.doc_id, c.s, c.e
+       |  FROM ${p}chunks c JOIN ${p}mind m USING (h) WHERE c.doc_id <> m.md),
+       |${p}brk AS (
+       |  SELECT doc_id, s, e,
+       |         CASE WHEN s = COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY s), -42) + 1
+       |              THEN 0 ELSE 1 END AS b
+       |  FROM ${p}frn),
+       |${p}grp AS (
+       |  SELECT doc_id, s, e,
+       |         sum(b) OVER (PARTITION BY doc_id ORDER BY s) AS g
+       |  FROM ${p}brk),
+       |${p}spans AS (
+       |  SELECT doc_id, min(s) AS cs, max(e) AS ce
+       |  FROM ${p}grp GROUP BY doc_id, g
+       |  HAVING max(e) - min(s) + 1 >= 50),
+       |${p}segs AS (
+       |  SELECT doc_id,
+       |         COALESCE(lag(ce) OVER (PARTITION BY doc_id ORDER BY cs), 0) + 1 AS ss,
+       |         cs - 1 AS se
+       |  FROM ${p}spans
+       |  UNION ALL
+       |  SELECT s.doc_id, max(s.ce) + 1 AS ss, len(d.text) AS se
+       |  FROM ${p}spans s JOIN $src d USING (doc_id)
+       |  GROUP BY s.doc_id, len(d.text)),
+       |${p}scrub AS (
+       |  SELECT g.doc_id,
+       |         string_agg(substr(d.text, CAST(g.ss AS INT),
+       |                    CAST(greatest(g.se - g.ss + 1, 0) AS INT)), '' ORDER BY g.ss) AS t2
+       |  FROM ${p}segs g JOIN $src d USING (doc_id)
+       |  GROUP BY g.doc_id),
+       |${p}scrubbed AS (
+       |  SELECT d.doc_id, COALESCE(sc.t2, d.text) AS text
+       |  FROM $src d LEFT JOIN ${p}scrub sc USING (doc_id))""".stripMargin
+
   /** The simhash SIGNATURE chain (words → nibs), source-parameterized
     * — see [[simhashPairCtesFrom]].
     */
@@ -1218,66 +1288,17 @@ object Dedup {
       // with an aggregate-HOF walk over the same cut list — identical
       // pieces, identical concatenation). COALESCE(-42) on the first-row
       // lag can never equal s - 1 (s >= 1), matching Spark's
-      // when().otherwise NULL fall-through.
+      // when().otherwise NULL fall-through. The whole CTE chain is the
+      // source-parameterized [[scrubCtesFrom]] — shared verbatim with
+      // the composed-pipeline oracle (q127).
       "q107_scrub_spans" ->
-        """WITH ends0 AS (
-          |  SELECT doc_id, unnest(list_filter(range(8, len(text) + 1),
-          |         i -> substr(md5(substr(text, CAST(i AS INT) - 7, 8)), 1, 1) = '0')) AS e
-          |  FROM documents WHERE len(text) >= 8),
-          |ends AS (
-          |  SELECT DISTINCT doc_id, CAST(e AS BIGINT) AS e FROM (
-          |    SELECT doc_id, e FROM ends0
-          |    UNION ALL
-          |    SELECT doc_id, len(text) AS e FROM documents WHERE len(text) >= 1)),
-          |ch AS (
-          |  SELECT doc_id, e,
-          |         COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) + 1 AS s
-          |  FROM ends),
-          |chunks AS (
-          |  SELECT c.doc_id, c.s, c.e,
-          |         md5(substr(d.text, CAST(c.s AS INT), CAST(c.e - c.s + 1 AS INT))) AS h
-          |  FROM ch c JOIN documents d USING (doc_id)),
-          |mind AS (
-          |  SELECT h, min(doc_id) AS md
-          |  FROM (SELECT DISTINCT doc_id, h FROM chunks)
-          |  GROUP BY h HAVING count(*) >= 2),
-          |frn AS (
-          |  SELECT c.doc_id, c.s, c.e
-          |  FROM chunks c JOIN mind m USING (h) WHERE c.doc_id <> m.md),
-          |brk AS (
-          |  SELECT doc_id, s, e,
-          |         CASE WHEN s = COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY s), -42) + 1
-          |              THEN 0 ELSE 1 END AS b
-          |  FROM frn),
-          |grp AS (
-          |  SELECT doc_id, s, e,
-          |         sum(b) OVER (PARTITION BY doc_id ORDER BY s) AS g
-          |  FROM brk),
-          |spans AS (
-          |  SELECT doc_id, min(s) AS cs, max(e) AS ce
-          |  FROM grp GROUP BY doc_id, g
-          |  HAVING max(e) - min(s) + 1 >= 50),
-          |segs AS (
-          |  SELECT doc_id,
-          |         COALESCE(lag(ce) OVER (PARTITION BY doc_id ORDER BY cs), 0) + 1 AS ss,
-          |         cs - 1 AS se
-          |  FROM spans
-          |  UNION ALL
-          |  SELECT s.doc_id, max(s.ce) + 1 AS ss, len(d.text) AS se
-          |  FROM spans s JOIN documents d USING (doc_id)
-          |  GROUP BY s.doc_id, len(d.text)),
-          |scrub AS (
-          |  SELECT g.doc_id,
-          |         string_agg(substr(d.text, CAST(g.ss AS INT),
-          |                    CAST(greatest(g.se - g.ss + 1, 0) AS INT)), '' ORDER BY g.ss) AS t2
-          |  FROM segs g JOIN documents d USING (doc_id)
-          |  GROUP BY g.doc_id),
+        s"""WITH ${scrubCtesFrom("documents")},
           |nsp AS (SELECT doc_id, count(*) AS n FROM spans GROUP BY doc_id)
           |SELECT d.doc_id, CAST(len(d.text) AS BIGINT) AS orig_len,
-          |       CAST(len(COALESCE(sc.t2, d.text)) AS BIGINT) AS scrub_len,
+          |       CAST(len(s.text) AS BIGINT) AS scrub_len,
           |       CAST(COALESCE(nsp.n, 0) AS BIGINT) AS n_spans_cut,
-          |       md5(COALESCE(sc.t2, d.text)) AS scrub_md5
-          |FROM documents d LEFT JOIN scrub sc USING (doc_id) LEFT JOIN nsp USING (doc_id)
+          |       md5(s.text) AS scrub_md5
+          |FROM documents d JOIN scrubbed s USING (doc_id) LEFT JOIN nsp USING (doc_id)
           |ORDER BY d.doc_id""".stripMargin,
       // q104: q100's label chain + q88's quality formula (identical
       // rounding), then one row per cluster: the max-quality member

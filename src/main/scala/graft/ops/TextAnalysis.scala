@@ -145,9 +145,15 @@ object TextAnalysis {
   /** Cheap content-version fingerprint of a corpus directory: the
     * sorted (name, length, mtime) listing of its immediate entries,
     * hashed. One driver-side listStatus per memo lookup (~ms on any
-    * FS — the same metadata every scan's file index reads); an
-    * unlistable dir degrades to a constant, i.e. the old
-    * trust-the-path behavior.
+    * FS — the same metadata every scan's file index reads); ANY
+    * listing failure (unlistable dir, malformed URI, unknown scheme)
+    * degrades to a constant, i.e. the old trust-the-path behavior.
+    * RESIDUAL WINDOW: an in-place regeneration that lands within the
+    * FS's mtime granularity with identical entry names and lengths
+    * still fingerprints equal — a same-second rewrite loop can keep a
+    * stale estimate. Closing it fully would need content checksums
+    * (parquet footer reads); the dispatch being correctness-free makes
+    * the metadata key the right cost point.
     */
   private def dirFingerprint(s: org.apache.spark.sql.SparkSession,
       dir: String): String =
@@ -157,7 +163,7 @@ object TextAnalysis {
       fs.listStatus(p)
         .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
         .sorted.mkString("\n").hashCode.toString
-    } catch { case _: java.io.IOException => "?" }
+    } catch { case scala.util.control.NonFatal(_) => "?" }
 
   /** Drop every memoized estimate — for long-lived sessions scanning
     * many corpus directories (entries are bytes each; testdata use
@@ -208,6 +214,33 @@ object TextAnalysis {
   private[graft] val RichVocabRounds = 28
   private[graft] val RichVocabK = 128
   private[graft] val RichVocabCap = 24
+
+  /** Memoized rich-vocab learner (r17 VERDICT #3): the q122/q125 merge
+    * table per (dir fingerprint, dials) — q125 used to re-run the
+    * entire 28-round learner at construction when q122 had already
+    * learned the IDENTICAL table in-session, doubling ~10 s of gate
+    * sweep. Same discipline as [[estMemo]]: the key carries
+    * [[dirFingerprint]] so an in-place dir rewrite misses, and the
+    * learner is deterministic per dir (oracle-gated at three scales),
+    * so a hit returns byte-identical merges — zero learning jobs
+    * (PlanLintSpec's listener law). The table is <= ~600 driver-side
+    * tuples; memory is trivial.
+    */
+  private val richMergeMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Long, String, String, String, Long)]]()
+
+  private[graft] def clearRichMergeMemo(): Unit = richMergeMemo.clear()
+
+  private[graft] def richVocabMergesMemo(s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(Long, String, String, String, Long)] = {
+    val key =
+      s"$dir#${dirFingerprint(s, dir)}#$RichVocabRounds|$RichVocabK|$RichVocabCap"
+    richMergeMemo.computeIfAbsent(key, _ =>
+      learnBpeMergesHotPart(
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), expr(RichVocabWordSql).as("text")),
+        RichVocabRounds, RichVocabK, RichVocabCap))
+  }
 
   /** The q122 synthetic-vocabulary word, as ONE SQL expression string
     * valid VERBATIM in both Spark SQL and DuckDB — the construction
@@ -1462,12 +1495,11 @@ object TextAnalysis {
     // window needs for yield). 28 rounds × (128-winner window, kept
     // capped at 24) learns 534 merges at the 500-doc tiers and 583 at
     // 5000 docs — vocabulary-limited ≥ 500 (BpeSpec law), firmly past
-    // the exhausted regime. EAGER (one <= 128-row collect per round).
+    // the exhausted regime. EAGER (one <= 128-row collect per round)
+    // on the session's FIRST construction per dir; afterwards the
+    // merge table comes from [[richVocabMergesMemo]] (r17 VERDICT #3).
     "q122_bpe_rich_vocab" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents")
-        .select(col("doc_id"), expr(RichVocabWordSql).as("text"))
-      val merges = learnBpeMergesHotPart(docs,
-        RichVocabRounds, RichVocabK, RichVocabCap)
+      val merges = richVocabMergesMemo(s, dir)
       import s.implicits._
       merges.toDF("merge_rank", "a", "b", "merged", "freq")
         .orderBy("merge_rank")
@@ -1483,14 +1515,15 @@ object TextAnalysis {
     // exact generator q120's oracle reads, pointed at the hot stages).
     // Same type-level amortization as q116/q120; BpeSpec ties the
     // segmentation to an independent driver-side fold of the same
-    // merge table. Doubly EAGER (the 28-round hot learning loop runs
-    // at construction, one <= 128-row collect per round).
+    // merge table. EAGER only when the memo is cold (r17 VERDICT #3):
+    // the merge table comes from [[richVocabMergesMemo]], so when q122
+    // already learned it in-session this construction runs ZERO
+    // learning jobs (PlanLintSpec's listener law) — only the one
+    // memoized seg-size estimate remains.
     "q125_bpe_encode_rich" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
         .select(col("doc_id"), expr(RichVocabWordSql).as("text"))
-      bpeEncodeQuery(docs,
-        learnBpeMergesHotPart(docs, RichVocabRounds, RichVocabK,
-          RichVocabCap),
+      bpeEncodeQuery(docs, richVocabMergesMemo(s, dir),
         Some((dir, "q125.seg")))
     }),
 

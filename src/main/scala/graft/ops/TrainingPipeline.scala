@@ -55,7 +55,9 @@ object TrainingPipeline {
     */
   /** `audit = false` skips the four eager per-stage counts (each one an
     * action re-triggering upstream stages): a production run gets the
-    * identical survivors/bins lazily, with an EMPTY audit trail. In that
+    * identical survivors/bins lazily, with an EMPTY audit trail. (Both
+    * modes still run ONE eager eval-sized job: the decontamination
+    * dispatcher's gram-set size estimate — see stage 4.) In that
     * mode the intermediate persists are left in place for the caller's
     * first action to populate (diamond subplans still compute once) —
     * and `Result.cleanup()` releases them once the caller has
@@ -194,6 +196,28 @@ object TrainingPipeline {
                     bpe: Option[DataFrame] = None)
 
   private def words(c: Column): Column = filter(split(c, " "), w => w =!= "")
+
+  /** Stage 4's contamination fragment — the doc_ids whose distinct
+    * 8-grams are mostly present in the (persisted) eval gram set.
+    * Factored out of [[prepare]] so PlanLintSpec can lint the dispatch
+    * on the EXACT wiring the pipeline runs (no test-side copy to
+    * drift): under the ceiling the semi join must plan
+    * BroadcastHashJoin; forced above it, pinned ShuffledHashJoin —
+    * never a sort-merge of the corpus gram stream.
+    */
+  private[graft] def contamIds(train: DataFrame, evalGrams: DataFrame,
+                               maxContamRatio: Double): DataFrame = {
+    val trainGrams = train
+      .select(col("doc_id"),
+        explode(array_distinct(expr("char_ngrams(text, 8)"))).as("g"))
+    trainGrams.groupBy("doc_id").agg(count(lit(1)).as("total"))
+      .join(TextAnalysis.joinLm(trainGrams, evalGrams, Seq("g"), "left_semi",
+          TextAnalysis.estimateLmBytes(evalGrams))
+        .groupBy("doc_id").agg(count(lit(1)).as("hit")), Seq("doc_id"), "left")
+      .filter(coalesce(col("hit"), lit(0L)).cast("double") / col("total")
+        > maxContamRatio)
+      .select("doc_id")
+  }
 
   /** Run the flow. `docs`: (doc_id, text, lang, ...); `evalDocs`:
     * (doc_id, text) — the held-out set whose 8-grams must not leak into
@@ -341,18 +365,24 @@ object TrainingPipeline {
     // per-doc distinct via array_distinct (doc-local, no exchange);
     // evalGrams feeds only a LEFT SEMI right side, which dedups by
     // construction — neither needs the global `.distinct()` exchange the
-    // pre-r10 form paid (same rewrite as q75/q76)
+    // pre-r10 form paid (same rewrite as q75/q76).
+    // r18 (VERDICT #2): the semi join rides the SAME size-gated
+    // dispatcher as every other small-table join in the repo
+    // (TextAnalysis.joinLm) instead of trusting AQE to broadcast the
+    // eval side — under the ceiling the eval grams broadcast and the
+    // corpus-gram stream never shuffles to join; an over-ceiling eval
+    // suite DEGRADES to one pinned SHUFFLE_HASH co-partitioned exchange
+    // rather than silently sort-merging the full corpus gram set.
+    // evalGrams is persisted because the size estimate and the join
+    // both consume it (the estimate pass doubles as materialization —
+    // one eager eval-sized job at prepare() time, the q75 bloom-build
+    // precedent; no memo key: evalDocs is a caller-built frame with no
+    // immutability contract). Dispatch can never change RESULTS, only
+    // plans — PlanLintSpec executes both regimes hash-equal.
     val evalGrams = evalDocs
       .select(explode(array_distinct(expr("char_ngrams(text, 8)"))).as("g"))
-    val trainGrams = nearDeduped
-      .select(col("doc_id"),
-        explode(array_distinct(expr("char_ngrams(text, 8)"))).as("g"))
-    val contam = trainGrams.groupBy("doc_id").agg(count(lit(1)).as("total"))
-      .join(trainGrams.join(evalGrams, Seq("g"), "left_semi")
-        .groupBy("doc_id").agg(count(lit(1)).as("hit")), Seq("doc_id"), "left")
-      .filter(coalesce(col("hit"), lit(0L)).cast("double") / col("total")
-        > cfg.maxContamRatio)
-      .select("doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val contam = contamIds(nearDeduped, evalGrams, cfg.maxContamRatio)
     val clean = nearDeduped.join(contam, Seq("doc_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (cfg.audit) {
@@ -365,6 +395,7 @@ object TrainingPipeline {
       // populate once — cleanup() releases them too.
       exact.unpersist()
       nearDedupedRaw.unpersist()
+      evalGrams.unpersist()
       scrubbedOpt.foreach(_.unpersist())
       scrubExtraCleanup() // fixpoint internals; its frame materialized above
     }
@@ -461,7 +492,8 @@ object TrainingPipeline {
     // unpersist is idempotent, so listing the already-released audit-mode
     // caches here is harmless — one cleanup covers both modes
     val cleanup = () => {
-      (Seq(exact, nearDedupedRaw, clean) ++ scrubbedOpt).foreach(_.unpersist())
+      (Seq(exact, nearDedupedRaw, evalGrams, clean) ++ scrubbedOpt)
+        .foreach(_.unpersist())
       bpe.foreach(_._2.unpersist()) // the encode's seg type-map cache
       scrubExtraCleanup() // fixpoint-mode internal caches (idempotent)
     }
@@ -480,109 +512,232 @@ object TrainingPipeline {
   private[graft] val DeclaredCfg =
     Config(audit = false, maxHam = Dedup.maxHamDefault)
 
-  /** q126's eval slice: every 10th doc_id of the raw table — a planted
-    * leak (the slice is also pipeline input, so each surviving slice
-    * member is ~fully contained in the eval set and decontamination
-    * must drop it).
+  /** q126/q127/q128's eval slice: every 10th doc_id of the raw table —
+    * a planted leak (the slice is also pipeline input, so each surviving
+    * slice member is ~fully contained in the eval set and
+    * decontamination must drop it).
     */
   private[graft] val DeclaredEvalMod = 10
 
-  /** The composed-pipeline oracle query (r16 VERDICT #4 — the one
-    * composition claim that rested on ScalaTest alone): run
-    * [[prepare]] ITSELF at [[DeclaredCfg]] over the documents table,
-    * with the [[DeclaredEvalMod]] slice as the eval set, and hash-gate
-    * the packed-bin output. The oracle re-expresses the composition as
-    * chained CTEs REUSING the per-stage oracle formulations verbatim:
+  /** q127's pinned configuration (r17 VERDICT #1): [[DeclaredCfg]] with
+    * the two most-enabled real-world OPTIONAL stages switched on —
+    * q107's cross-doc span scrub (md5 boundary, one pass — the
+    * oracle-parity rule) and q110's PII redaction — wired between
+    * near-dup removal and decontamination, exactly the composition the
+    * per-stage oracles could not check.
+    */
+  private[graft] val DeclaredScrubCfg =
+    DeclaredCfg.copy(scrubDupSpans = true, redactPii = true)
+
+  /** q128's pinned configuration (r17 VERDICT #5): [[DeclaredCfg]] with
+    * domain mixing enabled at half the corpus token budget — the
+    * remaining oracle-expressible optional stage, and the riskiest
+    * composition still unchecked after q127 because mixing changes
+    * survivor SETS (not just text) between decontamination and
+    * chunking. Requires the documents table's `source` column.
+    */
+  private[graft] val DeclaredMixFrac = 0.5
+  private[graft] val DeclaredMixCfg =
+    DeclaredCfg.copy(mixTokenBudgetFrac = Some(DeclaredMixFrac))
+
+  /** The shared composed-pipeline query body: run [[prepare]] ITSELF at
+    * `cfg` over the documents table, with the [[DeclaredEvalMod]] slice
+    * as the eval set, and return the packed-bin output in declared
+    * order. EAGER (r17 ADVICE): the survivors checkpoint materializes
+    * in-lambda and `cleanup()` releases every stage cache prepare()
+    * created — repeated constructions (bench sweeps, long sessions) no
+    * longer accumulate corpus-scale MEMORY_AND_DISK persists; the
+    * returned frame re-derives chunk+pack from the survivor
+    * checkpoint blocks, so total work is unchanged.
+    */
+  private def packQuery(s: org.apache.spark.sql.SparkSession, dir: String,
+                        cfg: Config): DataFrame = {
+    val all = Tables(s, dir, "documents")
+    val inCols = Seq(col("doc_id"), col("text")) ++
+      (if (cfg.mixTokenBudgetFrac.isDefined) Seq(col("source")) else Nil)
+    val res = prepare(
+      all.select(inCols: _*),
+      all.filter(col("doc_id") % DeclaredEvalMod === 0)
+        .select(col("doc_id"), col("text")),
+      cfg)
+    res.survivors.count()
+    res.cleanup()
+    res.packed.orderBy("shard", "bin")
+  }
+
+  /** The composed-pipeline oracle queries (r16 VERDICT #4; widened by
+    * r17 VERDICT #1/#5): the oracle re-expresses each composition as
+    * chained CTEs REUSING the per-stage oracle formulations verbatim —
     * q88's quality chain, q73/q80's keep-first dedup, q78's simhash
-    * pair chain ([[Dedup.simhashPairCtesFrom]] — the identical text,
-    * re-sourced at the deduped CTE), q76's gram machinery with the
-    * roles swapped, and q97/q58's chunk + pack tail. Any stage
-    * diverging — or the composition wiring them differently — moves
-    * bins and fails the hash.
+    * pair chain ([[Dedup.simhashPairCtesFrom]], re-sourced at the
+    * deduped CTE), q107's scrub chain ([[Dedup.scrubCtesFrom]],
+    * re-sourced at the near-deduped CTE) and q110's staged redaction
+    * when the config enables them, q76's gram machinery with the roles
+    * swapped, q103's mixing CTEs when enabled, and q97/q58's chunk +
+    * pack tail. The SQL is GENERATED from the same [[Config]] the Spark
+    * lambda runs ([[pipelineOracleSql]]), so a dial edit retargets both
+    * engines together and the optional-stage wiring has exactly one
+    * formulation per stage. Any stage diverging — or the composition
+    * wiring them differently — moves bins and fails the hash.
     */
   val queries: Map[String, graft.Q] = Map(
-    "q126_pipeline_pack" -> ((s, dir) => {
-      val all = Tables(s, dir, "documents")
-      val res = prepare(
-        all.select(col("doc_id"), col("text")),
-        all.filter(col("doc_id") % DeclaredEvalMod === 0)
-          .select(col("doc_id"), col("text")),
-        DeclaredCfg)
-      res.packed.orderBy("shard", "bin")
-    })
+    "q126_pipeline_pack" -> ((s, dir) => packQuery(s, dir, DeclaredCfg)),
+    "q127_pipeline_scrub_redact" ->
+      ((s, dir) => packQuery(s, dir, DeclaredScrubCfg)),
+    "q128_pipeline_mix" -> ((s, dir) => packQuery(s, dir, DeclaredMixCfg))
   )
 
-  val oracle: Map[String, String] = Map(
-    "q126_pipeline_pack" -> {
-      val c = DeclaredCfg
-      s"""WITH wq AS (
-         |  SELECT doc_id, text,
-         |         list_filter(string_split(text, ' '), w -> w <> '') AS ws
-         |  FROM documents),
-         |qf AS (
-         |  SELECT doc_id, text FROM wq
-         |  WHERE len(ws) > 0
-         |    AND round(round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 4)
-         |        * round(least(1.0, CAST(len(ws) AS DOUBLE) / 100), 4), 4)
-         |        >= ${c.minQuality}),
-         |ex AS (
-         |  SELECT doc_id, text FROM (
-         |    SELECT doc_id, text,
-         |           row_number() OVER (PARTITION BY md5(text)
-         |                              ORDER BY doc_id) AS rn
-         |    FROM qf)
-         |  WHERE rn = 1),
-         |${Dedup.simhashPairCtesFrom("ex")},
-         |nd AS (
-         |  SELECT doc_id, text FROM ex
-         |  WHERE doc_id NOT IN (
-         |    SELECT doc_b FROM ham WHERE hamming <= ${c.maxHam})),
-         |eg AS (
-         |  SELECT DISTINCT g FROM (
-         |    SELECT unnest(list_transform(range(1, len(text) - 6),
-         |           i -> substr(text, i, 8))) AS g
-         |    FROM documents
-         |    WHERE doc_id % $DeclaredEvalMod = 0 AND len(text) >= 8)),
-         |tg AS (
-         |  SELECT DISTINCT doc_id, g FROM (
-         |    SELECT doc_id, unnest(list_transform(range(1, len(text) - 6),
-         |           i -> substr(text, i, 8))) AS g
-         |    FROM nd WHERE len(text) >= 8)),
-         |tot AS (SELECT doc_id, count(*) AS total FROM tg GROUP BY doc_id),
-         |hits AS (
-         |  SELECT doc_id, count(*) AS hit FROM tg
-         |  WHERE g IN (SELECT g FROM eg) GROUP BY doc_id),
-         |contam AS (
-         |  SELECT t.doc_id FROM tot t LEFT JOIN hits h USING (doc_id)
-         |  WHERE CAST(COALESCE(h.hit, 0) AS DOUBLE) / t.total
-         |        > ${c.maxContamRatio}),
-         |clean AS (
-         |  SELECT doc_id, text FROM nd
-         |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
-         |cws AS (
-         |  SELECT doc_id,
-         |         list_filter(string_split(text, ' '), w -> w <> '') AS ws
+  /** Generate the DuckDB oracle for [[packQuery]] at `c` — the CTE
+    * chain follows prepare()'s stage order literally: quality → exact
+    * dedup → simhash near-dup → (scrub → redaction) → decontamination →
+    * (mixing) → chunk → pack. Only the stages `c` enables are emitted;
+    * with every option off this is byte-for-byte r17's q126 oracle.
+    */
+  private[graft] def pipelineOracleSql(c: Config): String = {
+    require(!c.keepBestQuality && !c.scrubFixpoint && !c.scrubContiguousOnly
+        && c.scrubBoundary == "md5" && c.exportOrderSeed.isEmpty
+        && !c.bpeEncode,
+      "pipelineOracleSql covers the declared oracle-expressible configs")
+    // optional stage 3b/3c: scrub (q107's chain re-sourced at nd) then
+    // redaction (q110's three regexp_replace stages, same fixed order);
+    // `prepped` names whichever relation carries the stage-final text
+    val scrubCtes =
+      if (!c.scrubDupSpans) "" else s"${Dedup.scrubCtesFrom("nd", "sc_")},\n"
+    val redCtes =
+      if (!c.redactPii) ""
+      else {
+        val from = if (c.scrubDupSpans) "sc_scrubbed" else "nd"
+        s"""red AS (
+           |  SELECT doc_id,
+           |         regexp_replace(regexp_replace(regexp_replace(text,
+           |           '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+           |           '${TextAnalysis.PhoneRe}', '<PHONE>', 'g'),
+           |           '${TextAnalysis.Ipv4Re}', '<IP>', 'g') AS text
+           |  FROM $from),
+           |""".stripMargin
+      }
+    val prepped =
+      if (c.redactPii) "red"
+      else if (c.scrubDupSpans) "sc_scrubbed"
+      else "nd"
+    val mixOn = c.mixTokenBudgetFrac.isDefined
+    // when mixing is on the upstream chain carries `source` through to
+    // `clean` (prepare() carries every input column through its stages;
+    // the scrub/redaction CTEs emit (doc_id, text) only, so `clean`
+    // joins `nd` back for it — doc_id-preserving stages, total join)
+    val srcCol = if (mixOn) ", source" else ""
+    val cleanCte =
+      if (!mixOn || prepped == "nd")
+        s"""clean AS (
+           |  SELECT doc_id, text$srcCol FROM $prepped
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM contam))"""
+          .stripMargin
+      else
+        s"""clean AS (
+           |  SELECT p.doc_id, p.text, n.source FROM $prepped p
+           |  JOIN nd n USING (doc_id)
+           |  WHERE p.doc_id NOT IN (SELECT doc_id FROM contam))"""
+          .stripMargin
+    // optional stage 4b: q103's mixing machinery at the configured
+    // budget fraction — the rate expression mirrors prepare()'s Column
+    // chain operation-for-operation (left-assoc * then /, one rounding
+    // per step), and the md5-vs-hex accept test is q103's proven pairing
+    val mixCtes = c.mixTokenBudgetFrac.map { frac =>
+      s"""mixd AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_tokens
          |  FROM clean),
-         |ch AS (
-         |  SELECT doc_id,
-         |         unnest(list_transform(range(0, CAST(ceil(len(ws) / 40.0) AS INT)),
-         |                i -> {'idx': i, 'n': len(ws[i*40+1 : i*40+50])})) AS e
-         |  FROM cws WHERE len(ws) > 0),
-         |chunks AS (
-         |  SELECT doc_id, CAST(e.idx AS BIGINT) AS chunk_idx,
-         |         CAST(e.n AS BIGINT) AS n_tokens,
-         |         doc_id % ${c.shards} AS shard
-         |  FROM ch),
-         |binned AS (
-         |  SELECT shard, doc_id, chunk_idx, n_tokens,
-         |         CAST(COALESCE(sum(n_tokens) OVER (
-         |              PARTITION BY shard ORDER BY doc_id, chunk_idx
-         |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum0
-         |  FROM chunks)
-         |SELECT shard, CAST(floor(cum0 / ${c.binTokens}) AS BIGINT) AS bin,
-         |       count(*) AS n_chunks, CAST(sum(n_tokens) AS BIGINT) AS tok_total
-         |FROM binned GROUP BY shard, bin ORDER BY shard, bin""".stripMargin
-    }
+         |mixst AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tokens_in
+         |          FROM mixd GROUP BY source),
+         |mixtot AS (SELECT CAST(sum(tokens_in) AS BIGINT) AS t_all, count(*) AS n_src
+         |           FROM mixst),
+         |mixrates AS (
+         |  SELECT source,
+         |         least(1.0, (CAST(t_all AS DOUBLE) * $frac / n_src)
+         |               / CAST(tokens_in AS DOUBLE)) AS rate
+         |  FROM mixst CROSS JOIN mixtot),
+         |mixkeep AS (
+         |  SELECT d.doc_id FROM mixd d JOIN mixrates USING (source)
+         |  WHERE rate >= 1.0
+         |     OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 12)
+         |        < printf('%012x', CAST(floor(rate * 281474976710656.0) AS BIGINT))),
+         |mixed AS (
+         |  SELECT doc_id, text FROM clean
+         |  WHERE doc_id IN (SELECT doc_id FROM mixkeep)),
+         |""".stripMargin
+    }.getOrElse("")
+    val chSrc = if (mixOn) "mixed" else "clean"
+    s"""WITH wq AS (
+       |  SELECT doc_id, text$srcCol,
+       |         list_filter(string_split(text, ' '), w -> w <> '') AS ws
+       |  FROM documents),
+       |qf AS (
+       |  SELECT doc_id, text$srcCol FROM wq
+       |  WHERE len(ws) > 0
+       |    AND round(round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 4)
+       |        * round(least(1.0, CAST(len(ws) AS DOUBLE) / 100), 4), 4)
+       |        >= ${c.minQuality}),
+       |ex AS (
+       |  SELECT doc_id, text$srcCol FROM (
+       |    SELECT doc_id, text$srcCol,
+       |           row_number() OVER (PARTITION BY md5(text)
+       |                              ORDER BY doc_id) AS rn
+       |    FROM qf)
+       |  WHERE rn = 1),
+       |${Dedup.simhashPairCtesFrom("ex")},
+       |nd AS (
+       |  SELECT doc_id, text$srcCol FROM ex
+       |  WHERE doc_id NOT IN (
+       |    SELECT doc_b FROM ham WHERE hamming <= ${c.maxHam})),
+       |${scrubCtes}${redCtes}eg AS (
+       |  SELECT DISTINCT g FROM (
+       |    SELECT unnest(list_transform(range(1, len(text) - 6),
+       |           i -> substr(text, i, 8))) AS g
+       |    FROM documents
+       |    WHERE doc_id % $DeclaredEvalMod = 0 AND len(text) >= 8)),
+       |tg AS (
+       |  SELECT DISTINCT doc_id, g FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(text) - 6),
+       |           i -> substr(text, i, 8))) AS g
+       |    FROM $prepped WHERE len(text) >= 8)),
+       |tot AS (SELECT doc_id, count(*) AS total FROM tg GROUP BY doc_id),
+       |hits AS (
+       |  SELECT doc_id, count(*) AS hit FROM tg
+       |  WHERE g IN (SELECT g FROM eg) GROUP BY doc_id),
+       |contam AS (
+       |  SELECT t.doc_id FROM tot t LEFT JOIN hits h USING (doc_id)
+       |  WHERE CAST(COALESCE(h.hit, 0) AS DOUBLE) / t.total
+       |        > ${c.maxContamRatio}),
+       |$cleanCte,
+       |${mixCtes}cws AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split(text, ' '), w -> w <> '') AS ws
+       |  FROM $chSrc),
+       |ch AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(0, CAST(ceil(len(ws) / 40.0) AS INT)),
+       |                i -> {'idx': i, 'n': len(ws[i*40+1 : i*40+50])})) AS e
+       |  FROM cws WHERE len(ws) > 0),
+       |chunks AS (
+       |  SELECT doc_id, CAST(e.idx AS BIGINT) AS chunk_idx,
+       |         CAST(e.n AS BIGINT) AS n_tokens,
+       |         doc_id % ${c.shards} AS shard
+       |  FROM ch),
+       |binned AS (
+       |  SELECT shard, doc_id, chunk_idx, n_tokens,
+       |         CAST(COALESCE(sum(n_tokens) OVER (
+       |              PARTITION BY shard ORDER BY doc_id, chunk_idx
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum0
+       |  FROM chunks)
+       |SELECT shard, CAST(floor(cum0 / ${c.binTokens}) AS BIGINT) AS bin,
+       |       count(*) AS n_chunks, CAST(sum(n_tokens) AS BIGINT) AS tok_total
+       |FROM binned GROUP BY shard, bin ORDER BY shard, bin""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q126_pipeline_pack" -> pipelineOracleSql(DeclaredCfg),
+    "q127_pipeline_scrub_redact" -> pipelineOracleSql(DeclaredScrubCfg),
+    "q128_pipeline_mix" -> pipelineOracleSql(DeclaredMixCfg)
   )
 
 }

@@ -276,7 +276,10 @@ class BpeSpec extends SparkSpec {
     }
     assert(seg.nonEmpty)
     seg.foreach { case (w, sws) =>
-      assert(sws == ref(w), s"word $w: engine '$sws' vs reference '${ref(w)}'")
+      // bind the ~534-merge reference fold once per word — the eager
+      // clue interpolation used to run it a second time on every PASS
+      val r = ref(w)
+      assert(sws == r, s"word $w: engine '$sws' vs reference '$r'")
     }
   }
 

@@ -273,6 +273,110 @@ class PlanLintSpec extends SparkSpec {
       } finally spark.conf.unset("spark.graft.bandBucketTarget")
     }
   }
+
+  /** r17 VERDICT #2: the pipeline's decontamination semi-join was the
+    * one corpus-shaped join that trusted AQE instead of the explicit
+    * dispatch discipline — it now rides TextAnalysis.joinLm. Lint the
+    * EXACT wiring prepare() runs (TrainingPipeline.contamIds, factored
+    * for this test): under the ceiling the eval grams broadcast; forced
+    * above it, pinned SHUFFLE_HASH, never sort-merge; and the dispatch
+    * never changes results — asserted on the fragment AND on the full
+    * q126 packed output.
+    */
+  test("pipeline decontamination semi-join rides the size-gated dispatch (both regimes, results identical)") {
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    val docs = graft.model.Tables(spark, sf(), "documents")
+      .select(col("doc_id"), col("text"))
+    def evalGrams() = docs.filter(col("doc_id") % 10 === 0)
+      .select(explode(array_distinct(expr("char_ngrams(text, 8)"))).as("g"))
+      .persist()
+    val eg1 = evalGrams()
+    val dfB = TrainingPipeline.contamIds(docs, eg1, 0.99)
+    val bRes = dfB.collect().map(_.toString).sorted.toSeq
+    val planB = dfB.queryExecution.executedPlan.toString
+    assert(planB.contains("BroadcastHashJoin") && planB.contains("LeftSemi"),
+      s"default regime must broadcast the eval gram set\n$planB")
+    eg1.unpersist()
+    val q126B = graft.SparkEntry.queries("q126_pipeline_pack")(spark, sf())
+      .collect().map(_.toString).toSeq
+    spark.catalog.clearCache()
+    spark.conf.set("spark.graft.lmBroadcastMaxBytes", "1")
+    try {
+      val eg2 = evalGrams()
+      val dfS = TrainingPipeline.contamIds(docs, eg2, 0.99)
+      val sRes = dfS.collect().map(_.toString).sorted.toSeq
+      val planS = dfS.queryExecution.executedPlan.toString
+      assert(planS.contains("ShuffledHashJoin"),
+        s"forced regime did not plan SHUFFLE_HASH\n$planS")
+      assert(!planS.contains("SortMergeJoin"),
+        s"forced regime fell back to sort-merge\n$planS")
+      assert(sRes == bRes,
+        s"dispatch changed the contaminated-id set (${sRes.size} vs ${bRes.size})")
+      eg2.unpersist()
+      val q126S = graft.SparkEntry.queries("q126_pipeline_pack")(spark, sf())
+        .collect().map(_.toString).toSeq
+      assert(q126S == q126B,
+        "dispatch regime changed q126's packed bins")
+    } finally {
+      spark.conf.unset("spark.graft.lmBroadcastMaxBytes")
+      spark.catalog.clearCache()
+    }
+  }
+
+  /** r17 VERDICT #3: q125 used to re-run q122's entire 28-round learner
+    * at construction. The merge table now memoizes per (dir
+    * fingerprint, dials) — after q122 has learned in-session, q125's
+    * construction must run ZERO learning jobs (at most the one
+    * memoized seg-size estimate). Counted with the same
+    * sentinel-bounded job-start listener as the LM-estimate law.
+    */
+  test("rich-vocab merge memo: q125 construction after q122 runs zero learning jobs") {
+    TextAnalysis.clearRichMergeMemo()
+    val ta = new java.util.concurrent.atomic.AtomicInteger(0)
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        if (js.stageInfos.exists(_.name.contains("TextAnalysis.scala")))
+          ta.incrementAndGet()
+        val g = js.properties.getProperty("spark.jobGroup.id")
+        if (g != null) { seen.add(g); () }
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    def sentinel(tag: String): Unit = {
+      spark.sparkContext.setJobGroup(tag, tag)
+      try spark.range(1).count() finally spark.sparkContext.clearJobGroup()
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (!seen.contains(tag) && System.nanoTime() < deadline)
+        Thread.sleep(10)
+      assert(seen.contains(tag), s"listener never saw sentinel $tag")
+    }
+    try {
+      val before122 = ta.get()
+      graft.SparkEntry.queries("q122_bpe_rich_vocab")(spark, sf())
+      spark.catalog.clearCache()
+      sentinel("rich-memo-sentinel-1")
+      val q122Jobs = ta.get() - before122
+      // the cold construction must actually run the learner — guards
+      // the counter itself against silently missing every job (which
+      // would make the q125 assertion below vacuous)
+      assert(q122Jobs >= TextAnalysis.RichVocabRounds,
+        s"cold q122 construction ran only $q122Jobs TextAnalysis jobs")
+      val before125 = ta.get()
+      graft.SparkEntry.queries("q125_bpe_encode_rich")(spark, sf())
+      sentinel("rich-memo-sentinel-2")
+      val delta = ta.get() - before125
+      assert(delta <= 1,
+        s"q125 construction ran $delta TextAnalysis jobs after q122 " +
+          "(memoized learning must run zero; only the one seg-size " +
+          "estimate may remain)")
+    } finally {
+      spark.sparkContext.removeSparkListener(l)
+      spark.catalog.clearCache()
+    }
+  }
 }
 
 object PlanLintSpec {

@@ -307,10 +307,11 @@ class TrainingPipelineSpec extends SparkSpec {
         TrainingPipeline.Config(audit = false))
       res.packed.count() // first action populates the lazy persists
       val afterMat = spark.sparkContext.getPersistentRDDs.keySet -- before
-      // non-audit, no optional stages: exact + nearDeduped + clean
+      // non-audit, no optional stages: exact + nearDeduped + evalGrams
+      // (r18: the decontamination dispatcher's estimate input) + clean
       // caches, plus the survivors lineage-truncation checkpoint (r14)
-      assert(afterMat.size == 4,
-        s"expected 3 pipeline caches + 1 checkpoint, got ${afterMat.size}")
+      assert(afterMat.size == 5,
+        s"expected 4 pipeline caches + 1 checkpoint, got ${afterMat.size}")
       // the truncation contract: survivors' analyzed plan is a flat
       // LogicalRDD — downstream actions never re-traverse the composed
       // lineage (the measured 8-9 s/action driver overhead)
@@ -330,17 +331,48 @@ class TrainingPipelineSpec extends SparkSpec {
     } finally spark.catalog.clearCache()
   }
 
-  test("q126's declared config stays inside the oracle-expressible stage subset (drift tripwire)") {
-    // the q126 oracle interpolates minQuality/maxHam/maxContamRatio/
-    // binTokens/shards but models NONE of the optional stages — a
-    // future default flip (or a DeclaredCfg edit enabling scrub/
-    // redaction/mixing/BPE/order-export) must retarget the oracle
-    // text, not silently run a stage the SQL doesn't express
-    val c = TrainingPipeline.DeclaredCfg
-    assert(!c.audit, "q126 must not pay the audit counts")
-    assert(!c.keepBestQuality && !c.scrubDupSpans && !c.redactPii &&
-      c.mixTokenBudgetFrac.isEmpty && c.exportOrderSeed.isEmpty &&
-      !c.bpeEncode && c.bpeHotPart.isEmpty && c.bpeBatched.isEmpty,
-      s"q126 config enables a stage its oracle does not express: $c")
+  test("the declared pipeline configs stay inside the oracle-expressible stage subset (drift tripwire)") {
+    // pipelineOracleSql models the mandatory chain plus one-pass md5
+    // scrub, staged PII redaction, and q103 mixing (r17 VERDICT #1/#5)
+    // — but NOT keep-best-quality, fixpoint/contiguous scrub variants,
+    // gear boundaries, BPE, or order export. A future default flip (or
+    // a Declared*Cfg edit enabling one of those) must extend the
+    // generator, not silently run a stage the SQL doesn't express.
+    // The generator's own require() guards the same envelope at
+    // construction; this pins the DECLARED configs' wiring.
+    for ((name, c) <- Seq(
+        ("q126", TrainingPipeline.DeclaredCfg),
+        ("q127", TrainingPipeline.DeclaredScrubCfg),
+        ("q128", TrainingPipeline.DeclaredMixCfg))) {
+      assert(!c.audit, s"$name must not pay the audit counts")
+      assert(!c.keepBestQuality && !c.scrubFixpoint &&
+        !c.scrubContiguousOnly && c.scrubBoundary == "md5" &&
+        c.exportOrderSeed.isEmpty && !c.bpeEncode &&
+        c.bpeHotPart.isEmpty && c.bpeBatched.isEmpty,
+        s"$name config enables a stage its oracle does not express: $c")
+    }
+    // the stage wiring each declared config exists to prove
+    val c126 = TrainingPipeline.DeclaredCfg
+    assert(!c126.scrubDupSpans && !c126.redactPii &&
+      c126.mixTokenBudgetFrac.isEmpty)
+    val c127 = TrainingPipeline.DeclaredScrubCfg
+    assert(c127.scrubDupSpans && c127.redactPii &&
+      c127.mixTokenBudgetFrac.isEmpty)
+    val c128 = TrainingPipeline.DeclaredMixCfg
+    assert(!c128.scrubDupSpans && !c128.redactPii &&
+      c128.mixTokenBudgetFrac.contains(TrainingPipeline.DeclaredMixFrac))
+  }
+
+  test("pipelineOracleSql refuses configs outside its envelope") {
+    for (bad <- Seq(
+        TrainingPipeline.DeclaredCfg.copy(keepBestQuality = true),
+        TrainingPipeline.DeclaredCfg.copy(scrubDupSpans = true,
+          scrubFixpoint = true),
+        TrainingPipeline.DeclaredCfg.copy(scrubDupSpans = true,
+          scrubBoundary = "gear"),
+        TrainingPipeline.DeclaredCfg.copy(bpeEncode = true)))
+      intercept[IllegalArgumentException] {
+        TrainingPipeline.pipelineOracleSql(bad)
+      }
   }
 }

@@ -24,6 +24,17 @@ OUT="${3:-/tmp/graft_ab}"
 SF="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}"
 mkdir -p "$OUT"
 WT="$OUT/base-$(git rev-parse --short "$REV")"
+# A reused worktree must be CLEAN and at the requested rev — a leftover
+# modified tree would silently bench dirty "base" code (r17 ADVICE).
+# target/ is sbt build output (untracked via .gitignore), never a dirt
+# signal; anything porcelain reports IS.
+if [ -d "$WT" ]; then
+  if [ -n "$(git -C "$WT" status --porcelain)" ] || \
+     [ "$(git -C "$WT" rev-parse HEAD)" != "$(git rev-parse "$REV^{commit}")" ]; then
+    echo "base worktree $WT is dirty or at the wrong rev — recreating" >&2
+    git worktree remove --force "$WT"
+  fi
+fi
 if [ ! -d "$WT" ]; then
   git worktree add --detach "$WT" "$REV"
 fi
