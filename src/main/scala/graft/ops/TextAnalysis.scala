@@ -40,9 +40,20 @@ object TextAnalysis {
     * (PiiSpec proves it). Pure codegen'd map-side work — the pipeline
     * stage costs one projection over the already-cached survivors.
     */
+  /** The (pattern, marker) stages in application order — ONE list
+    * driving [[redactPii]] and the q127 oracle's generated redaction
+    * CTE (r18 self-review: the markers and the email→phone→IP nesting
+    * were re-typed literals there; editing either would have diverged
+    * the engines until a hash-gate failure). q110's own oracle keeps
+    * its hand-mirrored staged form (it interleaves per-stage counts),
+    * under its existing DRIFT TRIPWIRE note.
+    */
+  private[graft] val PiiStages: Seq[(String, String)] =
+    Seq(EmailRe -> "<EMAIL>", PhoneRe -> "<PHONE>", Ipv4Re -> "<IP>")
+
   def redactPii(text: Column): Column =
-    regexp_replace(regexp_replace(regexp_replace(text,
-      EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), Ipv4Re, "<IP>")
+    PiiStages.foldLeft(text) { case (c, (re, marker)) =>
+      regexp_replace(c, re, marker) }
 
   /** Config key for the LM broadcast ceiling (bytes). Tests force the
     * shuffle regime by setting it to 1; production tunes it to the
@@ -160,9 +171,16 @@ object TextAnalysis {
     try {
       val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.listStatus(p)
+      val listing = fs.listStatus(p)
         .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-        .sorted.mkString("\n").hashCode.toString
+        .sorted.mkString("\n")
+      // 128-bit digest, not String.hashCode (r18 self-review): the
+      // fingerprint keys a RESULT-bearing memo ([[richVocabMergesMemo]])
+      // as well as the correctness-free estimate memo, so a 32-bit
+      // collision is no longer harmless
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(listing.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
     } catch { case scala.util.control.NonFatal(_) => "?" }
 
   /** Drop every memoized estimate — for long-lived sessions scanning
@@ -225,6 +243,16 @@ object TextAnalysis {
     * so a hit returns byte-identical merges — zero learning jobs
     * (PlanLintSpec's listener law). The table is <= ~600 driver-side
     * tuples; memory is trivial.
+    *
+    * RESULT-BEARING, so stricter than estMemo (r18 self-review): the
+    * fingerprint is a 128-bit listing digest (not a 32-bit hashCode),
+    * an UNLISTABLE dir ("?") never memoizes (estMemo's constant
+    * fallback would serve a stale table as query OUTPUT here), and the
+    * learn runs OUTSIDE any map lock (computeIfAbsent pins the bin for
+    * the whole computation — a multi-second Spark loop under a CHM bin
+    * lock serializes unrelated constructions). The same-second
+    * in-place-rewrite residual window (see [[dirFingerprint]]) remains
+    * and remains documented.
     */
   private val richMergeMemo = new java.util.concurrent.ConcurrentHashMap[
     String, Seq[(Long, String, String, String, Long)]]()
@@ -233,13 +261,22 @@ object TextAnalysis {
 
   private[graft] def richVocabMergesMemo(s: org.apache.spark.sql.SparkSession,
       dir: String): Seq[(Long, String, String, String, Long)] = {
-    val key =
-      s"$dir#${dirFingerprint(s, dir)}#$RichVocabRounds|$RichVocabK|$RichVocabCap"
-    richMergeMemo.computeIfAbsent(key, _ =>
-      learnBpeMergesHotPart(
-        Tables(s, dir, "documents")
-          .select(col("doc_id"), expr(RichVocabWordSql).as("text")),
-        RichVocabRounds, RichVocabK, RichVocabCap))
+    def learn() = learnBpeMergesHotPart(
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), expr(RichVocabWordSql).as("text")),
+      RichVocabRounds, RichVocabK, RichVocabCap)
+    val fp = dirFingerprint(s, dir)
+    if (fp == "?") learn()
+    else {
+      val key = s"$dir#$fp#$RichVocabRounds|$RichVocabK|$RichVocabCap"
+      val hit = richMergeMemo.get(key)
+      if (hit != null) hit
+      else {
+        val learned = learn()
+        val raced = richMergeMemo.putIfAbsent(key, learned)
+        if (raced != null) raced else learned
+      }
+    }
   }
 
   /** The q122 synthetic-vocabulary word, as ONE SQL expression string

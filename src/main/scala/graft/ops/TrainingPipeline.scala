@@ -548,7 +548,13 @@ object TrainingPipeline {
     * created — repeated constructions (bench sweeps, long sessions) no
     * longer accumulate corpus-scale MEMORY_AND_DISK persists; the
     * returned frame re-derives chunk+pack from the survivor
-    * checkpoint blocks, so total work is unchanged.
+    * checkpoint blocks, so total work is unchanged. RESIDUAL: the
+    * survivor checkpoint blocks themselves outlive cleanup() by design
+    * (they ARE the serving copy) — released when the returned frame is
+    * GC'd (ContextCleaner), or force-cleared by Bench's per-run
+    * getPersistentRDDs sweep. And construction is the WHOLE pipeline:
+    * plan-inspection tooling should expect these three queries to run
+    * jobs at construction (SparkEntry's EAGERNESS EXCEPTION).
     */
   private def packQuery(s: org.apache.spark.sql.SparkSession, dir: String,
                         cfg: Config): DataFrame = {
@@ -607,12 +613,14 @@ object TrainingPipeline {
       if (!c.redactPii) ""
       else {
         val from = if (c.scrubDupSpans) "sc_scrubbed" else "nd"
+        // generated from the SAME (pattern, marker) stage list
+        // redactPii folds over — order and markers cannot drift
+        val folded = TextAnalysis.PiiStages.foldLeft("text") {
+          case (inner, (re, marker)) =>
+            s"regexp_replace($inner, '$re', '$marker', 'g')"
+        }
         s"""red AS (
-           |  SELECT doc_id,
-           |         regexp_replace(regexp_replace(regexp_replace(text,
-           |           '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
-           |           '${TextAnalysis.PhoneRe}', '<PHONE>', 'g'),
-           |           '${TextAnalysis.Ipv4Re}', '<IP>', 'g') AS text
+           |  SELECT doc_id, $folded AS text
            |  FROM $from),
            |""".stripMargin
       }

@@ -29,10 +29,14 @@ WT="$OUT/base-$(git rev-parse --short "$REV")"
 # target/ is sbt build output (untracked via .gitignore), never a dirt
 # signal; anything porcelain reports IS.
 if [ -d "$WT" ]; then
-  if [ -n "$(git -C "$WT" status --porcelain)" ] || \
-     [ "$(git -C "$WT" rev-parse HEAD)" != "$(git rev-parse "$REV^{commit}")" ]; then
-    echo "base worktree $WT is dirty or at the wrong rev — recreating" >&2
-    git worktree remove --force "$WT"
+  # rev-parse fails when $WT exists on disk but is no longer a
+  # registered worktree (pruned metadata, copied dir) — treat that as
+  # a mismatch too rather than letting set -e abort mid-check
+  if [ -n "$(git -C "$WT" status --porcelain 2>/dev/null || echo dirty)" ] || \
+     [ "$(git -C "$WT" rev-parse HEAD 2>/dev/null || echo none)" != "$(git rev-parse "$REV^{commit}")" ]; then
+    echo "base worktree $WT is dirty, stale, or at the wrong rev — recreating" >&2
+    git worktree remove --force "$WT" 2>/dev/null \
+      || { rm -rf "$WT"; git worktree prune; }
   fi
 fi
 if [ ! -d "$WT" ]; then
