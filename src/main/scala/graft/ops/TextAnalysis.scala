@@ -259,25 +259,50 @@ object TextAnalysis {
 
   private[graft] def clearRichMergeMemo(): Unit = richMergeMemo.clear()
 
-  private[graft] def richVocabMergesMemo(s: org.apache.spark.sql.SparkSession,
-      dir: String): Seq[(Long, String, String, String, Long)] = {
-    def learn() = learnBpeMergesHotPart(
+  private def richVocabKey(s: org.apache.spark.sql.SparkSession,
+      dir: String): Option[String] = {
+    val fp = dirFingerprint(s, dir)
+    if (fp == "?") None
+    else Some(s"$dir#$fp#$RichVocabRounds|$RichVocabK|$RichVocabCap")
+  }
+
+  private def richVocabLearnNow(s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(Long, String, String, String, Long)] =
+    learnBpeMergesHotPart(
       Tables(s, dir, "documents")
         .select(col("doc_id"), expr(RichVocabWordSql).as("text")),
       RichVocabRounds, RichVocabK, RichVocabCap)
-    val fp = dirFingerprint(s, dir)
-    if (fp == "?") learn()
-    else {
-      val key = s"$dir#$fp#$RichVocabRounds|$RichVocabK|$RichVocabCap"
-      val hit = richMergeMemo.get(key)
-      if (hit != null) hit
-      else {
-        val learned = learn()
-        val raced = richMergeMemo.putIfAbsent(key, learned)
-        if (raced != null) raced else learned
-      }
-    }
+
+  /** q122's entry: ALWAYS runs the learner (the learning loop IS the
+    * benched operator — memoizing it under Bench would defeat the
+    * measurement, the same every-run-pays philosophy as Bench's cache
+    * clearing) and refreshes the memo [[richVocabMergesMemo]] reads
+    * through.
+    */
+  private[graft] def richVocabMergesLearn(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(Long, String, String, String, Long)] = {
+    val learned = richVocabLearnNow(s, dir)
+    richVocabKey(s, dir).foreach(k => richMergeMemo.put(k, learned))
+    learned
   }
+
+  /** q125's (and any consumer's) entry: read through the memo — zero
+    * learning jobs when q122 already learned in-session.
+    */
+  private[graft] def richVocabMergesMemo(s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(Long, String, String, String, Long)] =
+    richVocabKey(s, dir) match {
+      case None => richVocabLearnNow(s, dir)
+      case Some(key) =>
+        val hit = richMergeMemo.get(key)
+        if (hit != null) hit
+        else {
+          val learned = richVocabLearnNow(s, dir)
+          val raced = richMergeMemo.putIfAbsent(key, learned)
+          if (raced != null) raced else learned
+        }
+    }
 
   /** The q122 synthetic-vocabulary word, as ONE SQL expression string
     * valid VERBATIM in both Spark SQL and DuckDB — the construction
@@ -1532,11 +1557,11 @@ object TextAnalysis {
     // window needs for yield). 28 rounds × (128-winner window, kept
     // capped at 24) learns 534 merges at the 500-doc tiers and 583 at
     // 5000 docs — vocabulary-limited ≥ 500 (BpeSpec law), firmly past
-    // the exhausted regime. EAGER (one <= 128-row collect per round)
-    // on the session's FIRST construction per dir; afterwards the
-    // merge table comes from [[richVocabMergesMemo]] (r17 VERDICT #3).
+    // the exhausted regime. EAGER, every construction (the learning
+    // loop IS the operator under test — it never memo-hits); each run
+    // refreshes the memo q125 reads through (r17 VERDICT #3).
     "q122_bpe_rich_vocab" -> ((s, dir) => {
-      val merges = richVocabMergesMemo(s, dir)
+      val merges = richVocabMergesLearn(s, dir)
       import s.implicits._
       merges.toDF("merge_rank", "a", "b", "merged", "freq")
         .orderBy("merge_rank")
