@@ -1104,7 +1104,7 @@ object Dedup {
        |  SELECT doc_id, e,
        |         COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) + 1 AS s
        |  FROM ${p}ends),
-       |${p}chunks AS (
+       |${p}chunks AS MATERIALIZED (
        |  SELECT c.doc_id, c.s, c.e,
        |         md5(substr(d.text, CAST(c.s AS INT), CAST(c.e - c.s + 1 AS INT))) AS h
        |  FROM ${p}ch c JOIN $src d USING (doc_id)),
@@ -1124,7 +1124,7 @@ object Dedup {
        |  SELECT doc_id, s, e,
        |         sum(b) OVER (PARTITION BY doc_id ORDER BY s) AS g
        |  FROM ${p}brk),
-       |${p}spans AS (
+       |${p}spans AS MATERIALIZED (
        |  SELECT doc_id, min(s) AS cs, max(e) AS ce
        |  FROM ${p}grp GROUP BY doc_id, g
        |  HAVING max(e) - min(s) + 1 >= 50),
@@ -1143,7 +1143,7 @@ object Dedup {
        |                    CAST(greatest(g.se - g.ss + 1, 0) AS INT)), '' ORDER BY g.ss) AS t2
        |  FROM ${p}segs g JOIN $src d USING (doc_id)
        |  GROUP BY g.doc_id),
-       |${p}scrubbed AS (
+       |${p}scrubbed AS MATERIALIZED (
        |  SELECT d.doc_id, COALESCE(sc.t2, d.text) AS text
        |  FROM $src d LEFT JOIN ${p}scrub sc USING (doc_id))""".stripMargin
 

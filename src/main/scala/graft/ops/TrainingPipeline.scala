@@ -414,11 +414,20 @@ object TrainingPipeline {
         val st = d.groupBy("source").agg(sum("n_tokens").as("tokens_in"))
         val tot = st.agg(sum("tokens_in").as("t_all"),
           count(lit(1)).as("n_src"))
+        // tokens_in can be ZERO when every surviving doc of a source
+        // was scrubbed to empty text (q129 found it at sf0.01 — the
+        // rewritten-text×mixing interaction the full config exists to
+        // check): rate 1.0 keeps the source whole, which is bin-neutral
+        // (empty docs chunk to nothing) and what the unguarded math
+        // means at the limit; ANSI mode would otherwise DIVIDE_BY_ZERO
+        // where DuckDB returns inf. Guarded IDENTICALLY in the oracle.
         val rates = st.crossJoin(broadcast(tot))
           .select(col("source"),
-            least(lit(1.0),
-              (col("t_all").cast("double") * frac / col("n_src")) /
-                col("tokens_in").cast("double")).as("rate"))
+            when(col("tokens_in") > 0,
+              least(lit(1.0),
+                (col("t_all").cast("double") * frac / col("n_src")) /
+                  col("tokens_in").cast("double")))
+              .otherwise(lit(1.0)).as("rate"))
         val keep = d.join(broadcast(rates), "source")
           .filter(col("rate") >= 1.0 ||
             substring(md5(col("doc_id").cast("string")), 1, 12) <
@@ -540,6 +549,19 @@ object TrainingPipeline {
   private[graft] val DeclaredMixCfg =
     DeclaredCfg.copy(mixTokenBudgetFrac = Some(DeclaredMixFrac))
 
+  /** q129's pinned configuration (r18, self-set): ALL THREE
+    * oracle-expressible optional stages composed at once — scrub,
+    * redaction, AND mixing. Beyond "each option works", this is the
+    * only declared config whose mixing stage consumes REWRITTEN text
+    * (token counts over scrubbed+redacted docs) and whose oracle
+    * exercises the generator's source join-back branch (`clean` joins
+    * `nd` for the source column the scrub/redaction CTEs don't carry)
+    * — dead text in q126/q127/q128.
+    */
+  private[graft] val DeclaredFullCfg =
+    DeclaredCfg.copy(scrubDupSpans = true, redactPii = true,
+      mixTokenBudgetFrac = Some(DeclaredMixFrac))
+
   /** The shared composed-pipeline query body: run [[prepare]] ITSELF at
     * `cfg` over the documents table, with the [[DeclaredEvalMod]] slice
     * as the eval set, and return the packed-bin output in declared
@@ -590,7 +612,8 @@ object TrainingPipeline {
     "q126_pipeline_pack" -> ((s, dir) => packQuery(s, dir, DeclaredCfg)),
     "q127_pipeline_scrub_redact" ->
       ((s, dir) => packQuery(s, dir, DeclaredScrubCfg)),
-    "q128_pipeline_mix" -> ((s, dir) => packQuery(s, dir, DeclaredMixCfg))
+    "q128_pipeline_mix" -> ((s, dir) => packQuery(s, dir, DeclaredMixCfg)),
+    "q129_pipeline_full" -> ((s, dir) => packQuery(s, dir, DeclaredFullCfg))
   )
 
   /** Generate the DuckDB oracle for [[packQuery]] at `c` — the CTE
@@ -619,7 +642,7 @@ object TrainingPipeline {
           case (inner, (re, marker)) =>
             s"regexp_replace($inner, '$re', '$marker', 'g')"
         }
-        s"""red AS (
+        s"""red AS MATERIALIZED (
            |  SELECT doc_id, $folded AS text
            |  FROM $from),
            |""".stripMargin
@@ -636,12 +659,12 @@ object TrainingPipeline {
     val srcCol = if (mixOn) ", source" else ""
     val cleanCte =
       if (!mixOn || prepped == "nd")
-        s"""clean AS (
+        s"""clean AS MATERIALIZED (
            |  SELECT doc_id, text$srcCol FROM $prepped
            |  WHERE doc_id NOT IN (SELECT doc_id FROM contam))"""
           .stripMargin
       else
-        s"""clean AS (
+        s"""clean AS MATERIALIZED (
            |  SELECT p.doc_id, p.text, n.source FROM $prepped p
            |  JOIN nd n USING (doc_id)
            |  WHERE p.doc_id NOT IN (SELECT doc_id FROM contam))"""
@@ -651,7 +674,7 @@ object TrainingPipeline {
     // chain operation-for-operation (left-assoc * then /, one rounding
     // per step), and the md5-vs-hex accept test is q103's proven pairing
     val mixCtes = c.mixTokenBudgetFrac.map { frac =>
-      s"""mixd AS (
+      s"""mixd AS MATERIALIZED (
          |  SELECT doc_id, source,
          |         CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_tokens
          |  FROM clean),
@@ -661,8 +684,10 @@ object TrainingPipeline {
          |           FROM mixst),
          |mixrates AS (
          |  SELECT source,
-         |         least(1.0, (CAST(t_all AS DOUBLE) * $frac / n_src)
-         |               / CAST(tokens_in AS DOUBLE)) AS rate
+         |         CASE WHEN tokens_in > 0
+         |              THEN least(1.0, (CAST(t_all AS DOUBLE) * $frac / n_src)
+         |                    / CAST(tokens_in AS DOUBLE))
+         |              ELSE 1.0 END AS rate
          |  FROM mixst CROSS JOIN mixtot),
          |mixkeep AS (
          |  SELECT d.doc_id FROM mixd d JOIN mixrates USING (source)
@@ -685,7 +710,7 @@ object TrainingPipeline {
        |    AND round(round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 4)
        |        * round(least(1.0, CAST(len(ws) AS DOUBLE) / 100), 4), 4)
        |        >= ${c.minQuality}),
-       |ex AS (
+       |ex AS MATERIALIZED (
        |  SELECT doc_id, text$srcCol FROM (
        |    SELECT doc_id, text$srcCol,
        |           row_number() OVER (PARTITION BY md5(text)
@@ -693,7 +718,7 @@ object TrainingPipeline {
        |    FROM qf)
        |  WHERE rn = 1),
        |${Dedup.simhashPairCtesFrom("ex")},
-       |nd AS (
+       |nd AS MATERIALIZED (
        |  SELECT doc_id, text$srcCol FROM ex
        |  WHERE doc_id NOT IN (
        |    SELECT doc_b FROM ham WHERE hamming <= ${c.maxHam})),
@@ -703,7 +728,7 @@ object TrainingPipeline {
        |           i -> substr(text, i, 8))) AS g
        |    FROM documents
        |    WHERE doc_id % $DeclaredEvalMod = 0 AND len(text) >= 8)),
-       |tg AS (
+       |tg AS MATERIALIZED (
        |  SELECT DISTINCT doc_id, g FROM (
        |    SELECT doc_id, unnest(list_transform(range(1, len(text) - 6),
        |           i -> substr(text, i, 8))) AS g
@@ -745,7 +770,8 @@ object TrainingPipeline {
   val oracle: Map[String, String] = Map(
     "q126_pipeline_pack" -> pipelineOracleSql(DeclaredCfg),
     "q127_pipeline_scrub_redact" -> pipelineOracleSql(DeclaredScrubCfg),
-    "q128_pipeline_mix" -> pipelineOracleSql(DeclaredMixCfg)
+    "q128_pipeline_mix" -> pipelineOracleSql(DeclaredMixCfg),
+    "q129_pipeline_full" -> pipelineOracleSql(DeclaredFullCfg)
   )
 
 }

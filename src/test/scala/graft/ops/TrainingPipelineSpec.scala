@@ -343,7 +343,8 @@ class TrainingPipelineSpec extends SparkSpec {
     for ((name, c) <- Seq(
         ("q126", TrainingPipeline.DeclaredCfg),
         ("q127", TrainingPipeline.DeclaredScrubCfg),
-        ("q128", TrainingPipeline.DeclaredMixCfg))) {
+        ("q128", TrainingPipeline.DeclaredMixCfg),
+        ("q129", TrainingPipeline.DeclaredFullCfg))) {
       assert(!c.audit, s"$name must not pay the audit counts")
       assert(!c.keepBestQuality && !c.scrubFixpoint &&
         !c.scrubContiguousOnly && c.scrubBoundary == "md5" &&
@@ -361,6 +362,9 @@ class TrainingPipelineSpec extends SparkSpec {
     val c128 = TrainingPipeline.DeclaredMixCfg
     assert(!c128.scrubDupSpans && !c128.redactPii &&
       c128.mixTokenBudgetFrac.contains(TrainingPipeline.DeclaredMixFrac))
+    val c129 = TrainingPipeline.DeclaredFullCfg
+    assert(c129.scrubDupSpans && c129.redactPii &&
+      c129.mixTokenBudgetFrac.contains(TrainingPipeline.DeclaredMixFrac))
   }
 
   test("pipelineOracleSql refuses configs outside its envelope") {
