@@ -562,6 +562,20 @@ object TrainingPipeline {
     DeclaredCfg.copy(scrubDupSpans = true, redactPii = true,
       mixTokenBudgetFrac = Some(DeclaredMixFrac))
 
+  /** q130's pinned configuration (r18, self-set): the ORDER-EXPORT
+    * stage composed under the hash gate — prepare() with
+    * exportOrderSeed, declared output = Result.order (shard, pos,
+    * doc_id), the frame a pretraining loader actually consumes. Unlike
+    * q106 (which pins keyHexDigits=1 for its legacy oracle), this
+    * covers trainOrder's production-default 12-hex shard key, AND the
+    * wiring claim that the order runs over exactly the pipeline's
+    * survivor set.
+    */
+  private[graft] val DeclaredOrderSeed = "42"
+  private[graft] val DeclaredOrderCfg =
+    DeclaredCfg.copy(exportOrderSeed = Some(DeclaredOrderSeed),
+      exportShards = 8)
+
   /** The shared composed-pipeline query body: run [[prepare]] ITSELF at
     * `cfg` over the documents table, with the [[DeclaredEvalMod]] slice
     * as the eval set, and return the packed-bin output in declared
@@ -578,8 +592,8 @@ object TrainingPipeline {
     * plan-inspection tooling should expect these three queries to run
     * jobs at construction (SparkEntry's EAGERNESS EXCEPTION).
     */
-  private def packQuery(s: org.apache.spark.sql.SparkSession, dir: String,
-                        cfg: Config): DataFrame = {
+  private def runPipeline(s: org.apache.spark.sql.SparkSession, dir: String,
+                          cfg: Config): Result = {
     val all = Tables(s, dir, "documents")
     val inCols = Seq(col("doc_id"), col("text")) ++
       (if (cfg.mixTokenBudgetFrac.isDefined) Seq(col("source")) else Nil)
@@ -590,8 +604,12 @@ object TrainingPipeline {
       cfg)
     res.survivors.count()
     res.cleanup()
-    res.packed.orderBy("shard", "bin")
+    res
   }
+
+  private def packQuery(s: org.apache.spark.sql.SparkSession, dir: String,
+                        cfg: Config): DataFrame =
+    runPipeline(s, dir, cfg).packed.orderBy("shard", "bin")
 
   /** The composed-pipeline oracle queries (r16 VERDICT #4; widened by
     * r17 VERDICT #1/#5): the oracle re-expresses each composition as
@@ -613,7 +631,9 @@ object TrainingPipeline {
     "q127_pipeline_scrub_redact" ->
       ((s, dir) => packQuery(s, dir, DeclaredScrubCfg)),
     "q128_pipeline_mix" -> ((s, dir) => packQuery(s, dir, DeclaredMixCfg)),
-    "q129_pipeline_full" -> ((s, dir) => packQuery(s, dir, DeclaredFullCfg))
+    "q129_pipeline_full" -> ((s, dir) => packQuery(s, dir, DeclaredFullCfg)),
+    "q130_pipeline_order" -> ((s, dir) =>
+      runPipeline(s, dir, DeclaredOrderCfg).order.get.orderBy("shard", "pos"))
   )
 
   /** Generate the DuckDB oracle for [[packQuery]] at `c` — the CTE
@@ -622,11 +642,19 @@ object TrainingPipeline {
     * (mixing) → chunk → pack. Only the stages `c` enables are emitted;
     * with every option off this is byte-for-byte r17's q126 oracle.
     */
-  private[graft] def pipelineOracleSql(c: Config): String = {
+  /** The shared CTE chain through the SURVIVOR relation — everything
+    * from quality filtering to (optional) mixing, ending with a
+    * trailing comma. Returns (ctes, survivorRelationName). Both oracle
+    * tails (pack — [[pipelineOracleSql]]; order export —
+    * [[pipelineOrderOracleSql]]) append to it, so the chain has ONE
+    * formulation. exportOrderSeed/bpeEncode are additive stages that
+    * never move the chain, so the envelope check ignores them here;
+    * each tail checks what it consumes.
+    */
+  private def pipelineChainSql(c: Config): (String, String) = {
     require(!c.keepBestQuality && !c.scrubFixpoint && !c.scrubContiguousOnly
-        && c.scrubBoundary == "md5" && c.exportOrderSeed.isEmpty
-        && !c.bpeEncode,
-      "pipelineOracleSql covers the declared oracle-expressible configs")
+        && c.scrubBoundary == "md5",
+      "pipelineChainSql covers the declared oracle-expressible configs")
     // optional stage 3b/3c: scrub (q107's chain re-sourced at nd) then
     // redaction (q110's three regexp_replace stages, same fixed order);
     // `prepped` names whichever relation carries the stage-final text
@@ -700,7 +728,7 @@ object TrainingPipeline {
          |""".stripMargin
     }.getOrElse("")
     val chSrc = if (mixOn) "mixed" else "clean"
-    s"""WITH wq AS (
+    val ctes = s"""WITH wq AS (
        |  SELECT doc_id, text$srcCol,
        |         list_filter(string_split(text, ' '), w -> w <> '') AS ws
        |  FROM documents),
@@ -742,10 +770,16 @@ object TrainingPipeline {
        |  WHERE CAST(COALESCE(h.hit, 0) AS DOUBLE) / t.total
        |        > ${c.maxContamRatio}),
        |$cleanCte,
-       |${mixCtes}cws AS (
+       |$mixCtes""".stripMargin
+    (ctes, chSrc)
+  }
+
+  private[graft] def pipelineOracleSql(c: Config): String = {
+    val (ctes, survivors) = pipelineChainSql(c)
+    s"""${ctes}cws AS (
        |  SELECT doc_id,
        |         list_filter(string_split(text, ' '), w -> w <> '') AS ws
-       |  FROM $chSrc),
+       |  FROM $survivors),
        |ch AS (
        |  SELECT doc_id,
        |         unnest(list_transform(range(0, CAST(ceil(len(ws) / 40.0) AS INT)),
@@ -767,11 +801,41 @@ object TrainingPipeline {
        |FROM binned GROUP BY shard, bin ORDER BY shard, bin""".stripMargin
   }
 
+  /** The order-export tail (q130): q106's machinery at the PIPELINE's
+    * parameters — trainOrder's full 12-hex-digit shard key over the
+    * survivor set (q106's declared query pins keyHexDigits=1 for its
+    * legacy oracle; THIS oracle covers the production-default key the
+    * pipeline actually exports). The 12-hex parse is exact in DOUBLE
+    * (digit·16^11 <= 15·2^44 < 2^53, sum < 2^48), so the
+    * list_transform/power fold equals Spark's conv(…,16,10) BIGINT
+    * bit-for-bit; the key is non-negative, so `%` equals pmod.
+    */
+  private[graft] def pipelineOrderOracleSql(c: Config): String = {
+    val (ctes, survivors) = pipelineChainSql(c)
+    val seed = c.exportOrderSeed.getOrElse(
+      throw new IllegalArgumentException(
+        "pipelineOrderOracleSql needs exportOrderSeed"))
+    s"""${ctes}ord AS (
+       |  SELECT doc_id, md5('$seed|' || CAST(doc_id AS VARCHAR)) AS rk
+       |  FROM $survivors),
+       |shd AS (
+       |  SELECT doc_id, rk,
+       |         CAST(CAST(list_sum(list_transform(range(1, 13),
+       |              i -> (strpos('0123456789abcdef', substr(rk, CAST(i AS INT), 1)) - 1)
+       |                   * power(16.0, 12 - i))) AS BIGINT) % ${c.exportShards} AS BIGINT) AS shard
+       |  FROM ord)
+       |SELECT shard,
+       |       CAST(row_number() OVER (PARTITION BY shard ORDER BY rk, doc_id) AS BIGINT) AS pos,
+       |       doc_id
+       |FROM shd ORDER BY shard, pos""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q126_pipeline_pack" -> pipelineOracleSql(DeclaredCfg),
     "q127_pipeline_scrub_redact" -> pipelineOracleSql(DeclaredScrubCfg),
     "q128_pipeline_mix" -> pipelineOracleSql(DeclaredMixCfg),
-    "q129_pipeline_full" -> pipelineOracleSql(DeclaredFullCfg)
+    "q129_pipeline_full" -> pipelineOracleSql(DeclaredFullCfg),
+    "q130_pipeline_order" -> pipelineOrderOracleSql(DeclaredOrderCfg)
   )
 
 }

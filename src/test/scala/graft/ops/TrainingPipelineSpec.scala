@@ -344,11 +344,15 @@ class TrainingPipelineSpec extends SparkSpec {
         ("q126", TrainingPipeline.DeclaredCfg),
         ("q127", TrainingPipeline.DeclaredScrubCfg),
         ("q128", TrainingPipeline.DeclaredMixCfg),
-        ("q129", TrainingPipeline.DeclaredFullCfg))) {
+        ("q129", TrainingPipeline.DeclaredFullCfg),
+        ("q130", TrainingPipeline.DeclaredOrderCfg))) {
       assert(!c.audit, s"$name must not pay the audit counts")
+      // exportOrderSeed is additive (never moves the chain) and q130's
+      // oracle expresses it — only the chain-moving and BPE stages stay
+      // outside the generated-oracle envelope
       assert(!c.keepBestQuality && !c.scrubFixpoint &&
         !c.scrubContiguousOnly && c.scrubBoundary == "md5" &&
-        c.exportOrderSeed.isEmpty && !c.bpeEncode &&
+        !c.bpeEncode &&
         c.bpeHotPart.isEmpty && c.bpeBatched.isEmpty,
         s"$name config enables a stage its oracle does not express: $c")
     }
@@ -365,18 +369,28 @@ class TrainingPipelineSpec extends SparkSpec {
     val c129 = TrainingPipeline.DeclaredFullCfg
     assert(c129.scrubDupSpans && c129.redactPii &&
       c129.mixTokenBudgetFrac.contains(TrainingPipeline.DeclaredMixFrac))
+    val c130 = TrainingPipeline.DeclaredOrderCfg
+    assert(c130.exportOrderSeed.contains(TrainingPipeline.DeclaredOrderSeed) &&
+      c130.exportShards == 8 && !c130.scrubDupSpans && !c130.redactPii &&
+      c130.mixTokenBudgetFrac.isEmpty)
   }
 
   test("pipelineOracleSql refuses configs outside its envelope") {
+    // chain-moving stages the SQL cannot express; additive stages
+    // (exportOrderSeed, bpeEncode) deliberately pass — they never move
+    // the chain, and q130's order tail consumes the former
     for (bad <- Seq(
         TrainingPipeline.DeclaredCfg.copy(keepBestQuality = true),
         TrainingPipeline.DeclaredCfg.copy(scrubDupSpans = true,
           scrubFixpoint = true),
         TrainingPipeline.DeclaredCfg.copy(scrubDupSpans = true,
-          scrubBoundary = "gear"),
-        TrainingPipeline.DeclaredCfg.copy(bpeEncode = true)))
+          scrubBoundary = "gear")))
       intercept[IllegalArgumentException] {
         TrainingPipeline.pipelineOracleSql(bad)
       }
+    // the order tail additionally needs the seed
+    intercept[IllegalArgumentException] {
+      TrainingPipeline.pipelineOrderOracleSql(TrainingPipeline.DeclaredCfg)
+    }
   }
 }
