@@ -9,6 +9,14 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
+echo "== record hygiene =="
+# r18 judge finding #2: an unfilled template field (e.g.
+# TESTCOUNT_PLACEHOLDER) must never ship in the record again.
+if grep -nE '[A-Z]+_PLACEHOLDER|TBD_|FIXME_RECORD' SURVEY.md ADVICE.md 2>/dev/null; then
+  echo "unfilled template token in the record"; exit 1
+fi
+echo "no template tokens"
+
 echo "== compile =="
 sbt -batch compile 2>&1 | tail -1 | grep -q '\[success\]'
 
