@@ -1625,7 +1625,7 @@ object TextAnalysis {
     * 2^20-fold. The word `w` rides through every s-stage so q116 can
     * read the final stage as the word → segmentation map.
     */
-  private def bpeStagesSql(): String = {
+  private def bpeStagesSql(src: String = "documents"): String = {
     val stages = (1 to BpeMerges).map { k =>
       s"""p$k AS MATERIALIZED (
          |  SELECT a, b, sum(f) AS cnt FROM (
@@ -1645,7 +1645,7 @@ object TextAnalysis {
     s"""w0 AS MATERIALIZED (
        |  SELECT w, count(*) AS f FROM (
        |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
-       |    FROM documents)
+       |    FROM $src)
        |  WHERE regexp_matches(w, '^[a-z]+$$')
        |  GROUP BY w),
        |s0 AS MATERIALIZED (
@@ -1811,7 +1811,8 @@ object TextAnalysis {
     * non-alphabetic types pass through whole (coalesce), empty docs
     * re-enter with the empty-string md5.
     */
-  private def bpeEncodeApplySql(segTable: String, textSql: String): String =
+  private def bpeEncodeApplySql(segTable: String, textSql: String,
+      src: String = "documents"): String =
     s"""seg AS MATERIALIZED (
        |  SELECT w,
        |         array_to_string(string_split(trim(s), '  '), ' ') AS sws,
@@ -1821,7 +1822,7 @@ object TextAnalysis {
        |  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos
        |  FROM (SELECT doc_id,
        |               list_filter(string_split($textSql, ' '), x -> x <> '') AS ws
-       |        FROM documents)
+       |        FROM $src)
        |  WHERE len(ws) > 0),
        |applied AS (
        |  SELECT t.doc_id,
@@ -1833,8 +1834,21 @@ object TextAnalysis {
        |SELECT d.doc_id,
        |       CAST(coalesce(a.n_subwords, 0) AS BIGINT) AS n_subwords,
        |       coalesce(a.toks_md5, md5('')) AS toks_md5
-       |FROM documents d LEFT JOIN applied a ON d.doc_id = a.doc_id
+       |FROM $src d LEFT JOIN applied a ON d.doc_id = a.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  /** The sequential-learner learn+encode oracle tail over an arbitrary
+    * (doc_id, text) source relation — [[bpeStagesSql]]'s [[BpeMerges]]
+    * unrolled greedy rounds seeded from `src`'s word frequencies, then
+    * [[bpeEncodeApplySql]]'s application half over the same relation.
+    * Exists for the composed pipeline's q132: learn on the SURVIVOR
+    * corpus, encode the survivors (q114/q116 read it at
+    * src = "documents"). Emits CTE text ending in the final SELECT, to
+    * be appended to a chain that ends with a trailing comma.
+    */
+  private[ops] def bpeSeqEncodeOracleTail(src: String): String =
+    s"""${bpeStagesSql(src)},
+       |${bpeEncodeApplySql(s"s$BpeMerges", "text", src)}""".stripMargin
 
   /** The final merge-table SELECT over [[bpeHotStagesSql]] stages. */
   private def bpeHotMergesSql(px: String, rounds: Int,

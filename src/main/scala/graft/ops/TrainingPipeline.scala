@@ -576,6 +576,37 @@ object TrainingPipeline {
     DeclaredCfg.copy(exportOrderSeed = Some(DeclaredOrderSeed),
       exportShards = 8)
 
+  /** q131's pinned configuration (r18 VERDICT #1): [[DeclaredCfg]] with
+    * `keepBestQuality = true` — the pipeline's only production-real
+    * ALTERNATIVE keep policy (q104's keep-max-quality-per-cluster in
+    * place of the greedy drop-doc_b rule), and the last
+    * survivor-set-changing option that had no composed oracle. The
+    * oracle splices q100's recursive-closure labels + q88's quality
+    * rank (both long hash-green) where the greedy NOT IN sits.
+    */
+  private[graft] val DeclaredBestCfg = DeclaredCfg.copy(keepBestQuality = true)
+
+  /** q132's pinned configuration (r18 VERDICT #2): the scrub+redact
+    * chain (q127's config) ending with the q114+q116 tokenizer stage —
+    * learn [[TextAnalysis.BpeMerges]] merges on the SURVIVING
+    * post-scrub/redaction/decontamination text (the tokenizer never
+    * memorizes content the pipeline dropped — the learn-on-clean-text
+    * wiring claim) and encode every survivor. Declared output =
+    * Result.bpe reattached over the survivor set in q116's
+    * (doc_id, n_subwords, toks_md5) shape.
+    */
+  private[graft] val DeclaredBpeCfg = DeclaredScrubCfg.copy(bpeEncode = true)
+
+  /** q133's pinned configuration (r18 VERDICT #4, the widened order
+    * wiring): [[DeclaredFullCfg]]'s scrub + redaction + mixing chain
+    * ending with the order export — the order runs over REWRITTEN,
+    * mix-sampled survivors, the one order composition q130 (mandatory
+    * chain only) left unexercised. Same seed and shard count as q130.
+    */
+  private[graft] val DeclaredOrderFullCfg =
+    DeclaredFullCfg.copy(exportOrderSeed = Some(DeclaredOrderSeed),
+      exportShards = 8)
+
   /** The shared composed-pipeline query body: run [[prepare]] ITSELF at
     * `cfg` over the documents table, with the [[DeclaredEvalMod]] slice
     * as the eval set, and return the packed-bin output in declared
@@ -633,7 +664,28 @@ object TrainingPipeline {
     "q128_pipeline_mix" -> ((s, dir) => packQuery(s, dir, DeclaredMixCfg)),
     "q129_pipeline_full" -> ((s, dir) => packQuery(s, dir, DeclaredFullCfg)),
     "q130_pipeline_order" -> ((s, dir) =>
-      runPipeline(s, dir, DeclaredOrderCfg).order.get.orderBy("shard", "pos"))
+      runPipeline(s, dir, DeclaredOrderCfg).order.get.orderBy("shard", "pos")),
+    "q131_pipeline_keepbest" ->
+      ((s, dir) => packQuery(s, dir, DeclaredBestCfg)),
+    // q132: Result.bpe gated in q116's declared shape — md5 the subword
+    // sequence and reattach over the SURVIVOR set (scrub can empty a
+    // doc's text, and zero-token docs have no encode row; the pinned
+    // SHUFFLE_HASH reattach is q116's — the aggregate side is
+    // corpus-shaped, never broadcast)
+    "q132_pipeline_bpe" -> ((s, dir) => {
+      val res = runPipeline(s, dir, DeclaredBpeCfg)
+      val enc = res.bpe.get.select(col("doc_id"), col("n_subwords"),
+        md5(col("seq")).as("toks_md5"))
+      res.survivors.select("doc_id")
+        .join(enc.hint("SHUFFLE_HASH"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_subwords"), lit(0L)).as("n_subwords"),
+          coalesce(col("toks_md5"), md5(lit(""))).as("toks_md5"))
+        .orderBy("doc_id")
+    }),
+    "q133_pipeline_order_full" -> ((s, dir) =>
+      runPipeline(s, dir, DeclaredOrderFullCfg).order.get
+        .orderBy("shard", "pos"))
   )
 
   /** Generate the DuckDB oracle for [[packQuery]] at `c` — the CTE
@@ -652,7 +704,7 @@ object TrainingPipeline {
     * each tail checks what it consumes.
     */
   private def pipelineChainSql(c: Config): (String, String) = {
-    require(!c.keepBestQuality && !c.scrubFixpoint && !c.scrubContiguousOnly
+    require(!c.scrubFixpoint && !c.scrubContiguousOnly
         && c.scrubBoundary == "md5",
       "pipelineChainSql covers the declared oracle-expressible configs")
     // optional stage 3b/3c: scrub (q107's chain re-sourced at nd) then
@@ -728,7 +780,57 @@ object TrainingPipeline {
          |""".stripMargin
     }.getOrElse("")
     val chSrc = if (mixOn) "mixed" else "clean"
-    val ctes = s"""WITH wq AS (
+    // stage-3 drop rule: greedy (drop every qualifying doc_b — q126's
+    // declared rule) or — keepBestQuality — q104's cluster-canonical
+    // selection: q100's recursive transitive closure labels the pair
+    // graph's components (cluster = min reachable id incl. self), q88's
+    // quality chain (identical rounding, computed over the exact-dedup
+    // survivors exactly as prepare() does) ranks each component, and
+    // everything but the rank-1 member drops. The closure needs WITH
+    // RECURSIVE, so the prefix is config-dependent; the non-best texts
+    // stay byte-identical to their r18 green forms.
+    val kbqCtes =
+      if (!c.keepBestQuality) ""
+      else s"""kbq_edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM ham WHERE hamming <= ${c.maxHam}),
+         |kbq_sym AS (SELECT a, b FROM kbq_edges
+         |            UNION SELECT b AS a, a AS b FROM kbq_edges),
+         |kbq_reach(src, dst) AS (
+         |  SELECT a, b FROM kbq_sym
+         |  UNION
+         |  SELECT r.src, s.b FROM kbq_reach r JOIN kbq_sym s ON r.dst = s.a),
+         |kbq_labels AS (
+         |  SELECT src AS doc_id, least(src, min(dst)) AS cluster
+         |  FROM kbq_reach GROUP BY src),
+         |kbq_qual AS (
+         |  SELECT doc_id,
+         |         round(CASE WHEN n_words > 0
+         |                    THEN round(CAST(n_uniq AS DOUBLE) / n_words, 4) ELSE 0.0 END
+         |               * round(least(1.0, CAST(n_words AS DOUBLE) / 100), 4), 4) AS quality
+         |  FROM (SELECT doc_id,
+         |               CAST(len(ws) AS BIGINT) AS n_words,
+         |               CAST(len(list_distinct(ws)) AS BIGINT) AS n_uniq
+         |        FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+         |              FROM ex))),
+         |kbq_drop AS (
+         |  SELECT doc_id FROM (
+         |    SELECT l.doc_id,
+         |           row_number() OVER (PARTITION BY l.cluster
+         |                              ORDER BY q.quality DESC, l.doc_id) AS rn
+         |    FROM kbq_labels l JOIN kbq_qual q USING (doc_id))
+         |  WHERE rn > 1),
+         |""".stripMargin
+    val ndBody =
+      if (!c.keepBestQuality)
+        s"""  SELECT doc_id, text$srcCol FROM ex
+           |  WHERE doc_id NOT IN (
+           |    SELECT doc_b FROM ham WHERE hamming <= ${c.maxHam})"""
+          .stripMargin
+      else
+        s"""  SELECT doc_id, text$srcCol FROM ex
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM kbq_drop)""".stripMargin
+    val withKw = if (c.keepBestQuality) "WITH RECURSIVE" else "WITH"
+    val ctes = s"""$withKw wq AS (
        |  SELECT doc_id, text$srcCol,
        |         list_filter(string_split(text, ' '), w -> w <> '') AS ws
        |  FROM documents),
@@ -746,10 +848,8 @@ object TrainingPipeline {
        |    FROM qf)
        |  WHERE rn = 1),
        |${Dedup.simhashPairCtesFrom("ex")},
-       |nd AS MATERIALIZED (
-       |  SELECT doc_id, text$srcCol FROM ex
-       |  WHERE doc_id NOT IN (
-       |    SELECT doc_b FROM ham WHERE hamming <= ${c.maxHam})),
+       |${kbqCtes}nd AS MATERIALIZED (
+       |$ndBody),
        |${scrubCtes}${redCtes}eg AS (
        |  SELECT DISTINCT g FROM (
        |    SELECT unnest(list_transform(range(1, len(text) - 6),
@@ -830,12 +930,31 @@ object TrainingPipeline {
        |FROM shd ORDER BY shard, pos""".stripMargin
   }
 
+  /** The tokenizer tail (q132): [[TextAnalysis.bpeSeqEncodeOracleTail]]
+    * — the q114 sequential learner's unrolled merge rounds seeded from
+    * the SURVIVOR relation's word frequencies, then the q116/q120/q125
+    * application half over the same relation. One generator per stage,
+    * shared verbatim with the per-stage oracles; only the source
+    * relation differs (q114/q116 read it at src = "documents").
+    */
+  private[graft] def pipelineBpeOracleSql(c: Config): String = {
+    require(c.bpeEncode && c.bpeHotPart.isEmpty && c.bpeBatched.isEmpty
+        && !c.bpeEowMarker && c.bpeMerges == TextAnalysis.BpeMerges,
+      "pipelineBpeOracleSql models the sequential no-marker learner at " +
+        s"the declared ${TextAnalysis.BpeMerges}-merge depth")
+    val (ctes, survivors) = pipelineChainSql(c)
+    s"$ctes${TextAnalysis.bpeSeqEncodeOracleTail(survivors)}"
+  }
+
   val oracle: Map[String, String] = Map(
     "q126_pipeline_pack" -> pipelineOracleSql(DeclaredCfg),
     "q127_pipeline_scrub_redact" -> pipelineOracleSql(DeclaredScrubCfg),
     "q128_pipeline_mix" -> pipelineOracleSql(DeclaredMixCfg),
     "q129_pipeline_full" -> pipelineOracleSql(DeclaredFullCfg),
-    "q130_pipeline_order" -> pipelineOrderOracleSql(DeclaredOrderCfg)
+    "q130_pipeline_order" -> pipelineOrderOracleSql(DeclaredOrderCfg),
+    "q131_pipeline_keepbest" -> pipelineOracleSql(DeclaredBestCfg),
+    "q132_pipeline_bpe" -> pipelineBpeOracleSql(DeclaredBpeCfg),
+    "q133_pipeline_order_full" -> pipelineOrderOracleSql(DeclaredOrderFullCfg)
   )
 
 }

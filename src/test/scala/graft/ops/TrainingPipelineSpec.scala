@@ -332,34 +332,36 @@ class TrainingPipelineSpec extends SparkSpec {
   }
 
   test("the declared pipeline configs stay inside the oracle-expressible stage subset (drift tripwire)") {
-    // pipelineOracleSql models the mandatory chain plus one-pass md5
-    // scrub, staged PII redaction, and q103 mixing (r17 VERDICT #1/#5)
-    // — but NOT keep-best-quality, fixpoint/contiguous scrub variants,
-    // gear boundaries, BPE, or order export. A future default flip (or
-    // a Declared*Cfg edit enabling one of those) must extend the
-    // generator, not silently run a stage the SQL doesn't express.
-    // The generator's own require() guards the same envelope at
-    // construction; this pins the DECLARED configs' wiring.
+    // pipelineChainSql models the mandatory chain plus one-pass md5
+    // scrub, staged PII redaction, q103 mixing, and (r19, VERDICT #1)
+    // q104's keep-best-quality selection — but NOT fixpoint/contiguous
+    // scrub variants or gear boundaries; the BPE tail (r19, VERDICT #2)
+    // models only the sequential no-marker learner at the declared
+    // depth. A future default flip (or a Declared*Cfg edit enabling an
+    // unmodeled stage) must extend the generator, not silently run a
+    // stage the SQL doesn't express. The generators' own require()s
+    // guard the same envelope at construction; this pins the DECLARED
+    // configs' wiring.
     for ((name, c) <- Seq(
         ("q126", TrainingPipeline.DeclaredCfg),
         ("q127", TrainingPipeline.DeclaredScrubCfg),
         ("q128", TrainingPipeline.DeclaredMixCfg),
         ("q129", TrainingPipeline.DeclaredFullCfg),
-        ("q130", TrainingPipeline.DeclaredOrderCfg))) {
+        ("q130", TrainingPipeline.DeclaredOrderCfg),
+        ("q131", TrainingPipeline.DeclaredBestCfg),
+        ("q132", TrainingPipeline.DeclaredBpeCfg),
+        ("q133", TrainingPipeline.DeclaredOrderFullCfg))) {
       assert(!c.audit, s"$name must not pay the audit counts")
-      // exportOrderSeed is additive (never moves the chain) and q130's
-      // oracle expresses it — only the chain-moving and BPE stages stay
-      // outside the generated-oracle envelope
-      assert(!c.keepBestQuality && !c.scrubFixpoint &&
+      assert(!c.scrubFixpoint &&
         !c.scrubContiguousOnly && c.scrubBoundary == "md5" &&
-        !c.bpeEncode &&
-        c.bpeHotPart.isEmpty && c.bpeBatched.isEmpty,
+        c.bpeHotPart.isEmpty && c.bpeBatched.isEmpty && !c.bpeEowMarker &&
+        c.bpeMerges == graft.ops.TextAnalysis.BpeMerges,
         s"$name config enables a stage its oracle does not express: $c")
     }
     // the stage wiring each declared config exists to prove
     val c126 = TrainingPipeline.DeclaredCfg
     assert(!c126.scrubDupSpans && !c126.redactPii &&
-      c126.mixTokenBudgetFrac.isEmpty)
+      c126.mixTokenBudgetFrac.isEmpty && !c126.keepBestQuality)
     val c127 = TrainingPipeline.DeclaredScrubCfg
     assert(c127.scrubDupSpans && c127.redactPii &&
       c127.mixTokenBudgetFrac.isEmpty)
@@ -373,14 +375,23 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(c130.exportOrderSeed.contains(TrainingPipeline.DeclaredOrderSeed) &&
       c130.exportShards == 8 && !c130.scrubDupSpans && !c130.redactPii &&
       c130.mixTokenBudgetFrac.isEmpty)
+    val c131 = TrainingPipeline.DeclaredBestCfg
+    assert(c131.keepBestQuality && !c131.scrubDupSpans && !c131.redactPii &&
+      c131.mixTokenBudgetFrac.isEmpty && !c131.bpeEncode)
+    val c132 = TrainingPipeline.DeclaredBpeCfg
+    assert(c132.bpeEncode && c132.scrubDupSpans && c132.redactPii &&
+      c132.mixTokenBudgetFrac.isEmpty && !c132.keepBestQuality)
+    val c133 = TrainingPipeline.DeclaredOrderFullCfg
+    assert(c133.exportOrderSeed.contains(TrainingPipeline.DeclaredOrderSeed) &&
+      c133.exportShards == 8 && c133.scrubDupSpans && c133.redactPii &&
+      c133.mixTokenBudgetFrac.contains(TrainingPipeline.DeclaredMixFrac))
   }
 
-  test("pipelineOracleSql refuses configs outside its envelope") {
+  test("the oracle generators refuse configs outside their envelopes") {
     // chain-moving stages the SQL cannot express; additive stages
-    // (exportOrderSeed, bpeEncode) deliberately pass — they never move
-    // the chain, and q130's order tail consumes the former
+    // (exportOrderSeed, bpeEncode) deliberately pass the CHAIN check —
+    // they never move the chain, and the order/bpe tails consume them
     for (bad <- Seq(
-        TrainingPipeline.DeclaredCfg.copy(keepBestQuality = true),
         TrainingPipeline.DeclaredCfg.copy(scrubDupSpans = true,
           scrubFixpoint = true),
         TrainingPipeline.DeclaredCfg.copy(scrubDupSpans = true,
@@ -392,5 +403,17 @@ class TrainingPipelineSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TrainingPipeline.pipelineOrderOracleSql(TrainingPipeline.DeclaredCfg)
     }
+    // the bpe tail models exactly the sequential no-marker learner at
+    // the declared merge depth — every other learner/dial refuses
+    for (bad <- Seq(
+        TrainingPipeline.DeclaredCfg, // bpeEncode off
+        TrainingPipeline.DeclaredBpeCfg.copy(bpeHotPart = Some(3)),
+        TrainingPipeline.DeclaredBpeCfg.copy(bpeBatched = Some((3, 4))),
+        TrainingPipeline.DeclaredBpeCfg.copy(bpeEowMarker = true),
+        TrainingPipeline.DeclaredBpeCfg.copy(
+          bpeMerges = graft.ops.TextAnalysis.BpeMerges + 1)))
+      intercept[IllegalArgumentException] {
+        TrainingPipeline.pipelineBpeOracleSql(bad)
+      }
   }
 }
