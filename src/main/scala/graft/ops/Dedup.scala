@@ -1077,6 +1077,46 @@ object Dedup {
   /** The q78 pair threshold, shared with the q126 oracle generator. */
   private[ops] def maxHamDefault: Int = MAXHAM
 
+  /** q104's cluster-keep-best CTE chain (qualifying edges over a
+    * preceding `ham` CTE → symmetric closure → recursive transitive
+    * closure → min-reachable-id component labels → q88's quality chain,
+    * identical rounding, over `src` → the per-cluster
+    * (quality DESC, doc_id) rank), CTEs only, parameterized by the
+    * (doc_id, text) source relation, a name prefix, and the hamming
+    * threshold so the composed-pipeline oracle (q131) can run the
+    * IDENTICAL text over its exact-dedup-survivor CTE (q104 calls it
+    * with src="documents", p="" — its r11 text byte-for-byte). Needs a
+    * `WITH RECURSIVE` prelude and [[simhashPairCtesFrom]]'s `ham`
+    * before it. Ends at `${p}ranked` (cluster, doc_id, quality, rn,
+    * n_members): q104 keeps rn = 1, q131 drops rn > 1.
+    */
+  private[ops] def keepBestCtesFrom(src: String, p: String,
+      maxHam: Int): String =
+    s"""${p}edges AS (SELECT doc_a AS a, doc_b AS b FROM ham WHERE hamming <= $maxHam),
+       |${p}sym AS (SELECT a, b FROM ${p}edges UNION SELECT b AS a, a AS b FROM ${p}edges),
+       |${p}reach(src, dst) AS (
+       |  SELECT a, b FROM ${p}sym
+       |  UNION
+       |  SELECT r.src, s.b FROM ${p}reach r JOIN ${p}sym s ON r.dst = s.a),
+       |${p}labels AS (
+       |  SELECT src AS doc_id, least(src, min(dst)) AS cluster
+       |  FROM ${p}reach GROUP BY src),
+       |${p}qual AS (
+       |  SELECT doc_id,
+       |         round(CASE WHEN n_words > 0
+       |                    THEN round(CAST(n_uniq AS DOUBLE) / n_words, 4) ELSE 0.0 END
+       |               * round(least(1.0, CAST(n_words AS DOUBLE) / 100), 4), 4) AS quality
+       |  FROM (SELECT doc_id,
+       |               CAST(len(ws) AS BIGINT) AS n_words,
+       |               CAST(len(list_distinct(ws)) AS BIGINT) AS n_uniq
+       |        FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+       |              FROM $src))),
+       |${p}ranked AS (
+       |  SELECT l.cluster, l.doc_id, q.quality,
+       |         row_number() OVER (PARTITION BY l.cluster ORDER BY q.quality DESC, l.doc_id) AS rn,
+       |         count(*) OVER (PARTITION BY l.cluster) AS n_members
+       |  FROM ${p}labels l JOIN ${p}qual q USING (doc_id))""".stripMargin
+
   /** The declarative CDC span-scrub chain (q107's oracle formulation:
     * md5-8-gram chunk boundaries → chunk hashes → foreign chunks (hash
     * in >= 2 docs, this doc not the min holder) → adjacent runs >= 50
@@ -1302,33 +1342,12 @@ object Dedup {
           |ORDER BY d.doc_id""".stripMargin,
       // q104: q100's label chain + q88's quality formula (identical
       // rounding), then one row per cluster: the max-quality member
-      // (min doc_id among ties) and the cluster size
+      // (min doc_id among ties) and the cluster size. The CTE chain is
+      // the source-parameterized [[keepBestCtesFrom]] — shared verbatim
+      // with the composed-pipeline oracle (q131).
       "q104_cluster_keep_quality" ->
         s"""WITH RECURSIVE ${simhashPairCtesFrom("documents")},
-           |edges AS (SELECT doc_a AS a, doc_b AS b FROM ham WHERE hamming <= $MAXHAM),
-           |sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
-           |reach(src, dst) AS (
-           |  SELECT a, b FROM sym
-           |  UNION
-           |  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a),
-           |labels AS (
-           |  SELECT src AS doc_id, least(src, min(dst)) AS cluster
-           |  FROM reach GROUP BY src),
-           |qual AS (
-           |  SELECT doc_id,
-           |         round(CASE WHEN n_words > 0
-           |                    THEN round(CAST(n_uniq AS DOUBLE) / n_words, 4) ELSE 0.0 END
-           |               * round(least(1.0, CAST(n_words AS DOUBLE) / 100), 4), 4) AS quality
-           |  FROM (SELECT doc_id,
-           |               CAST(len(ws) AS BIGINT) AS n_words,
-           |               CAST(len(list_distinct(ws)) AS BIGINT) AS n_uniq
-           |        FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
-           |              FROM documents))),
-           |ranked AS (
-           |  SELECT l.cluster, l.doc_id, q.quality,
-           |         row_number() OVER (PARTITION BY l.cluster ORDER BY q.quality DESC, l.doc_id) AS rn,
-           |         count(*) OVER (PARTITION BY l.cluster) AS n_members
-           |  FROM labels l JOIN qual q USING (doc_id))
+           |${keepBestCtesFrom("documents", "", MAXHAM)}
            |SELECT cluster, doc_id AS kept_doc, quality AS best_quality,
            |       CAST(n_members AS BIGINT) AS n_members
            |FROM ranked WHERE rn = 1 ORDER BY cluster""".stripMargin,

@@ -800,11 +800,28 @@ object TextAnalysis {
     (enc, seg)
   }
 
-  /** The q116/q120 query shape over [[bpeEncodeTokens]]: hash the full
-    * subword sequence and re-attach empty-token docs with the empty
-    * encoding. The reattach join is pinned SHUFFLE_HASH — both sides
-    * hash on doc_id (one exchange each, no sort; the aggregate side is
-    * corpus-sized, never broadcast — caught by the lint on first run).
+  /** The declared (doc_id, n_subwords, toks_md5) shape over an encode
+    * frame: hash the full subword sequence and re-attach zero-token
+    * docs (absent from the encode) with the empty encoding. The
+    * reattach join is pinned SHUFFLE_HASH — both sides hash on doc_id
+    * (one exchange each, no sort; the aggregate side is corpus-sized,
+    * never broadcast — caught by the lint on first run). Shared by the
+    * q116/q120/q125 queries and the composed pipeline's q132 (r19
+    * self-review: the tail was one missed edit away from divergence —
+    * the bpeEncodeApplySql factoring lesson, engine side).
+    */
+  private[ops] def bpeEncodeHashed(ids: DataFrame, enc: DataFrame)
+      : DataFrame = {
+    val agg = enc.select(col("doc_id"), col("n_subwords"),
+      md5(col("seq")).as("toks_md5"))
+    ids.select("doc_id").join(agg.hint("SHUFFLE_HASH"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_subwords"), lit(0L)).as("n_subwords"),
+        coalesce(col("toks_md5"), md5(lit(""))).as("toks_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** The q116/q120 query shape: [[bpeEncodeTokens]] + [[bpeEncodeHashed]].
     */
   private def bpeEncodeQuery(docs: DataFrame,
       merges: Seq[(Long, String, String, String, Long)],
@@ -812,13 +829,7 @@ object TextAnalysis {
     // per-doc subword sequences via the shared type-level encoder
     // (the seg cache it persists is under the CACHE CONTRACT)
     val (enc, _) = bpeEncodeTokens(docs, merges, memoKey)
-    val agg = enc.select(col("doc_id"), col("n_subwords"),
-      md5(col("seq")).as("toks_md5"))
-    docs.select("doc_id").join(agg.hint("SHUFFLE_HASH"), Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_subwords"), lit(0L)).as("n_subwords"),
-        coalesce(col("toks_md5"), md5(lit(""))).as("toks_md5"))
-      .orderBy("doc_id")
+    bpeEncodeHashed(docs, enc)
   }
 
   /** Segment every word of `text` with learned BPE merges, applied in

@@ -623,19 +623,43 @@ object TrainingPipeline {
     * plan-inspection tooling should expect these three queries to run
     * jobs at construction (SparkEntry's EAGERNESS EXCEPTION).
     */
-  private def runPipeline(s: org.apache.spark.sql.SparkSession, dir: String,
-                          cfg: Config): Result = {
+  private def pipelineResult(s: org.apache.spark.sql.SparkSession,
+                             dir: String, cfg: Config): Result = {
     val all = Tables(s, dir, "documents")
     val inCols = Seq(col("doc_id"), col("text")) ++
       (if (cfg.mixTokenBudgetFrac.isDefined) Seq(col("source")) else Nil)
-    val res = prepare(
+    prepare(
       all.select(inCols: _*),
       all.filter(col("doc_id") % DeclaredEvalMod === 0)
         .select(col("doc_id"), col("text")),
       cfg)
+  }
+
+  private def runPipeline(s: org.apache.spark.sql.SparkSession, dir: String,
+                          cfg: Config): Result = {
+    val res = pipelineResult(s, dir, cfg)
     res.survivors.count()
     res.cleanup()
     res
+  }
+
+  /** q132's runner. [[runPipeline]]'s eager cleanup() would release the
+    * encode's seg type-map cache BEFORE the caller's actions consume
+    * Result.bpe (prepare() documents cleanup as safe only after the
+    * LAST action — r19 self-review), so the declared output
+    * materializes FIRST: one construction-time checkpoint job (the
+    * pipeline queries' declared EAGERNESS EXCEPTION; the blocks are
+    * three narrow columns × survivor count — tiny), then every stage
+    * cache releases and actions on the returned frame read the
+    * checkpoint.
+    */
+  private def bpeQuery(s: org.apache.spark.sql.SparkSession, dir: String,
+                       cfg: Config): DataFrame = {
+    val res = pipelineResult(s, dir, cfg)
+    val out = TextAnalysis.bpeEncodeHashed(res.survivors, res.bpe.get)
+      .localCheckpoint()
+    res.cleanup()
+    out.orderBy("doc_id")
   }
 
   private def packQuery(s: org.apache.spark.sql.SparkSession, dir: String,
@@ -667,22 +691,11 @@ object TrainingPipeline {
       runPipeline(s, dir, DeclaredOrderCfg).order.get.orderBy("shard", "pos")),
     "q131_pipeline_keepbest" ->
       ((s, dir) => packQuery(s, dir, DeclaredBestCfg)),
-    // q132: Result.bpe gated in q116's declared shape — md5 the subword
-    // sequence and reattach over the SURVIVOR set (scrub can empty a
-    // doc's text, and zero-token docs have no encode row; the pinned
-    // SHUFFLE_HASH reattach is q116's — the aggregate side is
-    // corpus-shaped, never broadcast)
-    "q132_pipeline_bpe" -> ((s, dir) => {
-      val res = runPipeline(s, dir, DeclaredBpeCfg)
-      val enc = res.bpe.get.select(col("doc_id"), col("n_subwords"),
-        md5(col("seq")).as("toks_md5"))
-      res.survivors.select("doc_id")
-        .join(enc.hint("SHUFFLE_HASH"), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_subwords"), lit(0L)).as("n_subwords"),
-          coalesce(col("toks_md5"), md5(lit(""))).as("toks_md5"))
-        .orderBy("doc_id")
-    }),
+    // q132: Result.bpe gated in q116's declared shape — the SHARED
+    // [[TextAnalysis.bpeEncodeHashed]] tail (md5 the subword sequence,
+    // reattach zero-token — scrubbed-empty — docs over the SURVIVOR
+    // set through the pinned SHUFFLE_HASH join)
+    "q132_pipeline_bpe" -> ((s, dir) => bpeQuery(s, dir, DeclaredBpeCfg)),
     "q133_pipeline_order_full" -> ((s, dir) =>
       runPipeline(s, dir, DeclaredOrderFullCfg).order.get
         .orderBy("shard", "pos"))
@@ -782,44 +795,16 @@ object TrainingPipeline {
     val chSrc = if (mixOn) "mixed" else "clean"
     // stage-3 drop rule: greedy (drop every qualifying doc_b — q126's
     // declared rule) or — keepBestQuality — q104's cluster-canonical
-    // selection: q100's recursive transitive closure labels the pair
-    // graph's components (cluster = min reachable id incl. self), q88's
-    // quality chain (identical rounding, computed over the exact-dedup
-    // survivors exactly as prepare() does) ranks each component, and
-    // everything but the rank-1 member drops. The closure needs WITH
-    // RECURSIVE, so the prefix is config-dependent; the non-best texts
-    // stay byte-identical to their r18 green forms.
+    // selection, spliced in as the source-parameterized
+    // [[Dedup.keepBestCtesFrom]] (ONE formulation with q104's oracle):
+    // recursive closure labels, q88's quality rank over the exact-dedup
+    // survivors (exactly as prepare() computes it), everything but each
+    // cluster's rank-1 member drops. The closure needs WITH RECURSIVE,
+    // so the prefix is config-dependent; the non-best texts stay
+    // byte-identical to their r18 green forms.
     val kbqCtes =
       if (!c.keepBestQuality) ""
-      else s"""kbq_edges AS (
-         |  SELECT doc_a AS a, doc_b AS b FROM ham WHERE hamming <= ${c.maxHam}),
-         |kbq_sym AS (SELECT a, b FROM kbq_edges
-         |            UNION SELECT b AS a, a AS b FROM kbq_edges),
-         |kbq_reach(src, dst) AS (
-         |  SELECT a, b FROM kbq_sym
-         |  UNION
-         |  SELECT r.src, s.b FROM kbq_reach r JOIN kbq_sym s ON r.dst = s.a),
-         |kbq_labels AS (
-         |  SELECT src AS doc_id, least(src, min(dst)) AS cluster
-         |  FROM kbq_reach GROUP BY src),
-         |kbq_qual AS (
-         |  SELECT doc_id,
-         |         round(CASE WHEN n_words > 0
-         |                    THEN round(CAST(n_uniq AS DOUBLE) / n_words, 4) ELSE 0.0 END
-         |               * round(least(1.0, CAST(n_words AS DOUBLE) / 100), 4), 4) AS quality
-         |  FROM (SELECT doc_id,
-         |               CAST(len(ws) AS BIGINT) AS n_words,
-         |               CAST(len(list_distinct(ws)) AS BIGINT) AS n_uniq
-         |        FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
-         |              FROM ex))),
-         |kbq_drop AS (
-         |  SELECT doc_id FROM (
-         |    SELECT l.doc_id,
-         |           row_number() OVER (PARTITION BY l.cluster
-         |                              ORDER BY q.quality DESC, l.doc_id) AS rn
-         |    FROM kbq_labels l JOIN kbq_qual q USING (doc_id))
-         |  WHERE rn > 1),
-         |""".stripMargin
+      else s"${Dedup.keepBestCtesFrom("ex", "kbq_", c.maxHam)},\n"
     val ndBody =
       if (!c.keepBestQuality)
         s"""  SELECT doc_id, text$srcCol FROM ex
@@ -828,7 +813,8 @@ object TrainingPipeline {
           .stripMargin
       else
         s"""  SELECT doc_id, text$srcCol FROM ex
-           |  WHERE doc_id NOT IN (SELECT doc_id FROM kbq_drop)""".stripMargin
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM kbq_ranked WHERE rn > 1)"""
+          .stripMargin
     val withKw = if (c.keepBestQuality) "WITH RECURSIVE" else "WITH"
     val ctes = s"""$withKw wq AS (
        |  SELECT doc_id, text$srcCol,
@@ -936,6 +922,16 @@ object TrainingPipeline {
     * application half over the same relation. One generator per stage,
     * shared verbatim with the per-stage oracles; only the source
     * relation differs (q114/q116 read it at src = "documents").
+    *
+    * Failure-mode asymmetry (r19 self-review #6, known and LOUD): if a
+    * survivor corpus ever exhausts mergeable pairs before the declared
+    * 20 rounds, the ENGINE fails fast (learnBpeMerges'
+    * `require(best.nonEmpty)`) while this SQL's per-round `LIMIT 1`
+    * over an empty pair table silently collapses the vocab CTE to zero
+    * rows and passes every word through whole. The mismatch cannot
+    * produce a silent wrong-pass: the engine side errors, so the gate
+    * reports a failed query, which is the correct signal that the
+    * declared depth no longer fits the corpus.
     */
   private[graft] def pipelineBpeOracleSql(c: Config): String = {
     require(c.bpeEncode && c.bpeHotPart.isEmpty && c.bpeBatched.isEmpty

@@ -342,16 +342,25 @@ class TrainingPipelineSpec extends SparkSpec {
     // stage the SQL doesn't express. The generators' own require()s
     // guard the same envelope at construction; this pins the DECLARED
     // configs' wiring.
-    for ((name, c) <- Seq(
-        ("q126", TrainingPipeline.DeclaredCfg),
-        ("q127", TrainingPipeline.DeclaredScrubCfg),
-        ("q128", TrainingPipeline.DeclaredMixCfg),
-        ("q129", TrainingPipeline.DeclaredFullCfg),
-        ("q130", TrainingPipeline.DeclaredOrderCfg),
-        ("q131", TrainingPipeline.DeclaredBestCfg),
-        ("q132", TrainingPipeline.DeclaredBpeCfg),
-        ("q133", TrainingPipeline.DeclaredOrderFullCfg))) {
+    // (name, cfg, expected keepBestQuality, expected bpeEncode) — the
+    // heavyweight optional stages are pinned EXACTLY per config: a
+    // future default flip turning the 20-round eager learner (or the
+    // recursive-closure keep policy) on for the other seven queries
+    // must trip here, not silently run at every verify/bench
+    // construction (r19 self-review #2 — the widened loop had dropped
+    // the one-way !bpeEncode assert entirely)
+    for ((name, c, wantBest, wantBpe) <- Seq(
+        ("q126", TrainingPipeline.DeclaredCfg, false, false),
+        ("q127", TrainingPipeline.DeclaredScrubCfg, false, false),
+        ("q128", TrainingPipeline.DeclaredMixCfg, false, false),
+        ("q129", TrainingPipeline.DeclaredFullCfg, false, false),
+        ("q130", TrainingPipeline.DeclaredOrderCfg, false, false),
+        ("q131", TrainingPipeline.DeclaredBestCfg, true, false),
+        ("q132", TrainingPipeline.DeclaredBpeCfg, false, true),
+        ("q133", TrainingPipeline.DeclaredOrderFullCfg, false, false))) {
       assert(!c.audit, s"$name must not pay the audit counts")
+      assert(c.keepBestQuality == wantBest && c.bpeEncode == wantBpe,
+        s"$name keep-policy/BPE wiring drifted from its declaration: $c")
       assert(!c.scrubFixpoint &&
         !c.scrubContiguousOnly && c.scrubBoundary == "md5" &&
         c.bpeHotPart.isEmpty && c.bpeBatched.isEmpty && !c.bpeEowMarker &&
