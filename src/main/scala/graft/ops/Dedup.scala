@@ -560,7 +560,7 @@ object Dedup {
     * edge-insensitive adjacent pair shared with one other doc is the
     * weakest evidence this confirm admits, and SpanPrecisionProbe
     * measured the edge-tolerant confirmed class verbatim at 0.983
-    * (sf0.1, the calibration ceiling — see SURVEY §8.1, the r14 record) WITH those
+    * (sf0.1, the calibration ceiling — see SURVEY's r14 record (§8)) WITH those
     * spans included, so the 1-pair signature holds precision in
     * practice. 2-/3-chunk spans keep the full requirement because
     * dropping their edge pairs leaves ZERO interior pairs — no
@@ -570,7 +570,7 @@ object Dedup {
     * adjacencies specific to the probing doc, not co-resident in any
     * single other doc. Measured (SpanPrecisionProbe, sf0.01/sf0.1):
     * recovered spans verbatim at the confirmed class's own rate, the
-    * numbers in the probe output and SURVEY §8.1 (r14).
+    * numbers in the probe output and SURVEY's r14 record (§8).
     */
   private[graft] def confirmContiguous(docs: DataFrame, spans: DataFrame,
                                        w: Int = 8,

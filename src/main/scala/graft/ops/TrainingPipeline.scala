@@ -110,7 +110,7 @@ object TrainingPipeline {
       // text occurs contiguously in another doc (Dedup.confirmContiguous:
       // chunk-pair-chain confirm, no substring search), keeping the
       // mosaic spans the default mode cuts. The span-precision audit
-      // (SURVEY §8.1, r14) measured each rule's mosaic tail at 93-97% of its
+      // (SURVEY's r14 record, §8) measured each rule's mosaic tail at 93-97% of its
       // exclusive spans. r14: the confirm runs EDGE-TOLERANT (interior
       // pairs only for >= 4-chunk spans — a verbatim copy's edge chunks
       // can merge into the candidate doc's surrounding text), closing
@@ -193,7 +193,16 @@ object TrainingPipeline {
                     order: Option[DataFrame] = None,
                     // (doc_id, n_subwords, seq) BPE encoding of the
                     // survivors — Some iff cfg.bpeEncode
-                    bpe: Option[DataFrame] = None)
+                    bpe: Option[DataFrame] = None,
+                    // drops the survivor localCheckpoint blocks themselves
+                    // (r18 ADVICE: tight-loop callers shouldn't wait on
+                    // GC/ContextCleaner). STRICTLY LAST-RITES: survivors/
+                    // packed/order/bpe ALL read these blocks, so call only
+                    // after the final action on every Result frame —
+                    // lineage is truncated, nothing can recompute them.
+                    // Idempotent; independent of cleanup() (which releases
+                    // only the stage caches and stays action-safe).
+                    release: () => Unit = () => ())
 
   private def words(c: Column): Column = filter(split(c, " "), w => w =!= "")
 
@@ -456,6 +465,19 @@ object TrainingPipeline {
     // loss on a real cluster recomputes nothing; swap for reliable
     // checkpointing there.
     val survivors = mixed.localCheckpoint(false)
+    // Result.release: unpersist the LogicalRDD's backing RDD directly —
+    // the one handle that reaches the checkpoint blocks without waiting
+    // for the frame's GC (ContextCleaner) or Bench's getPersistentRDDs
+    // sweep. Non-blocking; a never-materialized (lazy) checkpoint just
+    // clears the persist mark.
+    val releaseCheckpoint: () => Unit = () => {
+      survivors.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => // plan shape changed upstream: fall back to GC release
+      }
+      ()
+    }
 
     // 5+6. chunk + pack: the SAME q97 geometry / q58 packing helpers the
     // oracle-checked queries run (Extensions.docChunks / packBins)
@@ -506,7 +528,8 @@ object TrainingPipeline {
       bpe.foreach(_._2.unpersist()) // the encode's seg type-map cache
       scrubExtraCleanup() // fixpoint-mode internal caches (idempotent)
     }
-    Result(survivors, packed, audit.result(), cleanup, order, bpe.map(_._1))
+    Result(survivors, packed, audit.result(), cleanup, order, bpe.map(_._1),
+      releaseCheckpoint)
   }
 
   /** q126's pinned configuration: the default dials (quality 0.05,
@@ -618,8 +641,12 @@ object TrainingPipeline {
     * checkpoint blocks, so total work is unchanged. RESIDUAL: the
     * survivor checkpoint blocks themselves outlive cleanup() by design
     * (they ARE the serving copy) — released when the returned frame is
-    * GC'd (ContextCleaner), or force-cleared by Bench's per-run
-    * getPersistentRDDs sweep. And construction is the WHOLE pipeline:
+    * GC'd (ContextCleaner), force-cleared by Bench's per-run
+    * getPersistentRDDs sweep, or dropped explicitly by Result.release
+    * once the caller's last action ran (r18 ADVICE: the tight-loop
+    * escape hatch; these query lambdas can't call it because the frame
+    * they RETURN still reads the blocks). And construction is the
+    * WHOLE pipeline:
     * plan-inspection tooling should expect these three queries to run
     * jobs at construction (SparkEntry's EAGERNESS EXCEPTION).
     */

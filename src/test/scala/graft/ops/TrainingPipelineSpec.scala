@@ -328,6 +328,14 @@ class TrainingPipelineSpec extends SparkSpec {
       // the serving copy
       assert(res.survivors.count() > 0)
       res.cleanup() // idempotent
+      // r19 (r18 ADVICE): release() is the last-rites escape hatch —
+      // drops the checkpoint blocks without waiting for the Result's
+      // GC. After it, NO pipeline-created persistent RDD remains.
+      res.release()
+      val afterRelease = spark.sparkContext.getPersistentRDDs.keySet -- before
+      assert(afterRelease.isEmpty,
+        s"release must drop the checkpoint RDD, left: ${afterRelease.size}")
+      res.release() // idempotent, like cleanup
     } finally spark.catalog.clearCache()
   }
 
