@@ -644,9 +644,10 @@ object TrainingPipeline {
     * GC'd (ContextCleaner), force-cleared by Bench's per-run
     * getPersistentRDDs sweep, or dropped explicitly by Result.release
     * once the caller's last action ran (r18 ADVICE: the tight-loop
-    * escape hatch; these query lambdas can't call it because the frame
-    * they RETURN still reads the blocks). And construction is the
-    * WHOLE pipeline:
+    * escape hatch). The pack/order lambdas can't call release — the
+    * frame they RETURN still reads the blocks; bpeQuery CAN and does,
+    * because its eager output checkpoint makes the returned frame
+    * self-contained. And construction is the WHOLE pipeline:
     * plan-inspection tooling should expect these three queries to run
     * jobs at construction (SparkEntry's EAGERNESS EXCEPTION).
     */
@@ -686,6 +687,11 @@ object TrainingPipeline {
     val out = TextAnalysis.bpeEncodeHashed(res.survivors, res.bpe.get)
       .localCheckpoint()
     res.cleanup()
+    // r19 self-review: `out`'s eager checkpoint just made the returned
+    // frame self-contained, so the survivor blocks ARE at end-of-life
+    // here — q132 is the one pipeline lambda that can release them
+    // in-query instead of leaving them to GC/Bench's sweep
+    res.release()
     out.orderBy("doc_id")
   }
 

@@ -2,15 +2,10 @@
 # Reproduce the driver's full bench sweep outside sbt, with code-cache +
 # jstack sampling, to root-cause the late-sweep degradation (VERDICT r3 #1).
 set -u
-CP="/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
+. "$(dirname "$0")/jvm_opts.sh"
+CP="$GRAFT_CP"
 OUT="${1:-/tmp/benchdiag}"
 mkdir -p "$OUT"
-ADDOPENS=""
-for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
-         java.util java.util.concurrent java.util.concurrent.atomic; do
-  ADDOPENS="$ADDOPENS --add-opens java.base/$p=ALL-UNNAMED"
-done
-ADDOPENS="$ADDOPENS --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
 EXTRA_FLAGS="${BENCH_FLAGS:--XX:PerMethodRecompilationCutoff=-1 -XX:PerBytecodeRecompilationCutoff=-1}"
 export SPARK_GRAFT_SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}"
 export SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}"

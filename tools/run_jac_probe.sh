@@ -6,14 +6,12 @@
 # refutation scaladoc cites. Usage: run_jac_probe.sh <sfDir> [reps=2]
 # Env: SOAK_CPUS (16), SOAK_HEAP (24g), SPARK_GRAFT_JAC_T/..N pass through.
 set -u
+if [ $# -lt 1 ]; then
+  echo "usage: run_jac_probe.sh <sfDir> [reps=2]" >&2; exit 2
+fi
 DIR="$1"; REPS="${2:-2}"
-CP="/root/repo/target/scala-2.13/classes:/root/repo/target/scala-2.13/test-classes:/opt/spark/jars/*"
-ADDOPENS=""
-for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
-         java.util java.util.concurrent java.util.concurrent.atomic; do
-  ADDOPENS="$ADDOPENS --add-opens java.base/$p=ALL-UNNAMED"
-done
-ADDOPENS="$ADDOPENS --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
+. "$(dirname "$0")/jvm_opts.sh"
+CP="$GRAFT_TEST_CP"
 export SPARK_GRAFT_CPUS="${SOAK_CPUS:-16}"
 for rep in $(seq 1 "$REPS"); do
   for mode in expand prefix; do

@@ -25,7 +25,14 @@ echo "== compile =="
 sbt -batch compile 2>&1 | tail -1 | grep -q '\[success\]'
 
 echo "== test suite =="
-sbt -batch test 2>&1 | tail -5 | grep -q 'All tests passed'
+# tee the full run so the round record can quote the real test count
+# (r18 shipped a TESTCOUNT_PLACEHOLDER because the count lived only in
+# a scrollback buffer; the grep below still gates on the verdict line)
+sbt -batch test 2>&1 | tee /tmp/verify_all_test.log | tail -5 \
+  | grep -q 'All tests passed'
+# informational only — never fail the gate on a format-shifted summary
+grep -E 'Total number of tests run:' /tmp/verify_all_test.log | tail -1 \
+  || echo "test count line not found"
 echo "all tests passed"
 
 SCALES="0.001 0.01 0.1"
