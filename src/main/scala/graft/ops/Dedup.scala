@@ -295,8 +295,15 @@ object Dedup {
     // billion-edge rounds still fan out through the volume term.
     val targetRowsPerPartition = 4000000L
     val p = math.ceil(edgeRows * 2.0 / targetRowsPerPartition).toInt
-    math.min(2048, math.max(16, p))
+    math.min(2048, math.max(ccFloorParts, p))
   }
+
+  /** The [[roundPartitions]] floor, env-overridable for the r19
+    * optimization round's floor scan (SPARK_GRAFT_CC_MINPARTS); the
+    * default stays the measured r9/r16 value.
+    */
+  private def ccFloorParts: Int =
+    sys.env.get("SPARK_GRAFT_CC_MINPARTS").map(_.toInt).getOrElse(16)
 
   /** Fire the output-side structural probe only when the round's input
     * violation count is already this small: below it, the round likely
@@ -352,6 +359,7 @@ object Dedup {
     var edgeRows = l.count()
     var converged = false
     var rounds = 0
+    val tLoop0 = System.nanoTime()
     while (!converged) {
       rounds += 1
       // star contraction halves component height per round; needing
@@ -398,7 +406,8 @@ object Dedup {
       edgeRows = next.count()
       converged = viol.value == 0L
       if (sys.env.contains("SPARK_GRAFT_CC_TRACE"))
-        System.err.println(s"[cc] round=$rounds edges=$edgeRows viol=${viol.value}")
+        System.err.println(f"[cc] round=$rounds edges=$edgeRows " +
+          f"viol=${viol.value} p=$p t=${(System.nanoTime() - tLoop0) / 1e9}%.2f")
       // threshold-gated OUTPUT probe: the accumulator sees the round's
       // INPUT, so plain viol==0 discovers the fixpoint one identity
       // round late. When the input was ALMOST a forest, ask the output
