@@ -431,12 +431,27 @@ object TextAnalysis {
     * where the global-LIMIT window stays flat at ~7).
     */
   private[graft] def hotWinners(p: DataFrame): DataFrame = {
-    val mass = p.select(col("a").as("s"), col("cnt"))
-      .unionAll(p.select(col("b").as("s"), col("cnt")))
-      .groupBy("s").agg(sum(col("cnt")).as("m"))
-    val hot = p
-      .join(mass.select(col("s").as("a"), col("m").as("_ma")), "a")
-      .join(mass.select(col("s").as("b"), col("m").as("_mb")), "b")
+    // r20 (guide §2.4/§3): zero-join formulation. The r16-r19 shape
+    // built a separate mass aggregate and joined it back onto p TWICE —
+    // per learner round that planned two broadcast builds (2 extra
+    // driver-synchronous jobs) plus the probe job, and forced the
+    // caller to persist p (three consumers). Instead, explode each pair
+    // to both endpoints, window-sum cnt per endpoint symbol (mass(s) =
+    // Σ cnt over incident pairs, a = b contributing twice — its two
+    // exploded rows share s), and group back by the pair to re-pair the
+    // two masses. Identical mass/hot/winner semantics (tie → lexically
+    // smaller end; HotWinnersSpec/BpeSpec laws unchanged), but ONE
+    // sequential-stage job per round and p consumed exactly once.
+    val ex = p.select(explode(array(
+        struct(col("a").as("s"), col("a"), col("b"), col("cnt")),
+        struct(col("b").as("s"), col("a"), col("b"), col("cnt")))).as("x"))
+      .select(col("x.s").as("s"), col("x.a").as("a"), col("x.b").as("b"),
+        col("x.cnt").as("cnt"))
+    val wM = org.apache.spark.sql.expressions.Window.partitionBy("s")
+    val hot = ex.withColumn("_m", sum(col("cnt")).over(wM))
+      .groupBy("a", "b", "cnt")
+      .agg(max(when(col("s") === col("a"), col("_m"))).as("_ma"),
+        max(when(col("s") === col("b"), col("_m"))).as("_mb"))
       .withColumn("hot",
         when(col("_ma") > col("_mb"), col("a"))
           .when(col("_mb") > col("_ma"), col("b"))
@@ -447,6 +462,37 @@ object TextAnalysis {
       .filter(col("_prn") === 1)
       .select("a", "b", "cnt")
       .orderBy(col("cnt").desc, col("a"), col("b"))
+  }
+
+  /** Run `body` (a learner's round loop) under loop-scoped SQL conf:
+    * adaptive execution OFF and shuffle width = the vocab frame's own
+    * partition count (r20 guide §1/§2). Rationale, measured at gate
+    * settings (local[32], sf0.1): every learner round is a handful of
+    * VOCAB-sized stages (pair aggregate, mass aggregate, winner window)
+    * whose width the loop already derives from the data
+    * (bpeVocabSeqs' types/64k coalesce) — AQE contributes nothing to
+    * them but materializes every exchange as its own stage-job, ~8
+    * driver-synchronous jobs per round at ~0.1 s fixed cost each
+    * (JobTrace, plans/r20 notes). q122 (28 rounds): 12.7 s AQE-on vs
+    * 6.8 s AQE-off+derived-width, same merges. Scale-safe: the width
+    * tracks the vocabulary (Heaps-sublinear), not the core count, and
+    * the corpus-sized seeding pass (bpeVocabSeqs) runs OUTSIDE this
+    * scope under normal AQE. Conf is saved/restored exception-safely;
+    * results are plan-independent (oracle-gated at three scales).
+    */
+  private def withLearnerConf[T](s: org.apache.spark.sql.SparkSession,
+      parts: Int)(body: => T): T = {
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val spKey = "spark.sql.shuffle.partitions"
+    val aqe0 = s.conf.getOption(aqeKey)
+    val sp0 = s.conf.getOption(spKey)
+    s.conf.set(aqeKey, "false")
+    s.conf.set(spKey, math.max(1, parts).toString)
+    try body
+    finally {
+      aqe0.fold(s.conf.unset(aqeKey))(v => s.conf.set(aqeKey, v))
+      sp0.fold(s.conf.unset(spKey))(v => s.conf.set(spKey, v))
+    }
   }
 
   /** Learn byte-pair-encoding merges (Sennrich et al. 2016, word-level
@@ -488,25 +534,27 @@ object TextAnalysis {
     // freed by the ContextCleaner once unreferenced.
     var seqs = bpeVocabSeqs(docs, eowMarker)
     val out = Seq.newBuilder[(Long, String, String, String, Long)]
-    for (k <- 1 to nMerges) {
-      val best = bpePairCounts(seqs).limit(1).collect()
-      // fail loudly rather than silently diverge from the unrolled
-      // oracle: exhausting mergeable pairs inside nMerges rounds
-      // would need the whole vocab collapsed to single symbols
-      require(best.nonEmpty,
-        s"BPE: no mergeable pairs left at round $k of $nMerges")
-      val (a, b, cnt) =
-        (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-      out += ((k.toLong, a, b, a + b, cnt))
-      // a, b are [a-z]+ (plus the optional regex-inert `</w>` marker)
-      // by seeding/concatenation — safe SQL string literals.
-      // Lazy checkpoint, NO materializing count: the next round's pair
-      // aggregation is the first action and materializes it then —
-      // one driver-synchronous job per round instead of two (and the
-      // final round's seqs, which nothing consumes, never computes).
-      seqs = seqs
-        .withColumn("s", expr(s"replace(s, ' $a  $b ', ' $a$b ')"))
-        .localCheckpoint(false)
+    withLearnerConf(docs.sparkSession, seqs.rdd.getNumPartitions) {
+      for (k <- 1 to nMerges) {
+        val best = bpePairCounts(seqs).limit(1).collect()
+        // fail loudly rather than silently diverge from the unrolled
+        // oracle: exhausting mergeable pairs inside nMerges rounds
+        // would need the whole vocab collapsed to single symbols
+        require(best.nonEmpty,
+          s"BPE: no mergeable pairs left at round $k of $nMerges")
+        val (a, b, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        out += ((k.toLong, a, b, a + b, cnt))
+        // a, b are [a-z]+ (plus the optional regex-inert `</w>` marker)
+        // by seeding/concatenation — safe SQL string literals.
+        // Lazy checkpoint, NO materializing count: the next round's pair
+        // aggregation is the first action and materializes it then —
+        // one driver-synchronous job per round instead of two (and the
+        // final round's seqs, which nothing consumes, never computes).
+        seqs = seqs
+          .withColumn("s", expr(s"replace(s, ' $a  $b ', ' $a$b ')"))
+          .localCheckpoint(false)
+      }
     }
     out.result()
   }
@@ -569,15 +617,17 @@ object TextAnalysis {
     val out = Seq.newBuilder[(Long, String, String, String, Long)]
     var rank = 0L
     var exhausted = false
-    for (_ <- 1 to nRounds if !exhausted) {
-      val cand = candidates(seqs)
-      if (cand.isEmpty) exhausted = true
-      val kept = keep(cand)
-      for ((a, b, cnt) <- kept) {
-        rank += 1
-        out += ((rank, a, b, a + b, cnt))
+    withLearnerConf(seqs0.sparkSession, seqs0.rdd.getNumPartitions) {
+      for (_ <- 1 to nRounds if !exhausted) {
+        val cand = candidates(seqs)
+        if (cand.isEmpty) exhausted = true
+        val kept = keep(cand)
+        for ((a, b, cnt) <- kept) {
+          rank += 1
+          out += ((rank, a, b, a + b, cnt))
+        }
+        if (kept.nonEmpty) seqs = batchApply(seqs, kept)
       }
-      if (kept.nonEmpty) seqs = batchApply(seqs, kept)
     }
     out.result()
   }
@@ -686,17 +736,10 @@ object TextAnalysis {
     val kEff = if (k > 0) k else deriveBatchK(seqs0.count())
     val capEff = if (capJ > 0) capJ else kEff
     learnRounds(seqs0, nRounds)(
-      // ONE bounded collect per round: <= k winner rows. The pair
-      // aggregate feeds the plan three times (mass twice, the hot join
-      // once) — persist for the round so it computes once, released
-      // right after the collect (seqs is checkpointed, so no dependent
-      // cache can trigger a CacheManager recache)
-      seqs => {
-        val p = bpePairCountsRaw(seqs)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try collectPairs(hotWinners(p).limit(kEff))
-        finally p.unpersist(blocking = false)
-      },
+      // ONE bounded collect per round: <= k winner rows. r20: the
+      // zero-join hotWinners consumes the pair aggregate exactly once,
+      // so the per-round persist/unpersist is gone with the joins
+      seqs => collectPairs(hotWinners(bpePairCountsRaw(seqs)).limit(kEff)),
       keepDisjointWinners(_, capEff))
   }
 
@@ -750,9 +793,20 @@ object TextAnalysis {
       merges: Seq[(String, String)],
       eowMarker: Boolean = false): DataFrame = {
     val isAlpha = col("w").rlike("^[a-z]+$")
+    // r20 (guide §2.5 input skew / §1 empirical): the fold below is
+    // CPU-bound per row (|merges| literal replaces per type), but its
+    // input is a distinct-types shuffle whose BYTES are tiny, so AQE
+    // coalesces it to one partition and the whole fold ran as a single
+    // task (measured: q125's encode spent 3.2-3.7 s in one 1-task job
+    // at sf0.1 on 32 cores). Spread the fold across the cluster's
+    // parallelism — compute width, not shuffle-bytes width. Row-to-
+    // partition assignment is deterministic (sortBeforeRepartition) and
+    // results are partitioning-independent (per-row projection).
+    val width = types.sparkSession.sparkContext.defaultParallelism
     // null for non-alpha types: replaces propagate null for free and
     // the final projection never reads _seg_s for them
-    var df = types.withColumn("_seg_s", when(isAlpha, bpeSeed(col("w"), eowMarker)))
+    var df = types.repartition(width)
+      .withColumn("_seg_s", when(isAlpha, bpeSeed(col("w"), eowMarker)))
     val groups = merges.grouped(SegFoldChunk).toSeq
     for ((g, gi) <- groups.zipWithIndex) {
       val folded = g.foldLeft(col("_seg_s")) { case (c, (a, b)) =>
