@@ -360,6 +360,17 @@ object Dedup {
     var converged = false
     var rounds = 0
     val tLoop0 = System.nanoTime()
+    // r20 (guide §1/§2, same discipline as the BPE learner loops): the
+    // contraction rounds size their own exchanges (the explicit
+    // repartition(p, a) below, p derived from the round's edge count),
+    // so AQE contributes nothing inside the loop but materializes every
+    // per-round exchange as its own driver-synchronous stage-job —
+    // measured 4-6 jobs/round at fixed ~0.1 s each at gate settings.
+    // Scope AQE off to the loop (label extraction and the callers'
+    // corpus-sized stages outside keep it); width follows each round's
+    // own p via the per-round conf set. Results are plan-independent
+    // (oracle-gated); conf restores exception-safely.
+    TextAnalysis.withLearnerConf(sess, roundPartitions(edgeRows)) {
     while (!converged) {
       rounds += 1
       // star contraction halves component height per round; needing
@@ -367,6 +378,7 @@ object Dedup {
       // instead of looping the cluster forever
       require(rounds <= 50, "star contraction did not converge in 50 rounds")
       val p = roundPartitions(edgeRows)
+      sess.conf.set("spark.sql.shuffle.partitions", p.toString)
       val viol = sess.sparkContext.longAccumulator(s"star-viol-$rounds")
       // the tap passes m through unchanged while counting the row; it
       // sits IN the data path (the violating branch's value), so the
@@ -419,6 +431,7 @@ object Dedup {
           .isEmpty
       }
       l = next
+    }
     }
     // star forest: every child row is (node, component-min root);
     // roots appear only on the parent side and label themselves.

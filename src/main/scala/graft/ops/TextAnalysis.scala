@@ -480,7 +480,7 @@ object TextAnalysis {
     * scope under normal AQE. Conf is saved/restored exception-safely;
     * results are plan-independent (oracle-gated at three scales).
     */
-  private def withLearnerConf[T](s: org.apache.spark.sql.SparkSession,
+  private[ops] def withLearnerConf[T](s: org.apache.spark.sql.SparkSession,
       parts: Int)(body: => T): T = {
     val aqeKey = "spark.sql.adaptive.enabled"
     val spKey = "spark.sql.shuffle.partitions"
@@ -979,8 +979,10 @@ object TextAnalysis {
     * IDENTICAL scorer with CCNet bucketing. Semantics and scale shape
     * are documented at the q115 declaration (count->=2 pruning, stupid
     * backoff through orders 2/1, five size-gated LM joins off one
-    * doc-local trigram stream). Persists tri/big/uni (CACHE CONTRACT).
-    * Returns (doc_id, n_trigrams, logprob), unsorted.
+    * doc-local trigram stream). Persists the combined tri+big+uni LM
+    * aggregate — one tagged corpus pass, the three tables filter from
+    * it (CACHE CONTRACT). Returns (doc_id, n_trigrams, logprob),
+    * unsorted.
     *
     * `memoDir`: the immutable testdata dir for the LM-estimate memo
     * ([[estimateLmBytesMemo]]) — q115/q118 pass it; ad-hoc callers
@@ -999,22 +1001,43 @@ object TextAnalysis {
         "element_at(ws, i) AS w))")).as("t"))
       .select(col("doc_id"), col("t.p2").as("p2"), col("t.p1").as("p1"),
         col("t.w").as("w"))
-    val train = tg.filter(col("doc_id") % 2 === 0)
-    val tri = train.groupBy("p2", "p1", "w")
-      .agg(count(lit(1)).as("c3")).filter(col("c3") >= 2).persist()
-    val estTri = estimateLmBytesMemo(memo("trigram.tri"), tri)
-    // bigram counts over the SAME >= 3-token train docs (adjacent
-    // pairs, doc-local construction like q112's)
-    val big = ws.filter(col("doc_id") % 2 === 0)
+    // r20 (guide §6/§2.3): the three LM tables used to be three separate
+    // corpus explodes + three shuffled aggregates (the r19 plan shows
+    // tri/big/uni each scanning documents.parquet once — 4 corpus passes
+    // counting the scoring stream). They now derive from ONE tagged
+    // explode over the SAME >= 3-token train docs — per doc: n-2 't'
+    // (trigram), n-1 'b' (bigram), n 'u' (unigram) rows — through one
+    // map-side-combinable aggregate, persisted ONCE; each table is a
+    // filter of that cache. Same tables row-for-row (tri keeps its
+    // c3 >= 2 prune, applied to the 't' rows only), so scores are
+    // unchanged; corpus passes drop 4 -> 2 and LM-build shuffles 3 -> 1
+    // (same total shuffled rows, keys now carry a 1-char tag).
+    val combined = ws.filter(col("doc_id") % 2 === 0)
       .select(explode(expr(
-        "transform(sequence(2, size(ws)), i -> struct(" +
-          "element_at(ws, i - 1) AS p, element_at(ws, i) AS w))")).as("b"))
-      .select(col("b.p").as("p"), col("b.w").as("w"))
-      .groupBy("p", "w").agg(count(lit(1)).as("c2")).persist()
+        "concat(" +
+          "transform(sequence(3, size(ws)), i -> struct(" +
+            "'t' AS k, element_at(ws, i - 2) AS k1, " +
+            "element_at(ws, i - 1) AS k2, element_at(ws, i) AS k3)), " +
+          "transform(sequence(2, size(ws)), i -> struct(" +
+            "'b' AS k, element_at(ws, i - 1) AS k1, " +
+            "element_at(ws, i) AS k2, CAST(NULL AS STRING) AS k3)), " +
+          "transform(ws, w -> struct(" +
+            "'u' AS k, w AS k1, CAST(NULL AS STRING) AS k2, " +
+            "CAST(NULL AS STRING) AS k3)))")).as("g"))
+      .groupBy(col("g.k").as("k"), col("g.k1").as("k1"),
+        col("g.k2").as("k2"), col("g.k3").as("k3"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("k") =!= "t" || col("c") >= 2)
+      .persist()
+    val tri = combined.filter(col("k") === "t")
+      .select(col("k1").as("p2"), col("k2").as("p1"), col("k3").as("w"),
+        col("c").as("c3"))
+    val estTri = estimateLmBytesMemo(memo("trigram.tri"), tri)
+    val big = combined.filter(col("k") === "b")
+      .select(col("k1").as("p"), col("k2").as("w"), col("c").as("c2"))
     val estBig = estimateLmBytesMemo(memo("trigram.big"), big)
-    val uni = ws.filter(col("doc_id") % 2 === 0)
-      .select(explode(col("ws")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("c1")).persist()
+    val uni = combined.filter(col("k") === "u")
+      .select(col("k1").as("w"), col("c").as("c1"))
     val estUni = estimateLmBytesMemo(memo("trigram.uni"), uni)
     val tot = uni.agg(sum(col("c1")).as("t")) // 1 row — always broadcast
     val den = big.select(col("p").as("p2"), col("w").as("p1"),
