@@ -41,6 +41,12 @@ object JobTrace {
         val jid = stageToJob.getOrDefault(s.stageInfo.stageId, -1)
         taskCounts.merge(jid, Integer.valueOf(s.stageInfo.numTasks), (a, b) =>
           Integer.valueOf(a.intValue() + b.intValue()))
+        val dur = (for (a <- s.stageInfo.completionTime;
+                        b <- s.stageInfo.submissionTime) yield (a - b) / 1e3)
+          .getOrElse(-1.0)
+        System.err.println(
+          f"[stage] job=$jid%-4d id=${s.stageInfo.stageId}%-4d dur=$dur%7.3f " +
+            f"tasks=${s.stageInfo.numTasks}%-4d name=${s.stageInfo.name.take(90)}")
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = {
         Option(starts.get(e.jobId)).foreach { case (t0, site, nStages) =>

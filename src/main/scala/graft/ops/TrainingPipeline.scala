@@ -210,7 +210,7 @@ object TrainingPipeline {
     * 8-grams are mostly present in the (persisted) eval gram set.
     * Factored out of [[prepare]] so PlanLintSpec can lint the dispatch
     * on the EXACT wiring the pipeline runs (no test-side copy to
-    * drift): under the ceiling the semi join must plan
+    * drift): under the ceiling the eval-gram join must plan
     * BroadcastHashJoin; forced above it, pinned ShuffledHashJoin —
     * never a sort-merge of the corpus gram stream.
     */
@@ -219,12 +219,24 @@ object TrainingPipeline {
     val trainGrams = train
       .select(col("doc_id"),
         explode(array_distinct(expr("char_ngrams(text, 8)"))).as("g"))
-    trainGrams.groupBy("doc_id").agg(count(lit(1)).as("total"))
-      .join(TextAnalysis.joinLm(trainGrams, evalGrams, Seq("g"), "left_semi",
-          TextAnalysis.estimateLmBytes(evalGrams))
-        .groupBy("doc_id").agg(count(lit(1)).as("hit")), Seq("doc_id"), "left")
-      .filter(coalesce(col("hit"), lit(0L)).cast("double") / col("total")
-        > maxContamRatio)
+    // r20 (guide §2.3/§2.4): total and hit used to be TWO aggregations
+    // over two regenerations of the corpus gram explode (total over the
+    // raw stream, hit after a LEFT SEMI against the eval grams), glued
+    // by a corpus-keyed doc_id join. Fused: distinct the eval grams
+    // once (eval-sized exchange; the semi join deduped implicitly
+    // before), LEFT-join the stream against them through the same
+    // size-gated dispatcher with a match marker, and take both counts
+    // in ONE aggregation — count(1) is the old total (the left join
+    // preserves every gram row exactly once: egd is unique on g),
+    // count(_eg) the old hit (0 when no gram matched, exactly the old
+    // coalesce). One corpus gram pass instead of two, one aggregation
+    // instead of two + a join; same contaminated-id set.
+    val egd = evalGrams.distinct().withColumn("_eg", lit(1))
+    TextAnalysis.joinLm(trainGrams, egd, Seq("g"), "left",
+        TextAnalysis.estimateLmBytes(evalGrams))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("total"), count(col("_eg")).as("hit"))
+      .filter(col("hit").cast("double") / col("total") > maxContamRatio)
       .select("doc_id")
   }
 
@@ -375,13 +387,15 @@ object TrainingPipeline {
     // evalGrams feeds only a LEFT SEMI right side, which dedups by
     // construction — neither needs the global `.distinct()` exchange the
     // pre-r10 form paid (same rewrite as q75/q76).
-    // r18 (VERDICT #2): the semi join rides the SAME size-gated
+    // r18 (VERDICT #2): the eval-gram join rides the SAME size-gated
     // dispatcher as every other small-table join in the repo
     // (TextAnalysis.joinLm) instead of trusting AQE to broadcast the
     // eval side — under the ceiling the eval grams broadcast and the
     // corpus-gram stream never shuffles to join; an over-ceiling eval
     // suite DEGRADES to one pinned SHUFFLE_HASH co-partitioned exchange
     // rather than silently sort-merging the full corpus gram set.
+    // r20: total+hit fused into one aggregation over one gram pass —
+    // see contamIds.
     // evalGrams is persisted because the size estimate and the join
     // both consume it (the estimate pass doubles as materialization —
     // one eager eval-sized job at prepare() time, the q75 bloom-build

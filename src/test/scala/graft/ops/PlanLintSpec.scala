@@ -274,16 +274,17 @@ class PlanLintSpec extends SparkSpec {
     }
   }
 
-  /** r17 VERDICT #2: the pipeline's decontamination semi-join was the
-    * one corpus-shaped join that trusted AQE instead of the explicit
-    * dispatch discipline — it now rides TextAnalysis.joinLm. Lint the
-    * EXACT wiring prepare() runs (TrainingPipeline.contamIds, factored
-    * for this test): under the ceiling the eval grams broadcast; forced
-    * above it, pinned SHUFFLE_HASH, never sort-merge; and the dispatch
-    * never changes results — asserted on the fragment AND on the full
-    * q126 packed output.
+  /** r17 VERDICT #2: the pipeline's decontamination eval-gram join was
+    * the one corpus-shaped join that trusted AQE instead of the explicit
+    * dispatch discipline — it now rides TextAnalysis.joinLm. r20: the
+    * join is a LEFT OUTER against the DISTINCT eval grams with a match
+    * marker (total and hit fused into one aggregation — one corpus gram
+    * pass instead of two); the lint follows: under the ceiling the
+    * eval grams broadcast; forced above it, pinned SHUFFLE_HASH, never
+    * sort-merge; and the dispatch never changes results — asserted on
+    * the fragment AND on the full q126 packed output.
     */
-  test("pipeline decontamination semi-join rides the size-gated dispatch (both regimes, results identical)") {
+  test("pipeline decontamination eval-gram join rides the size-gated dispatch (both regimes, results identical)") {
     import org.apache.spark.sql.functions._
     graft.functions.VectorExpressions.ensureRegistered(spark)
     val docs = graft.model.Tables(spark, sf(), "documents")
@@ -291,19 +292,19 @@ class PlanLintSpec extends SparkSpec {
     def evalGrams() = docs.filter(col("doc_id") % 10 === 0)
       .select(explode(array_distinct(expr("char_ngrams(text, 8)"))).as("g"))
       .persist()
-    // assert on the SEMI-JOIN lines only (r18 self-review): the plan
-    // also carries the totals-hits doc_id join, whose strategy is the
-    // planner's business — a whole-string contains() could pass
-    // vacuously (any broadcast join) or fail spuriously (a legitimate
-    // sort-merge elsewhere)
-    def semiLines(plan: String): Seq[String] =
-      plan.linesIterator.filter(_.contains("LeftSemi")).toSeq
+    // assert on the eval-gram JOIN lines only (r18 self-review): the
+    // plan may carry other joins whose strategy is the planner's
+    // business — a whole-string contains() could pass vacuously (any
+    // broadcast join) or fail spuriously (a legitimate sort-merge
+    // elsewhere). The fused join is the only LeftOuter in the fragment.
+    def joinLines(plan: String): Seq[String] =
+      plan.linesIterator.filter(_.contains("LeftOuter")).toSeq
     val eg1 = evalGrams()
     val dfB = TrainingPipeline.contamIds(docs, eg1, 0.99)
     val bRes = dfB.collect().map(_.toString).sorted.toSeq
     val planB = dfB.queryExecution.executedPlan.toString
-    val semiB = semiLines(planB)
-    assert(semiB.nonEmpty && semiB.forall(_.contains("BroadcastHashJoin")),
+    val joinB = joinLines(planB)
+    assert(joinB.nonEmpty && joinB.forall(_.contains("BroadcastHashJoin")),
       s"default regime must broadcast the eval gram set\n$planB")
     eg1.unpersist()
     val q126B = graft.SparkEntry.queries("q126_pipeline_pack")(spark, sf())
@@ -315,9 +316,9 @@ class PlanLintSpec extends SparkSpec {
       val dfS = TrainingPipeline.contamIds(docs, eg2, 0.99)
       val sRes = dfS.collect().map(_.toString).sorted.toSeq
       val planS = dfS.queryExecution.executedPlan.toString
-      val semiS = semiLines(planS)
-      assert(semiS.nonEmpty && semiS.forall(_.contains("ShuffledHashJoin")),
-        s"forced regime must pin SHUFFLE_HASH on the semi join " +
+      val joinS = joinLines(planS)
+      assert(joinS.nonEmpty && joinS.forall(_.contains("ShuffledHashJoin")),
+        s"forced regime must pin SHUFFLE_HASH on the eval-gram join " +
           s"(never sort-merge)\n$planS")
       assert(sRes == bRes,
         s"dispatch changed the contaminated-id set (${sRes.size} vs ${bRes.size})")
