@@ -32,7 +32,12 @@ object PlanDump {
     Files.createDirectories(Paths.get(outDir))
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name =>
-      val fn = SparkEntry.queries(name)
+      // r19 ADVICE: a mistyped name must log-and-skip, not abort the
+      // whole dump run with NoSuchElementException
+      val fn = SparkEntry.queries.getOrElse(name, null)
+      if (fn == null) {
+        System.err.println(s"[plandump] unknown query name: $name (skipped)")
+      } else {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
       try {
@@ -43,6 +48,7 @@ object PlanDump {
         System.err.println(s"[plandump] wrote $name")
       } catch { case e: Throwable =>
         System.err.println(s"[plandump] $name failed: ${e.getMessage}")
+      }
       }
     }
     spark.stop()

@@ -24,8 +24,10 @@ object SparkEntry {
     * a shared subplan because it feeds two consumers and Spark has no
     * automatic CTE reuse for DataFrame plans (q117's are the scored-
     * frequency table plus Windows.globalRowNumber's internal range-
-    * partitioned frame; q118 persists the tri/big/uni LM tables via its
-    * factored trigramScores plus the same globalRowNumber frame via
+    * partitioned frame; q115/q118 persist the combined tri+big+uni LM
+    * aggregate via the factored trigramScores (r20: one tagged corpus
+    * pass, the three tables filter from it), q118 plus the same
+    * globalRowNumber frame via
     * ccnetBucket; q120 persists the type-segmentation cache via
     * bpeEncodeTokens). The returned DataFrame is lazy, so
     * the query function cannot unpersist it itself — the CALLER owns

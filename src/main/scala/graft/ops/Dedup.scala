@@ -298,12 +298,16 @@ object Dedup {
     math.min(2048, math.max(ccFloorParts, p))
   }
 
-  /** The [[roundPartitions]] floor, env-overridable for the r19
-    * optimization round's floor scan (SPARK_GRAFT_CC_MINPARTS); the
-    * default stays the measured r9/r16 value.
+  /** The [[roundPartitions]] floor, env-overridable for the r19/r20
+    * optimization rounds' floor scan (SPARK_GRAFT_CC_MINPARTS); the
+    * default stays the measured r9/r16 value, confirmed by the r20
+    * 10×/100× scan (OPTIMIZATION_r20.md). r19 ADVICE: parsed
+    * defensively (malformed/non-positive → default) and read ONCE, not
+    * per round.
     */
-  private def ccFloorParts: Int =
-    sys.env.get("SPARK_GRAFT_CC_MINPARTS").map(_.toInt).getOrElse(16)
+  private val ccFloorParts: Int =
+    sys.env.get("SPARK_GRAFT_CC_MINPARTS").flatMap(_.toIntOption)
+      .filter(_ >= 1).getOrElse(16)
 
   /** Fire the output-side structural probe only when the round's input
     * violation count is already this small: below it, the round likely

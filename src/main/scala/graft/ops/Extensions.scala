@@ -740,10 +740,13 @@ object Extensions {
 
     "q76_decontaminate" -> ((s, dir) => {
       graft.functions.VectorExpressions.ensureRegistered(s)
-      // train feeds only a LEFT SEMI join, which dedups its build side by
-      // construction — per-doc array_distinct (doc-local, free) is all
-      // the dedup worth paying for; the pre-r10 global `.distinct()`
-      // exchange bought nothing
+      // per-doc array_distinct (doc-local, free) first; the r20 fuse
+      // below then needs train GLOBALLY unique on g (a left join must
+      // preserve eval rows exactly once), and that distinct is an
+      // aggregate whose partial phase collapses the cross-doc
+      // duplication map-side — unlike the pre-r10 standalone-distinct
+      // shape, it replaces the semi join's build-side dedup, not adds
+      // to it
       val train = Tables(s, dir, "documents")
         .filter(col("doc_id") % 2 === 0)
         .select(explode(array_distinct(expr("char_ngrams(text, 8)"))).as("g"))
@@ -754,13 +757,23 @@ object Extensions {
         .filter(col("doc_id") % 2 === 1)
         .select(col("doc_id"),
           explode(array_distinct(expr("char_ngrams(text, 8)"))).as("g"))
-      val tot = evalG.groupBy("doc_id").agg(count(lit(1)).as("total"))
-      val con = evalG.join(train, Seq("g"), "left_semi")
-        .groupBy("doc_id").agg(count(lit(1)).as("contaminated"))
-      tot.join(con, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("total"),
-          coalesce(col("contaminated"), lit(0L)).as("contaminated"),
-          (coalesce(col("contaminated"), lit(0L)).cast("double") / col("total"))
+      // r20 (guide §2.3/§2.4, the contamIds fuse): total and
+      // contaminated used to be two aggregations over two regenerations
+      // of the eval gram explode (total raw, contaminated after a LEFT
+      // SEMI), glued by a doc_id join. Fused: distinct the train grams
+      // (map-side combinable — the ~53× cross-doc gram duplication
+      // collapses in the partial agg, and the distinct's output
+      // partitioning feeds the join with no extra exchange), LEFT-join
+      // the eval stream once with a match marker, and take both counts
+      // in one aggregation. One eval gram pass instead of two, no
+      // doc_id join; identical rows (count(marker) ≡ semi-join count,
+      // 0 when nothing matched ≡ the old coalesce).
+      val traind = train.distinct().withColumn("_tg", lit(1))
+      evalG.join(traind, Seq("g"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("total"), count(col("_tg")).as("contaminated"))
+        .select(col("doc_id"), col("total"), col("contaminated"),
+          (col("contaminated").cast("double") / col("total"))
             .as("contam_ratio"))
         .orderBy(col("doc_id"))
     }),

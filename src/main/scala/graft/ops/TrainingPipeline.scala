@@ -176,7 +176,16 @@ object TrainingPipeline {
       // bpeBatched. Costs one type count over the learner's own
       // checkpointed vocab frame — not a corpus pass.
       bpeHotPart: Option[Int] = None,
-      bpeEowMarker: Boolean = false)
+      bpeEowMarker: Boolean = false,
+      // r20: when Some(dir), the decontamination dispatcher's eval-gram
+      // byte estimate memoizes per (dir fingerprint, site) — the same
+      // r15 estMemo discipline as the LM queries (correctness-free: the
+      // estimate only picks the shipping regime; SPARK_GRAFT_NO_MEMO
+      // bypasses). Set by the DECLARED pipeline queries, whose eval set
+      // is a deterministic slice of the immutable testdata dir; library
+      // callers with caller-built eval frames leave None and pay the
+      // one eval-sized estimate job per construction.
+      lmMemoDir: Option[String] = None)
 
   /** Stage outputs: the surviving corpus and the packed bins, plus
     * per-stage survivor counts for the audit trail. `cleanup` unpersists
@@ -215,7 +224,9 @@ object TrainingPipeline {
     * never a sort-merge of the corpus gram stream.
     */
   private[graft] def contamIds(train: DataFrame, evalGrams: DataFrame,
-                               maxContamRatio: Double): DataFrame = {
+                               maxContamRatio: Double,
+                               memoKey: Option[(String, String)] = None)
+      : DataFrame = {
     val trainGrams = train
       .select(col("doc_id"),
         explode(array_distinct(expr("char_ngrams(text, 8)"))).as("g"))
@@ -233,7 +244,7 @@ object TrainingPipeline {
     // instead of two + a join; same contaminated-id set.
     val egd = evalGrams.distinct().withColumn("_eg", lit(1))
     TextAnalysis.joinLm(trainGrams, egd, Seq("g"), "left",
-        TextAnalysis.estimateLmBytes(evalGrams))
+        TextAnalysis.estimateLmBytesMemo(memoKey, evalGrams))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("total"), count(col("_eg")).as("hit"))
       .filter(col("hit").cast("double") / col("total") > maxContamRatio)
@@ -399,13 +410,16 @@ object TrainingPipeline {
     // evalGrams is persisted because the size estimate and the join
     // both consume it (the estimate pass doubles as materialization —
     // one eager eval-sized job at prepare() time, the q75 bloom-build
-    // precedent; no memo key: evalDocs is a caller-built frame with no
-    // immutability contract). Dispatch can never change RESULTS, only
-    // plans — PlanLintSpec executes both regimes hash-equal.
+    // precedent; memo key only when cfg.lmMemoDir pins an immutable
+    // dir — the declared queries do; caller-built eval frames carry no
+    // immutability contract and estimate every construction). Dispatch
+    // can never change RESULTS, only plans — PlanLintSpec executes both
+    // regimes hash-equal.
     val evalGrams = evalDocs
       .select(explode(array_distinct(expr("char_ngrams(text, 8)"))).as("g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val contam = contamIds(nearDeduped, evalGrams, cfg.maxContamRatio)
+    val contam = contamIds(nearDeduped, evalGrams, cfg.maxContamRatio,
+      cfg.lmMemoDir.map(d => (d, "pipeline.evalGrams")))
     val clean = nearDeduped.join(contam, Seq("doc_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (cfg.audit) {
@@ -674,7 +688,9 @@ object TrainingPipeline {
       all.select(inCols: _*),
       all.filter(col("doc_id") % DeclaredEvalMod === 0)
         .select(col("doc_id"), col("text")),
-      cfg)
+      // the declared eval set is a deterministic slice of the immutable
+      // testdata dir — exactly the estMemo contract (plan-only effect)
+      cfg.copy(lmMemoDir = Some(dir)))
   }
 
   private def runPipeline(s: org.apache.spark.sql.SparkSession, dir: String,
